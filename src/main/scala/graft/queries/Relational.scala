@@ -1,27 +1,40 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Relational operator coverage: aggregations, joins, windows, sorts,
-  * set ops, scalar functions — the standard categories SURVEY.md §2.3 maps
-  * out. Every query here has a DuckDB oracle in [[oracles]] with matching
-  * column names and deterministic output (doubles are rounded so that
-  * float summation-order differences between engines cannot flip a hash).
+/** Relational operator coverage: aggregations, joins (broadcast / semi /
+  * anti / outer), window functions, rollup/cube/grouping sets, set ops,
+  * sorts/top-k, scalar & date functions — the standard categories
+  * SURVEY.md §2.3 maps out.
+  *
+  * Every query has a DuckDB oracle in [[oracles]] with matching column
+  * names and deterministic output:
+  *  - double aggregates are `round`ed on BOTH sides so float
+  *    summation-order differences between engines cannot flip a hash;
+  *  - every ORDER BY ends in a unique key so ties cannot reorder rows;
+  *  - engine-specific integer widths (Spark INT vs DuckDB BIGINT for
+  *    rank/length/year...) are normalized to BIGINT on both sides.
+  *
+  * Scale notes are per-query; the common theme: dimension tables
+  * (region/nation/supplier/customer/part) are broadcast so the only
+  * shuffles left are the aggregations on the fact table, which all do
+  * map-side partial aggregation.
   */
 object Relational {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** TPC-H Q1-style scan→filter→hash-aggregate. Filter + 7-column read are
-    * pushed to the parquet scan; the groupBy does a map-side partial agg on
-    * a 4-row key space — at 100 TB the shuffle carries only a handful of
-    * rows per task.
+  private def ts(s: String): Column = lit(s).cast("timestamp")
+
+  /** TPC-H Q1-style scan→filter→hash-aggregate; 4-row key space so the
+    * shuffle after map-side partial agg is negligible at any scale.
     */
   def q1Agg(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
-      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .filter(col("l_shipdate") <= ts("1998-09-02"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         round(sum(col("l_quantity")), 2).as("sum_qty"),
@@ -33,8 +46,260 @@ object Relational {
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
+  /** TPC-H Q3-style join + top-k. Customer is filtered then broadcast;
+    * orders↔lineitem is the one real shuffle join (AQE may still convert
+    * it when the filtered side is small). Top-k orders by ROUNDED revenue
+    * with a key tiebreak so both engines pick identical rows.
+    */
+  def q3TopkJoin(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(s, dir).filter(col("o_orderdate") < ts("1998-01-01"))
+    val li = Tables.lineitem(s, dir).filter(col("l_shipdate") > ts("1997-01-01"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style 6-table join: all five dimension sides broadcast, so
+    * the plan is a single pass over lineitem with broadcast hash joins —
+    * no fact-table shuffle before the final tiny aggregation.
+    */
+  def q5MultiJoin(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= ts("1996-01-01") &&
+        col("o_orderdate") < ts("1997-01-01"))
+    val asia = broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA"))
+    val nat = broadcast(Tables.nation(s, dir)
+      .join(asia, col("n_regionkey") === col("r_regionkey")))
+    Tables.lineitem(s, dir)
+      .join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.customer(s, dir)),
+        col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(nat, col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** TPC-H Q4-style EXISTS → left-semi join with a non-equi conjunct. */
+  def q4SemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= ts("1996-07-01") &&
+        col("o_orderdate") < ts("1996-10-01"))
+    ord.join(Tables.lineitem(s, dir),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** NOT EXISTS → left-anti join: customers that never ordered. */
+  def qAntiJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+
+  /** Left-outer join keeping parts with zero lineitems. The aggregation is
+    * pushed below the join (aggregate-then-join), so the join carries one
+    * row per part key instead of one per lineitem.
+    */
+  def qOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    val liAgg = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+    Tables.part(s, dir)
+      .join(liAgg, col("p_partkey") === col("l_partkey"), "left")
+      .select(col("p_partkey"), coalesce(col("cnt"), lit(0L)).as("n_li"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** Ranking window: top-3 parts by retail price within each brand. */
+  def qWindowRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    Tables.part(s, dir)
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("p_brand"), col("p_partkey"), col("p_retailprice"), col("rnk"))
+      .orderBy(col("p_brand"), col("rnk"), col("p_partkey"))
+  }
+
+  /** Analytic window with a running frame: cumulative revenue per supplier
+    * in (shipdate, orderkey, linenumber) order — the frame ordering is a
+    * total order, so double accumulation order is identical cross-engine.
+    */
+  def qWindowRunning(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.lineitem(s, dir)
+      .filter(col("l_suppkey") <= 10)
+      .withColumn("running_rev", round(sum(col("l_extendedprice")).over(w), 2))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate"), col("running_rev"))
+      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** lag()-based gap sessionization over the events stream table (30-min
+    * inactivity gap), microsecond-exact via unix_micros on both engines.
+    */
+  def qEventsSessions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > lit(1800000000L), 1L)
+          .otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(sum(col("new_sess")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  /** ROLLUP hierarchy totals; NULL group markers normalized via coalesce so
+    * null-ordering differences between engines cannot matter.
+    */
+  def qRollup(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_price"), col("n"))
+      .orderBy(col("returnflag"), col("linestatus"))
+
+  /** CUBE over two order dimensions. */
+  def qCube(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("sum_total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("orderstatus"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("orderpriority"),
+        col("n"), col("sum_total"))
+      .orderBy(col("orderstatus"), col("orderpriority"))
+
+  /** GROUPING SETS via the Dataset API (Spark 4 groupingSets). */
+  def qGroupingSets(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("orderstatus"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("orderpriority"),
+        col("n"))
+      .orderBy(col("orderstatus"), col("orderpriority"))
+
+  /** Multiple exact distinct aggregates in one pass. */
+  def qDistinctAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  /** Statistical aggregates (stddev/variance population+sample, min/max). */
+  def qStatsAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(stddev_samp(col("l_extendedprice")), 2).as("sd_price"),
+        round(var_samp(col("l_extendedprice")), 0).as("var_price"),
+        round(min(col("l_extendedprice")), 2).as("min_price"),
+        round(max(col("l_extendedprice")), 2).as("max_price"))
+      .orderBy(col("l_returnflag"))
+
+  private def custIn(s: SparkSession, dir: String, y0: String, y1: String): DataFrame =
+    Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= ts(y0) && col("o_orderdate") < ts(y1))
+      .select(col("o_custkey").as("custkey"))
+
+  /** INTERSECT (set semantics): customers active in both 1996 and 1997. */
+  def qIntersect(s: SparkSession, dir: String): DataFrame =
+    custIn(s, dir, "1996-01-01", "1997-01-01")
+      .intersect(custIn(s, dir, "1997-01-01", "1998-01-01"))
+      .orderBy(col("custkey"))
+
+  /** EXCEPT (set semantics): active in 1996 but not 1997. */
+  def qExcept(s: SparkSession, dir: String): DataFrame =
+    custIn(s, dir, "1996-01-01", "1997-01-01")
+      .except(custIn(s, dir, "1997-01-01", "1998-01-01"))
+      .orderBy(col("custkey"))
+
+  /** UNION ALL + distinct-union composition. */
+  def qUnion(s: SparkSession, dir: String): DataFrame =
+    custIn(s, dir, "1996-01-01", "1996-07-01")
+      .union(custIn(s, dir, "1996-07-01", "1997-01-01"))
+      .distinct()
+      .orderBy(col("custkey"))
+
+  /** Scalar-function projection playground (string/math/conditional). */
+  def qScalarFn(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        substring(col("p_name"), 1, 8).as("name_prefix"),
+        length(col("p_name")).cast("long").as("name_len"),
+        concat_ws(":", col("p_brand"), col("p_type")).as("brand_type"),
+        abs(col("p_size") - lit(25)).cast("long").as("size_dev"),
+        (col("p_size") % 7).cast("long").as("size_mod"),
+        round(col("p_retailprice") * 1.1, 2).as("price_up"),
+        when(col("p_size") < 10, "small")
+          .when(col("p_size") < 30, "medium")
+          .otherwise("large").as("size_class"))
+      .orderBy(col("p_partkey"))
+
+  /** Date/time functions (year/month/trunc/datediff on midnight-aligned
+    * timestamps so day-difference semantics agree cross-engine).
+    */
+  def qDateFn(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("order_year"),
+        month(col("o_orderdate")).cast("long").as("order_month"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        datediff(lit("2000-01-01").cast("date"), col("o_orderdate").cast("date"))
+          .cast("long").as("days_to_2000"))
+      .orderBy(col("o_orderkey"))
+
   val queries: Map[String, Q] = Map(
-    "q1_agg" -> (q1Agg _)
+    "q1_agg" -> (q1Agg _),
+    "q3_topk_join" -> (q3TopkJoin _),
+    "q5_multi_join" -> (q5MultiJoin _),
+    "q4_semi_join" -> (q4SemiJoin _),
+    "q_anti_join" -> (qAntiJoin _),
+    "q_outer_join" -> (qOuterJoin _),
+    "q_window_rank" -> (qWindowRank _),
+    "q_window_running" -> (qWindowRunning _),
+    "q_events_sessions" -> (qEventsSessions _),
+    "q_rollup" -> (qRollup _),
+    "q_cube" -> (qCube _),
+    "q_grouping_sets" -> (qGroupingSets _),
+    "q_distinct_agg" -> (qDistinctAgg _),
+    "q_stats_agg" -> (qStatsAgg _),
+    "q_intersect" -> (qIntersect _),
+    "q_except" -> (qExcept _),
+    "q_union" -> (qUnion _),
+    "q_scalar_fn" -> (qScalarFn _),
+    "q_date_fn" -> (qDateFn _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -49,6 +314,157 @@ object Relational {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_topk_join" ->
+      """SELECT o_orderkey, o_orderdate, o_orderpriority,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1997-01-01'
+        |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+    "q5_multi_join" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q4_semi_join" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+    "q_outer_join" ->
+      """SELECT p_partkey, coalesce(cnt, 0) AS n_li
+        |FROM part
+        |LEFT JOIN (SELECT l_partkey, count(*) AS cnt
+        |           FROM lineitem GROUP BY l_partkey) li
+        |  ON p_partkey = l_partkey
+        |ORDER BY p_partkey""".stripMargin,
+    "q_window_rank" ->
+      """SELECT p_brand, p_partkey, p_retailprice, rnk FROM (
+        |  SELECT p_brand, p_partkey, p_retailprice,
+        |    CAST(rank() OVER (PARTITION BY p_brand
+        |                      ORDER BY p_retailprice DESC, p_partkey) AS BIGINT) AS rnk
+        |  FROM part) t
+        |WHERE rnk <= 3
+        |ORDER BY p_brand, rnk, p_partkey""".stripMargin,
+    "q_window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+        |  round(sum(l_extendedprice) OVER (
+        |    PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_rev
+        |FROM lineitem
+        |WHERE l_suppkey <= 10
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+    "q_events_sessions" ->
+      """WITH g AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events)
+        |SELECT user_id,
+        |  CAST(sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        |  count(*) AS n_events
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  round(sum(l_extendedprice), 2) AS sum_price,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+    "q_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
+        |  coalesce(o_orderpriority, 'ALL') AS orderpriority,
+        |  count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS sum_total
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY orderstatus, orderpriority""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
+        |  coalesce(o_orderpriority, 'ALL') AS orderpriority,
+        |  count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY orderstatus, orderpriority""".stripMargin,
+    "q_distinct_agg" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_stats_agg" ->
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_extendedprice), 2) AS sd_price,
+        |  round(var_samp(l_extendedprice), 0) AS var_price,
+        |  round(min(l_extendedprice), 2) AS min_price,
+        |  round(max(l_extendedprice), 2) AS max_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_intersect" ->
+      """SELECT o_custkey AS custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |INTERSECT
+        |SELECT o_custkey AS custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |ORDER BY custkey""".stripMargin,
+    "q_except" ->
+      """SELECT o_custkey AS custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |EXCEPT
+        |SELECT o_custkey AS custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |ORDER BY custkey""".stripMargin,
+    "q_union" ->
+      """SELECT DISTINCT custkey FROM (
+        |  SELECT o_custkey AS custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+        |  UNION ALL
+        |  SELECT o_custkey AS custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |) t ORDER BY custkey""".stripMargin,
+    "q_scalar_fn" ->
+      """SELECT p_partkey,
+        |  upper(p_brand) AS brand_u,
+        |  substring(p_name, 1, 8) AS name_prefix,
+        |  CAST(length(p_name) AS BIGINT) AS name_len,
+        |  concat_ws(':', p_brand, p_type) AS brand_type,
+        |  CAST(abs(p_size - 25) AS BIGINT) AS size_dev,
+        |  CAST(p_size % 7 AS BIGINT) AS size_mod,
+        |  round(p_retailprice * 1.1, 2) AS price_up,
+        |  CASE WHEN p_size < 10 THEN 'small'
+        |       WHEN p_size < 30 THEN 'medium'
+        |       ELSE 'large' END AS size_class
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_date_fn" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS BIGINT) AS order_year,
+        |  CAST(month(o_orderdate) AS BIGINT) AS order_month,
+        |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS BIGINT) AS days_to_2000
+        |FROM orders ORDER BY o_orderkey""".stripMargin
   )
 }
