@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Relational, ReorderQueries}
+import graft.queries.{PipelineQueries, Relational, ReorderQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -13,7 +13,8 @@ object SparkEntry {
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame],
                             Map[String, String])] = Seq(
     (Relational.queries, Relational.oracles),
-    (ReorderQueries.queries, ReorderQueries.oracles)
+    (ReorderQueries.queries, ReorderQueries.oracles),
+    (PipelineQueries.queries, PipelineQueries.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

