@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.functions.{Text, TopKByScore}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths, same output shape `(query_id, rank, neighbor_id, cosine)`:
+  *  - [[bruteTopK]]: exact — one scan of the corpus with the query set
+  *    broadcast, partial top-k heaps per map task ([[TopKByScore]]), so the
+  *    shuffle carries ≤ k rows per (mapper, query). This is the correct
+  *    exact plan at any corpus size provided the query set is small enough
+  *    to broadcast.
+  *  - [[lshTopK]]: approximate scale path — random-hyperplane LSH (L
+  *    tables × b bits) buckets the corpus in one linear pass; candidates
+  *    are exact-reranked. Recall is tunable via (L, b).
+  */
+object Similarity {
+
+  /** Exact brute-force cosine top-k of `corpus` for each row of `queries`
+    * (self-matches on equal ids excluded).
+    */
+  def bruteTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+    val c = corpus.select(col(idCol).as("_cid"), col(vecCol).as("_cv"))
+    val scored = c.join(broadcast(q), col("_cid") =!= col("query_id"))
+      .select(col("query_id"), col("_cid"),
+        round(Text.cosine(col("_qv"), col("_cv")), 6).as("_score"))
+    rankTopK(scored, k)
+  }
+
+  /** Shared final ranking: bounded top-k aggregate then posexplode. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(TopKByScore.topkBy(col("_score"), col("_cid"), k).as("_topk"))
+      .select(col("query_id"), posexplode(col("_topk")).as(Seq("_pos", "_e")))
+      .select(col("query_id"), (col("_pos") + 1).cast("long").as("rank"),
+        col("_e.id").as("neighbor_id"), col("_e.score").as("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+
+  // ------------------------------------------------- hyperplane LSH path
+
+  /** Deterministic Gaussian hyperplanes: `tables * bits` planes of `dim`
+    * components, fixed seed so runs and tests are reproducible.
+    */
+  private def planes(dim: Int, tables: Int, bits: Int): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(tables * bits)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** `tables` bucket ids per vector: bit j of table t's bucket is the sign
+    * of the dot product with plane (t*bits+j). One linear pass, all
+    * built-in higher-order functions.
+    */
+  private def bucketIds(vec: Column, dim: Int, tables: Int, bits: Int): Column = {
+    val ps = typedlit(planes(dim, tables, bits))
+    val vecd = transform(vec, x => x.cast("double"))
+    val sig = transform(ps,
+      p => aggregate(zip_with(p, vecd, (a, b) => a * b), lit(0.0), (s, v) => s + v) > 0)
+    transform(sequence(lit(0), lit(tables - 1)), t =>
+      aggregate(sequence(lit(0), lit(bits - 1)), lit(0L),
+        (acc, j) => acc * 2 + when(element_at(sig, t * lit(bits) + j + 1), 1L).otherwise(0L)))
+  }
+
+  /** Approximate top-k: candidates = corpus rows sharing any of the L
+    * bucket ids with the query, exact-reranked by cosine.
+    *
+    * Scale: the corpus is bucketed in one pass (L small rows per vector);
+    * the candidate join broadcasts the query buckets, so the corpus never
+    * shuffles — only candidate (query, neighbor) pairs do, and the final
+    * top-k uses the bounded-heap aggregate.
+    */
+  /** Default (L=8, b=4) is tuned for weakly-clustered data: per-table
+    * collision probability for a 60°-apart pair is (1-θ/π)^b ≈ 0.2, so
+    * P[candidate] ≈ 1-(1-0.2)^8 ≈ 0.83. Strongly clustered corpora (the
+    * realistic 100 TB case) should raise `bits` to shrink buckets.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, dim: Int, tables: Int = 8, bits: Int = 4): DataFrame = {
+    val cB = corpus.select(col(idCol).as("_cid"), col(vecCol).as("_cv"),
+        posexplode(bucketIds(col(vecCol), dim, tables, bits)).as(Seq("_t", "_b")))
+    val qB = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
+        posexplode(bucketIds(col(vecCol), dim, tables, bits)).as(Seq("_t", "_b")))
+    val cands = cB.join(broadcast(qB), Seq("_t", "_b"))
+      .filter(col("_cid") =!= col("query_id"))
+      .select(col("query_id"), col("_qv"), col("_cid"), col("_cv"))
+      .dropDuplicates("query_id", "_cid")
+    val scored = cands.select(col("query_id"), col("_cid"),
+      round(Text.cosine(col("_qv"), col("_cv")), 6).as("_score"))
+    rankTopK(scored, k)
+  }
+}

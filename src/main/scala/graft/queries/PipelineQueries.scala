@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.Dedup
+import graft.operators.{Dedup, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -35,12 +35,28 @@ object PipelineQueries {
   def dedupEmbedCosine(s: SparkSession, dir: String): DataFrame =
     Dedup.embedCosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding", CosTau)
 
+  private val AnnK = 5
+  private val AnnDim = 64
+
+  private def annQueries(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).filter(col("vec_id") < 10)
+
+  def annTopkBrute(s: SparkSession, dir: String): DataFrame =
+    Similarity.bruteTopK(annQueries(s, dir), Tables.embeddings(s, dir),
+      "vec_id", "embedding", AnnK)
+
+  def annTopkLsh(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopK(annQueries(s, dir), Tables.embeddings(s, dir),
+      "vec_id", "embedding", AnnK, AnnDim)
+
   val queries: Map[String, Relational.Q] = Map(
     "dedup_exact_docs" -> (dedupExactDocs _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
-    "dedup_embed_cosine" -> (dedupEmbedCosine _)
+    "dedup_embed_cosine" -> (dedupEmbedCosine _),
+    "ann_topk_brute" -> (annTopkBrute _),
+    "ann_topk_lsh" -> (annTopkLsh _)
   )
 
   /** Shared shingle CTE for the Jaccard oracles — MUST stay in lockstep
@@ -87,6 +103,20 @@ object PipelineQueries {
          |      AS cosine
          |  FROM e a, e b WHERE a.vec_id < b.vec_id)
          |SELECT id_a, id_b, cosine FROM p WHERE cosine >= $CosTau
-         |ORDER BY id_a, id_b""".stripMargin
+         |ORDER BY id_a, id_b""".stripMargin,
+    "ann_topk_brute" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT * FROM e WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    round(list_dot_product(q.v, c.v) /
+         |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6)
+         |      AS cosine
+         |  FROM q, e c WHERE c.vec_id != q.vec_id),
+         |r AS (SELECT *, row_number() OVER (
+         |        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+         |      FROM scored)
+         |SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, cosine
+         |FROM r WHERE rnk <= $AnnK ORDER BY query_id, rank""".stripMargin
   )
 }

@@ -1,0 +1,73 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Planted corpus: 0/1 near-identical, 2 shares a prefix, 3 disjoint. */
+  private def docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (1L, "the quick brown fox jumps over the lazy dog again and again tomorrow"),
+    (2L, "the quick brown fox sleeps under a warm sun with no worries at all"),
+    (3L, "completely unrelated text about spark catalyst optimizer internals here"))
+    .toDF("doc_id", "text")
+
+  test("exactByHash keeps the lowest tie-break row per duplicate content") {
+    val dup = docs.union(Seq((10L, "the quick brown fox jumps over the lazy dog again and again today"))
+      .toDF("doc_id", "text"))
+    val kept = Dedup.exactByHash(dup, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(0L, 1L, 2L, 3L), "doc 10 is a duplicate of doc 0 and must lose")
+  }
+
+  test("ngramJaccardPairs finds exactly the planted near-dup pair") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.7)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
+  test("minhashLshPairs agrees with the exact operator on the planted corpus") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.7)
+      .collect().map(_.toSeq).toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 0.7)
+      .collect().map(_.toSeq).toSet
+    assert(lsh == exact)
+  }
+
+  test("simhash of identical content is identical; near-dups are close") {
+    val fps = Dedup.simhash(docs.union(
+        Seq((10L, "the quick brown fox jumps over the lazy dog again and again today"))
+          .toDF("doc_id", "text")),
+      "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(0L) == fps(10L), "identical text must produce identical simhash")
+    assert(java.lang.Long.bitCount(fps(0L) ^ fps(1L)) <
+      java.lang.Long.bitCount(fps(0L) ^ fps(3L)),
+      "near-dup must be closer in hamming distance than unrelated text")
+  }
+
+  test("simhashPairs is exact for hamming <= 3 (banding recall 1)") {
+    val all = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val expected = (for {
+      (ida, fa) <- all; (idb, fb) <- all if ida < idb
+      if java.lang.Long.bitCount(fa ^ fb) <= 3
+    } yield (ida, idb)).toSet
+    val got = Dedup.simhashPairs(docs, "doc_id", "text")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got == expected)
+  }
+
+  test("embedCosinePairs finds parallel vectors and rejects orthogonal ones") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(2.0f, 0.001f, 0.0f)),  // ~parallel to 0
+      (2L, Array(0.0f, 1.0f, 0.0f)))    // orthogonal
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embedCosinePairs(emb, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+}
