@@ -1,0 +1,101 @@
+package graft.operators
+
+import graft.functions.{PolyHash, Text}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: token counting,
+  * quality scoring, language identification, and document fingerprinting.
+  *
+  * Everything is per-document (embarrassingly parallel — no shuffle at
+  * all; the operators are pure projections that scale linearly), built
+  * from codegen'd expressions, and defined so an ANSI-SQL oracle can
+  * replicate results bit-for-bit: ratios divide exact integer counts,
+  * composite scores combine already-rounded terms in a fixed order.
+  */
+object TextAnalysis {
+
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
+
+  private val BpePattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+  private val PunctPattern = "[^A-Za-z0-9\\s]"
+
+  /** Token counts + quality signals + composite quality score. */
+  def stats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val text = col(textCol)
+    val toks = Text.tokens(text)
+    val nTok = size(toks)
+    val punctRatio = round(
+      size(regexp_extract_all(text, lit(PunctPattern), lit(0))) * lit(1.0) /
+        greatest(length(text), lit(1)), 6)
+    val stopRatio = round(
+      size(filter(toks, t => array_contains(typedlit(Stopwords), t))) * lit(1.0) /
+        greatest(nTok, lit(1)), 6)
+    val meanTokLen = round(
+      aggregate(toks, lit(0), (acc, t) => acc + length(t)) * lit(1.0) /
+        greatest(nTok, lit(1)), 6)
+    docs.select(
+        col(idCol),
+        nTok.cast("long").as("n_tokens"),
+        size(split(trim(text), "\\s+")).cast("long").as("n_ws_tokens"),
+        size(regexp_extract_all(text, lit(BpePattern), lit(0))).cast("long")
+          .as("n_bpe_tokens"),
+        punctRatio.as("punct_ratio"),
+        stopRatio.as("stop_ratio"),
+        meanTokLen.as("mean_tok_len"))
+      .withColumn("quality",
+        round(least(col("n_tokens") / 100.0, lit(1.0)) * 0.4 +
+          (lit(1.0) - col("punct_ratio")) * 0.3 +
+          (lit(1.0) - col("stop_ratio")) * 0.3, 6))
+  }
+
+  /** Per-language stopword marker lists for the n-gram/stopword heuristic
+    * language classifier; CJK presence short-circuits to zh.
+    */
+  private val Markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "les", "et", "des", "un"))
+
+  /** Heuristic language ID: argmax of marker-stopword hits with a fixed
+    * precedence (en beats ties), CJK codepoints force zh. Deterministic
+    * and SQL-expressible by construction.
+    */
+  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = Text.tokens(col(textCol))
+    def score(words: Seq[String]): Column =
+      size(filter(toks, t => array_contains(typedlit(words), t)))
+    val m = Markers.toMap
+    val sEn = score(m("en")); val sEs = score(m("es"))
+    val sDe = score(m("de")); val sFr = score(m("fr"))
+    val hasZh = col(textCol).rlike("[\\x{4e00}-\\x{9fff}]")
+    docs.select(col(idCol), col("lang"),
+      when(hasZh, "zh")
+        .when(sEs > sEn && sEs >= sDe && sEs >= sFr, "es")
+        .when(sDe > sEn && sDe >= sFr, "de")
+        .when(sFr > sEn, "fr")
+        .otherwise("en").as("pred_lang"))
+  }
+
+  /** Document fingerprints:
+    *  - `poly_hash`: the [[PolyHash]] rolling hash of the full text
+    *    (native codegen expression);
+    *  - `fp_min8`: MOSS-style min-selected fingerprint — minimum MD5 over
+    *    all 8-char grams (a winnowing-lite content signature robust to
+    *    local edits);
+    *  - `fp_full`: plain content MD5.
+    */
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val text = col(textCol)
+    val grams = transform(
+      sequence(lit(1), greatest(length(text) - 7, lit(1))),
+      i => md5(text.substr(i, lit(8))))
+    docs.select(
+      col(idCol),
+      PolyHash.polyHash(text).as("poly_hash"),
+      array_min(grams).as("fp_min8"),
+      md5(text).as("fp_full"))
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -49,7 +49,32 @@ object PipelineQueries {
     Similarity.lshTopK(annQueries(s, dir), Tables.embeddings(s, dir),
       "vec_id", "embedding", AnnK, AnnDim)
 
+  def textStats(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.stats(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  def textLangid(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langId(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  def textFingerprint(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fingerprints(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  def mmBinaryStats(s: SparkSession, dir: String): DataFrame =
+    Multimodal.binaryStats(Tables.documents(s, dir), "doc_id", "text")
+
+  def mmDecodeStub(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.fromText(Tables.documents(s, dir), "doc_id", "text", "image")
+    Multimodal.decodeImages(media).toDF().orderBy(col("media_id"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
+    "mm_binary_stats" -> (mmBinaryStats _),
+    "mm_decode_stub" -> (mmDecodeStub _),
+    "text_stats" -> (textStats _),
+    "text_langid" -> (textLangid _),
+    "text_fingerprint" -> (textFingerprint _),
     "dedup_exact_docs" -> (dedupExactDocs _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash" -> (dedupMinhash _),
@@ -117,6 +142,62 @@ object PipelineQueries {
          |        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
          |      FROM scored)
          |SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, cosine
-         |FROM r WHERE rnk <= $AnnK ORDER BY query_id, rank""".stripMargin
+         |FROM r WHERE rnk <= $AnnK ORDER BY query_id, rank""".stripMargin,
+    "text_stats" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+        |    round(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 1.0 / greatest(length(text), 1), 6) AS punct_ratio,
+        |    round(len(list_filter(toks, t -> list_contains(['the','a','and','of','to','in','is','on','for','with'], t))) * 1.0 / greatest(len(toks), 1), 6) AS stop_ratio,
+        |    round(list_sum(list_transform(toks, t -> length(t))) * 1.0 / greatest(len(toks), 1), 6) AS mean_tok_len
+        |  FROM t)
+        |SELECT *,
+        |  round(least(n_tokens / 100.0, 1.0) * 0.4 + (1.0 - punct_ratio) * 0.3 +
+        |        (1.0 - stop_ratio) * 0.3, 6) AS quality
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "text_langid" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, text,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS toks
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(toks, t -> list_contains(['the','and','of','to','is'], t))) AS s_en,
+        |    len(list_filter(toks, t -> list_contains(['el','la','de','que','y'], t))) AS s_es,
+        |    len(list_filter(toks, t -> list_contains(['der','die','und','das','ist'], t))) AS s_de,
+        |    len(list_filter(toks, t -> list_contains(['le','les','et','des','un'], t))) AS s_fr,
+        |    regexp_matches(text, '[\x{4e00}-\x{9fff}]') AS has_zh
+        |  FROM t)
+        |SELECT doc_id, lang,
+        |  CASE WHEN has_zh THEN 'zh'
+        |       WHEN s_es > s_en AND s_es >= s_de AND s_es >= s_fr THEN 'es'
+        |       WHEN s_de > s_en AND s_de >= s_fr THEN 'de'
+        |       WHEN s_fr > s_en THEN 'fr'
+        |       ELSE 'en' END AS pred_lang
+        |FROM sc ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, length(text) + 1),
+        |        i -> CAST(unicode(text[i]) AS BIGINT))),
+        |    (a, c) -> (a * 31 + c) % 2147483647) AS poly_hash,
+        |  list_aggregate(
+        |    list_transform(range(1, greatest(length(text) - 6, 2)),
+        |      i -> md5(text[i:i+7])), 'min') AS fp_min8,
+        |  md5(text) AS fp_full
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_binary_stats" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  md5(text) AS fp,
+        |  upper(hex(encode(substring(text, 1, 8)))) AS head_hex
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -1,0 +1,60 @@
+package graft
+
+import graft.functions.PolyHash
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("poly_hash matches the reference definition (codegen + interpreted)") {
+    // h = fold over codepoints of (h*31 + cp) % (2^31-1); "hello world" = 1835087470
+    val df = Seq("hello world").toDF("s")
+    val codegen = df.select(PolyHash.polyHash($"s")).as[Long].head()
+    assert(codegen == 1835087470L)
+    // interpreted path (eval): force by building the expression row-wise
+    val expr = graft.functions.PolyHash(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString("hello world")))
+    assert(expr.eval(null) == 1835087470L)
+  }
+
+  test("stats produces exact counts and ratios on a known sentence") {
+    val df = Seq((1L, "The quick brown fox, it jumps!")).toDF("doc_id", "text")
+    val r = TextAnalysis.stats(df, "doc_id", "text").head()
+    assert(r.getAs[Long]("n_tokens") == 6L)       // the quick brown fox it jumps
+    assert(r.getAs[Long]("n_ws_tokens") == 6L)
+    assert(r.getAs[Long]("n_bpe_tokens") == 8L)   // 6 words + ',' + '!'
+    assert(r.getAs[Double]("punct_ratio") == math.rint(2.0 / 30 * 1e6) / 1e6)
+    assert(r.getAs[Double]("stop_ratio") == math.rint(1.0 / 6 * 1e6) / 1e6)
+  }
+
+  test("langId applies marker precedence and CJK short-circuit") {
+    val df = Seq(
+      (1L, "en", "the cat and the dog is here"),
+      (2L, "es", "el gato y la casa de que"),
+      (3L, "de", "der hund und das haus ist"),
+      (4L, "fr", "le chat et les maisons des un"),
+      (5L, "zh", "你好世界"),
+      (6L, "en", "xyzzy plugh")) // no markers anywhere -> en fallback
+      .toDF("doc_id", "lang", "text")
+    val preds = TextAnalysis.langId(df, "doc_id", "text")
+      .select("doc_id", "pred_lang").as[(Long, String)].collect().toMap
+    assert(preds == Map(1L -> "en", 2L -> "es", 3L -> "de", 4L -> "fr",
+      5L -> "zh", 6L -> "en"))
+  }
+
+  test("fingerprints are stable and edit-local (min-8-gram survives a suffix edit)") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"))
+      .toDF("doc_id", "text")
+    val fps = TextAnalysis.fingerprints(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2), r.getString(3))).toMap
+    assert(fps(1L) != fps(2L))
+    // min-gram fingerprint often survives local edits (shared prefix grams)
+    assert(fps(1L)._2 == fps(2L)._2,
+      "min 8-gram fingerprint should match for texts differing only at the tail " +
+        "(if this fails the min gram happened to cover the edit; pick different texts)")
+  }
+}
