@@ -1,0 +1,109 @@
+package graft.io
+
+import java.io.ByteArrayOutputStream
+
+import graft.model.ElectronicOrder
+import org.apache.avro.Schema
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.io.{DecoderFactory, EncoderFactory}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Kafka + Avro edge of the engine, mirroring the reference's source/sink
+  * (Application.java:140,147) and serde (StreamsUtils.java:29-33).
+  *
+  * The Kafka DataFrame wiring compiles against the stable
+  * `format("kafka")` string API; running it requires the
+  * spark-sql-kafka connector on the cluster classpath (not shipped in
+  * this environment, so these paths are exercised by [[AvroCodec]] unit
+  * tests + MemoryStream topologies rather than a broker — the same split
+  * the reference makes with TopologyTestDriver).
+  *
+  * The Avro binary codec is implemented on avro-core directly (the
+  * payload matches the reference's `electronic_order.avsc` field order).
+  * NOTE: Confluent's wire format prefixes `magic byte + 4-byte schema id`;
+  * [[AvroCodec.decode]] tolerates both raw and Confluent-framed payloads.
+  */
+object KafkaAvroIO {
+
+  /** Config keys matching configuration/dev.properties. */
+  final case class KafkaConf(bootstrap: String, inputTopic: String,
+      outputTopic: String, checkpoint: String)
+
+  def loadConf(props: Map[String, String]): KafkaConf = KafkaConf(
+    bootstrap = props.getOrElse("bootstrap.servers", "localhost:9092"),
+    inputTopic = props.getOrElse("input.topic.name", "electronic-orders"),
+    outputTopic = props.getOrElse("output.topic.name", "electronic-orders-reordered"),
+    checkpoint = props.getOrElse("checkpoint.location", "/tmp/graft-checkpoint"))
+
+  /** Streaming source: Kafka records → typed orders (key ignored per the
+    * reference, which re-keys on output anyway — semantics S4).
+    */
+  def source(spark: SparkSession, conf: KafkaConf): Dataset[ElectronicOrder] = {
+    import spark.implicits._
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", conf.bootstrap)
+      .option("subscribe", conf.inputTopic)
+      .option("startingOffsets", "earliest")
+      .load()
+      .select(col("value"))
+      .as[Array[Byte]]
+      .map(AvroCodec.decode)
+  }
+
+  /** Streaming sink: reordered rows → Kafka, key = the synthetic store
+    * key column, value = Avro-encoded order.
+    */
+  def sink(reordered: Dataset[graft.streaming.StreamingReorder.Reordered],
+      conf: KafkaConf): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val spark = reordered.sparkSession
+    import spark.implicits._
+    reordered
+      .map(r => (r.key, AvroCodec.encode(ElectronicOrder(
+        r.order_id, r.electronic_id, r.user_id, r.price, r.time))))
+      .toDF("key", "value")
+      .writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", conf.bootstrap)
+      .option("topic", conf.outputTopic)
+      .option("checkpointLocation", conf.checkpoint)
+  }
+}
+
+/** Avro binary serde for `ElectronicOrder` built on avro-core. */
+object AvroCodec {
+
+  @transient private lazy val schema: Schema =
+    new Schema.Parser().parse(ElectronicOrder.avroSchemaJson)
+
+  def encode(o: ElectronicOrder): Array[Byte] = {
+    val rec = new GenericData.Record(schema)
+    rec.put("order_id", o.order_id)
+    rec.put("electronic_id", o.electronic_id)
+    rec.put("user_id", o.user_id)
+    rec.put("price", o.price)
+    rec.put("time", o.time)
+    val out = new ByteArrayOutputStream()
+    val enc = EncoderFactory.get().binaryEncoder(out, null)
+    new GenericDatumWriter[GenericRecord](schema).write(rec, enc)
+    enc.flush()
+    out.toByteArray
+  }
+
+  /** Decodes raw Avro binary; skips a Confluent frame (0x00 + schema id)
+    * if present.
+    */
+  def decode(bytes: Array[Byte]): ElectronicOrder = {
+    val payload =
+      if (bytes.length > 5 && bytes(0) == 0x00) bytes.drop(5) else bytes
+    val dec = DecoderFactory.get().binaryDecoder(payload, null)
+    val rec = new GenericDatumReader[GenericRecord](schema).read(null, dec)
+    ElectronicOrder(
+      rec.get("order_id").toString,
+      rec.get("electronic_id").toString,
+      rec.get("user_id").toString,
+      rec.get("price").asInstanceOf[Double],
+      rec.get("time").asInstanceOf[Long])
+  }
+}

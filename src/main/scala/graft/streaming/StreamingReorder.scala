@@ -1,0 +1,107 @@
+package graft.streaming
+
+import graft.model.ElectronicOrder
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming re-expression of the reference's core operator:
+  * the stateful event-time reorder buffer with first-wins timestamp dedup
+  * and grace-period flush (Application.java:37-97; semantics S1–S7 in
+  * SURVEY.md §2.2).
+  *
+  * Two variants:
+  *  - [[faithful]]: `flatMapGroupsWithState` with event-time timeout — a
+  *    per-key RocksDB-backed buffer (first-wins insert per S3) that, when
+  *    the watermark passes its flush mark, emits the ENTIRE buffer in
+  *    ascending event-time order (whole-store flush per S1/S2), optionally
+  *    re-keyed `"key-<millis>"` (S4). The watermark replaces stream-time
+  *    punctuation (S6): both only advance when data arrives.
+  *  - [[idiomatic]]: what a Spark user would actually deploy —
+  *    `withWatermark` + `dropDuplicatesWithinWatermark` (exact S3
+  *    semantics) with ordering applied at the sink (`ORDER BY` per
+  *    micro-batch in `foreachBatch`), letting Spark's own state store do
+  *    the buffering.
+  *
+  * Documented divergence (SURVEY §7.4): records later than the watermark
+  * (disorder > grace) are DROPPED by Spark's stateful operators, while
+  * Kafka Streams re-buffers them into the next flush. Within the bounded
+  * disorder the reference guarantees (README.md:5-7), outputs agree.
+  *
+  * Scale: state is per-key and proportional to one grace window of data;
+  * the shuffle into the stateful operator is the only wide exchange, and
+  * the RocksDB state store provider
+  * (`spark.sql.streaming.stateStore.providerClass`) gives the same
+  * spill-to-disk behavior as the reference's store.
+  */
+object StreamingReorder {
+
+  /** Flushed output row; `key` replicates the reference's synthetic store
+    * key (Application.java:145) when `emitStoreKey` is set, else the
+    * original record key (`electronic_id`).
+    */
+  final case class Reordered(key: String, order_id: String, electronic_id: String,
+      user_id: String, price: Double, time: Long)
+
+  /** Per-key reorder buffer; public because Spark's generated encoder
+    * code must reach the accessor.
+    */
+  final case class BufferState(buffer: Map[Long, ElectronicOrder])
+
+  /** The faithful operator. `orders` must be a streaming Dataset. */
+  def faithful(orders: Dataset[ElectronicOrder], graceMs: Long,
+      emitStoreKey: Boolean = true): Dataset[Reordered] = {
+    val spark = orders.sparkSession
+    import spark.implicits._
+
+    def flush(buf: Map[Long, ElectronicOrder]): Iterator[Reordered] =
+      buf.toSeq.sortBy(_._1).iterator.map { case (t, o) =>
+        // S2: ascending event-time order; S4: synthetic store key
+        val k = if (emitStoreKey) s"key-$t" else o.electronic_id
+        Reordered(k, o.order_id, o.electronic_id, o.user_id, o.price, t)
+      }
+
+    def fn(key: String, rows: Iterator[ElectronicOrder],
+        state: GroupState[BufferState]): Iterator[Reordered] = {
+      if (state.hasTimedOut) {
+        // punctuation analog: whole-store ordered flush (Application.java:72-83)
+        val buf = state.getOption.map(_.buffer).getOrElse(Map.empty)
+        state.update(BufferState(Map.empty))
+        // keep the punctuation cadence alive one grace past the watermark
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + graceMs)
+        flush(buf)
+      } else {
+        var buf = state.getOption.map(_.buffer).getOrElse(Map.empty)
+        rows.foreach { o =>
+          // S3: first-wins — drop if this event time is already buffered
+          if (!buf.contains(o.time)) buf += o.time -> o
+        }
+        state.update(BufferState(buf))
+        if (buf.nonEmpty) {
+          // flush when the watermark passes the oldest buffered event +
+          // grace (the stream-time punctuation mark for this epoch)
+          val target = buf.keys.min + graceMs
+          state.setTimeoutTimestamp(math.max(target, state.getCurrentWatermarkMs() + 1))
+        }
+        Iterator.empty
+      }
+    }
+
+    orders
+      .withColumn("event_time", timestamp_millis(col("time")))
+      .withWatermark("event_time", s"$graceMs milliseconds")
+      .as[ElectronicOrder]
+      .groupByKey(_.electronic_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  /** The idiomatic variant: watermark + first-wins dedup within the
+    * watermark window; callers order each emitted micro-batch at the sink
+    * (a streaming global sort is not meaningful in append mode).
+    */
+  def idiomatic(orders: Dataset[ElectronicOrder], graceMs: Long): DataFrame =
+    orders
+      .withColumn("event_time", timestamp_millis(col("time")))
+      .withWatermark("event_time", s"$graceMs milliseconds")
+      .dropDuplicatesWithinWatermark("time")
+}
