@@ -16,11 +16,14 @@ object Text {
   def tokens(text: Column): Column =
     filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
 
-  /** Distinct word n-gram shingles (space-joined); documents shorter than
-    * n tokens collapse to a single whole-document shingle.
+  /** Distinct word n-gram shingles from an ALREADY-MATERIALIZED token
+    * array column. Callers must project `tokens(text)` into a named
+    * column first: passing `tokens(text)` directly inlines the tokenizer
+    * expression into every `element_at` reference (~3n copies), which
+    * re-runs the regex split per shingle element — measured >10× slower
+    * on the near-dup pipelines.
     */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  def shinglesOfTokens(toks: Column, n: Int): Column = {
     val grams = transform(
       sequence(lit(1), size(toks) - (n - 1)),
       i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*))
@@ -28,14 +31,16 @@ object Text {
       when(size(toks) >= n, grams).otherwise(array(array_join(toks, " "))))
   }
 
-  /** Cosine similarity of two numeric arrays, accumulated in array order
-    * in double precision (so the result is bit-deterministic).
+  /** Convenience one-shot form — only for small inputs / tests; hot paths
+    * must use the two-step projection (see [[shinglesOfTokens]]).
     */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-    val ad = transform(a, x => x.cast("double"))
-    val bd = transform(b, x => x.cast("double"))
-    dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))
-  }
+  def shingles(text: Column, n: Int): Column = shinglesOfTokens(tokens(text), n)
+
+  /** Cosine similarity of two numeric arrays, accumulated in array order
+    * in double precision (bit-deterministic). Backed by the native
+    * [[DotProduct]] codegen expression; callers on hot pair-join paths
+    * should precompute norms with [[VectorOps.norm]] before the join.
+    */
+  def cosine(a: Column, b: Column): Column =
+    VectorOps.dot(a, b) / (VectorOps.norm(a) * VectorOps.norm(b))
 }

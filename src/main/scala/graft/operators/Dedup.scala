@@ -41,40 +41,55 @@ object Dedup {
     */
   private def shingleHashes(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
-    docs.select(col(idCol).as("_id"),
-        explode(Text.shingles(col(textCol), n)).as("_sh"))
+    docs.select(col(idCol).as("_id"), Text.tokens(col(textCol)).as("_toks"))
+      .select(col("_id"), explode(Text.shinglesOfTokens(col("_toks"), n)).as("_sh"))
       .select(col("_id"), xxhash64(col("_sh")).as("_h"))
 
-  /** All pairs with word-n-gram Jaccard ≥ tau, computed exactly via an
-    * inverted index: explode shingle hashes, self-join on the hash (each
-    * shared shingle contributes one pair occurrence), count occurrences
-    * per pair = |A∩B|, then |A∪B| = |A|+|B|−|A∩B|.
-    *
-    * Scale: the self-join shuffles on the shingle hash; a shingle shared
-    * by d documents emits d² pair rows, so extremely common shingles are
-    * the skew risk — AQE skew-join handles moderate skew, and a
-    * document-frequency cap (prefix filtering) is the standard refinement
-    * when a corpus has boilerplate shingles. Output columns:
-    * (doc_a, doc_b, jaccard).
+  /** Exact-Jaccard verification of candidate pairs against the per-doc
+    * distinct shingle-hash sets; shared by the exact and MinHash paths so
+    * both emit identical `(doc_a, doc_b, jaccard)` rows for true pairs.
+    */
+  private def verifyPairs(cands: DataFrame, sh: DataFrame, tau: Double): DataFrame = {
+    val sets = sh.groupBy(col("_id")).agg(collect_set(col("_h")).as("_set"))
+    cands
+      .join(sets.select(col("_id").as("_ida"), col("_set").as("_seta")), "_ida")
+      .join(sets.select(col("_id").as("_idb"), col("_set").as("_setb")), "_idb")
+      .withColumn("_inter", size(array_intersect(col("_seta"), col("_setb"))))
+      .withColumn("jaccard", round(col("_inter") /
+        (size(col("_seta")) + size(col("_setb")) - col("_inter")), 4))
+      .filter(col("jaccard") >= tau)
+      .select(col("_ida").as("doc_a"), col("_idb").as("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** All pairs with word-n-gram Jaccard ≥ tau, computed exactly with
+    * PPJoin-style prefix filtering: rank each document's shingles by
+    * global rarity (document frequency, then hash) and index only the
+    * first ⌊(1−τ)·|doc|⌋+1 — any pair with Jaccard ≥ τ must collide on at
+    * least one prefix shingle under a shared global order, so the
+    * candidate set stays complete while the self-join touches only the
+    * RAREST shingles (small posting lists — this is what kills the d²
+    * blow-up of boilerplate shingles that a naive inverted-index join
+    * suffers at scale). Candidates are then exact-verified.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, tau: Double): DataFrame = {
     val sh = shingleHashes(docs, idCol, textCol, n)
     val sizes = sh.groupBy(col("_id")).agg(count(lit(1)).as("_n"))
-    val a = sh.select(col("_id").as("_ida"), col("_h"))
-    val b = sh.select(col("_id").as("_idb"), col("_h"))
-    val inter = a.join(b, "_h")
+    val dfreq = sh.groupBy(col("_h")).agg(count(lit(1)).as("_df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_id")).orderBy(col("_df"), col("_h"))
+    val prefix = sh.join(dfreq, "_h")
+      .withColumn("_rn", row_number().over(w))
+      .join(sizes, "_id")
+      .filter(col("_rn") <= floor((lit(1.0) - tau) * col("_n")).cast("long") + 1)
+      .select(col("_id"), col("_h"))
+    val cands = prefix.select(col("_id").as("_ida"), col("_h"))
+      .join(prefix.select(col("_id").as("_idb"), col("_h")), "_h")
       .filter(col("_ida") < col("_idb"))
-      .groupBy(col("_ida"), col("_idb"))
-      .agg(count(lit(1)).as("_inter"))
-    inter
-      .join(sizes.select(col("_id").as("_ida"), col("_n").as("_na")), "_ida")
-      .join(sizes.select(col("_id").as("_idb"), col("_n").as("_nb")), "_idb")
-      .withColumn("jaccard",
-        round(col("_inter") / (col("_na") + col("_nb") - col("_inter")), 4))
-      .filter(col("jaccard") >= tau)
-      .select(col("_ida").as("doc_a"), col("_idb").as("doc_b"), col("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
+      .select(col("_ida"), col("_idb"))
+      .distinct()
+    verifyPairs(cands, sh, tau)
   }
 
   // ------------------------------------------------------- MinHash + LSH
@@ -133,16 +148,7 @@ object Dedup {
       .filter(col("x._id") < col("y._id"))
       .select(col("x._id").as("_ida"), col("y._id").as("_idb"))
       .distinct()
-    val sets = sh.groupBy(col("_id")).agg(collect_set(col("_h")).as("_set"))
-    cands
-      .join(sets.select(col("_id").as("_ida"), col("_set").as("_seta")), "_ida")
-      .join(sets.select(col("_id").as("_idb"), col("_set").as("_setb")), "_idb")
-      .withColumn("_inter", size(array_intersect(col("_seta"), col("_setb"))))
-      .withColumn("jaccard", round(col("_inter") /
-        (size(col("_seta")) + size(col("_setb")) - col("_inter")), 4))
-      .filter(col("jaccard") >= tau)
-      .select(col("_ida").as("doc_a"), col("_idb").as("doc_b"), col("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
+    verifyPairs(cands, sh, tau)
   }
 
   // ------------------------------------------------------------- SimHash
@@ -205,11 +211,16 @@ object Dedup {
     */
   def embedCosinePairs(emb: DataFrame, idCol: String, vecCol: String,
       tau: Double): DataFrame = {
-    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("_va"))
-    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("_vb"))
+    import graft.functions.VectorOps
+    // norms are computed once per row BEFORE the quadratic join
+    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("_va"),
+      VectorOps.norm(col(vecCol)).as("_na"))
+    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("_vb"),
+      VectorOps.norm(col(vecCol)).as("_nb"))
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", round(Text.cosine(col("_va"), col("_vb")), 6))
+      .withColumn("cosine",
+        round(VectorOps.dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")), 6))
       .filter(col("cosine") >= tau)
       .select(col("id_a"), col("id_b"), col("cosine"))
       .orderBy(col("id_a"), col("id_b"))

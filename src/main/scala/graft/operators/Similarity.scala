@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.{Text, TopKByScore}
+import graft.functions.{TopKByScore, VectorOps}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -23,11 +23,14 @@ object Similarity {
     */
   def bruteTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
-    val c = corpus.select(col(idCol).as("_cid"), col(vecCol).as("_cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
+      VectorOps.norm(col(vecCol)).as("_qn"))
+    val c = corpus.select(col(idCol).as("_cid"), col(vecCol).as("_cv"),
+      VectorOps.norm(col(vecCol)).as("_cn"))
     val scored = c.join(broadcast(q), col("_cid") =!= col("query_id"))
       .select(col("query_id"), col("_cid"),
-        round(Text.cosine(col("_qv"), col("_cv")), 6).as("_score"))
+        round(VectorOps.dot(col("_qv"), col("_cv")) / (col("_qn") * col("_cn")), 6)
+          .as("_score"))
     rankTopK(scored, k)
   }
 
@@ -56,9 +59,7 @@ object Similarity {
     */
   private def bucketIds(vec: Column, dim: Int, tables: Int, bits: Int): Column = {
     val ps = typedlit(planes(dim, tables, bits))
-    val vecd = transform(vec, x => x.cast("double"))
-    val sig = transform(ps,
-      p => aggregate(zip_with(p, vecd, (a, b) => a * b), lit(0.0), (s, v) => s + v) > 0)
+    val sig = transform(ps, p => VectorOps.dot(p, vec) > 0)
     transform(sequence(lit(0), lit(tables - 1)), t =>
       aggregate(sequence(lit(0), lit(bits - 1)), lit(0L),
         (acc, j) => acc * 2 + when(element_at(sig, t * lit(bits) + j + 1), 1L).otherwise(0L)))
@@ -88,7 +89,8 @@ object Similarity {
       .select(col("query_id"), col("_qv"), col("_cid"), col("_cv"))
       .dropDuplicates("query_id", "_cid")
     val scored = cands.select(col("query_id"), col("_cid"),
-      round(Text.cosine(col("_qv"), col("_cv")), 6).as("_score"))
+      round(VectorOps.dot(col("_qv"), col("_cv")) /
+        (VectorOps.norm(col("_qv")) * VectorOps.norm(col("_cv"))), 6).as("_score"))
     rankTopK(scored, k)
   }
 }
