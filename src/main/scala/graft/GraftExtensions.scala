@@ -1,0 +1,49 @@
+package graft
+
+import graft.functions.{DotProduct, PolyHash, TopKByScore}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.graftshim.ColumnBridge
+
+/** Exposes this engine's native expressions to SQL.
+  *
+  * Cluster path: `--conf spark.sql.extensions=graft.GraftExtensions`
+  * (standard `SparkSessionExtensions` injection). Existing-session path
+  * (tests, notebooks): [[GraftExtensions.register]].
+  *
+  *  - `poly_hash(str)` — rolling polynomial hash ([[PolyHash]])
+  *  - `dot_product(arr, arr)` — native vector dot product ([[DotProduct]])
+  *  - `topk_by(score, id, k)` — bounded top-k aggregate ([[TopKByScore]])
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.builders.foreach { case (name, builder) =>
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft", name), builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def intArg(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal integer k, got $other")
+  }
+
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "poly_hash" -> { args => PolyHash(args.head) },
+    "dot_product" -> { args => DotProduct(args(0), args(1)) },
+    // aggregate builders return the AggregateFunction; the analyzer wraps it
+    "topk_by" -> { args => TopKByScore(args(0), args(1), intArg(args(2), "topk_by")) }
+  )
+
+  /** Register on an already-built session (builder extensions only apply
+    * at session construction).
+    */
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, b) =>
+      ColumnBridge.registerTempFunction(spark, name, b)
+    }
+}

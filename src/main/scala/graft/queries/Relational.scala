@@ -280,7 +280,44 @@ object Relational {
           .cast("long").as("days_to_2000"))
       .orderBy(col("o_orderkey"))
 
+  /** Tumbling event-time window aggregation (batch form of the streaming
+    * `window()` group — 1-day windows are epoch-aligned, so the oracle is
+    * a date_trunc).
+    */
+  def qWindowTumbling(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  /** Gap-based session windows via the native session_window function
+    * (30-minute inactivity gap, same sessionization the streaming path
+    * uses); oracle reconstructs sessions with a lag + running-sum.
+    */
+  def qSessionWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"), col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  /** Sketch aggregates (HyperLogLog++); no SQL oracle — DuckDB's sketch
+    * differs — so the driver records a rows-only check, and the exact
+    * q_distinct_agg covers correctness of the distinct domain.
+    */
+  def qApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_suppkey")).as("approx_supps"))
+      .orderBy(col("l_returnflag"))
+
   val queries: Map[String, Q] = Map(
+    "q_window_tumbling" -> (qWindowTumbling _),
+    "q_session_window" -> (qSessionWindow _),
+    "q_approx_distinct" -> (qApproxDistinct _),
     "q1_agg" -> (q1Agg _),
     "q3_topk_join" -> (q3TopkJoin _),
     "q5_multi_join" -> (q5MultiJoin _),
@@ -303,6 +340,31 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_window_tumbling" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY window_start, event_type""".stripMargin,
+    "q_session_window" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, ts, event_id, us,
+        |    CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM g),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS session_start,
+        |  count(*) AS n_events
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
