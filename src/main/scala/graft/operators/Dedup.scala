@@ -94,33 +94,9 @@ object Dedup {
 
   // ------------------------------------------------------- MinHash + LSH
 
-  /** 31-bit Carter–Wegman prime; shingle hashes are reduced mod P so the
-    * per-permutation multiply stays within 62 bits (no Long overflow).
-    */
-  private val P = 2147483647L
   private val NumPerm = 128
   private val Bands = 32 // rows per band = 128/32 = 4
-
-  /** Fixed permutation coefficients — seeded so every run (and therefore
-    * the oracle compare) sees the same signatures.
-    */
-  private val (permA, permB) = {
-    val rnd = new scala.util.Random(42)
-    (Array.fill(NumPerm)(1L + rnd.nextLong(P - 1)),
-     Array.fill(NumPerm)(rnd.nextLong(P)))
-  }
-
-  /** MinHash signatures: one row per doc with sig_0..sig_127 columns.
-    * Computed as 128 `min` aggregates over the exploded shingle hashes —
-    * map-side partial mins make the shuffle one row per doc per mapper.
-    */
-  private def minhashSignatures(sh: DataFrame): DataFrame = {
-    val hp = pmod(col("_h"), lit(P))
-    val mins = (0 until NumPerm).map { i =>
-      min(pmod(hp * permA(i) + permB(i), lit(P))).as(s"_sig$i")
-    }
-    sh.groupBy(col("_id")).agg(mins.head, mins.tail: _*)
-  }
+  private val MinHashSeed = 42L
 
   /** Near-dup pairs via MinHash banding (128 perms, 32 bands × 4 rows)
     * with exact-Jaccard verification of the candidates.
@@ -136,10 +112,14 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, tau: Double): DataFrame = {
     val sh = shingleHashes(docs, idCol, textCol, n)
-    val sigs = minhashSignatures(sh)
+    // single-buffer MinHash aggregate: one array column instead of 128
+    // wide agg columns (see graft.functions.MinHashAgg)
+    val sigs = sh.groupBy(col("_id"))
+      .agg(graft.functions.MinHashAgg.minhash(col("_h"), NumPerm, MinHashSeed).as("_sig"))
+    val rowsPerBand = NumPerm / Bands
     val bandCols = (0 until Bands).map { j =>
       xxhash64(concat_ws(",",
-        (0 until NumPerm / Bands).map(r => col(s"_sig${j * (NumPerm / Bands) + r}")): _*))
+        (0 until rowsPerBand).map(r => element_at(col("_sig"), j * rowsPerBand + r + 1)): _*))
     }
     val banded = sigs
       .select(col("_id"), posexplode(array(bandCols: _*)).as(Seq("_band", "_bh")))
