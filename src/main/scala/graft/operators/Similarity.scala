@@ -93,4 +93,75 @@ object Similarity {
         (VectorOps.norm(col("_qv")) * VectorOps.norm(col("_cv"))), 6).as("_score"))
     rankTopK(scored, k)
   }
+
+  // --------------------------------------------------------- IVF path
+
+  /** Spherical k-means centroids trained on a BOUNDED deterministic
+    * sample (first nlist*8 rows by id) — the standard IVF practice: the
+    * training set stays driver-sized no matter the corpus size, while
+    * assignment below remains a single distributed pass.
+    */
+  private def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int): Seq[Seq[Double]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    val sample = corpus.orderBy(col(idCol)).limit(nlist * 8)
+      .select(col(vecCol)).as[Array[Float]].collect()
+      .map(v => normalize(v.map(_.toDouble)))
+    var cents = sample.take(nlist)
+    for (_ <- 0 until 5) {
+      val assign = sample.map(v => cents.zipWithIndex.maxBy { case (c, i) =>
+        (c.zip(v).map { case (a, b) => a * b }.sum, -i)
+      }._2)
+      cents = cents.indices.map { i =>
+        val members = sample.zip(assign).collect { case (v, a) if a == i => v }
+        if (members.isEmpty) cents(i)
+        else normalize(members.transpose.map(_.sum / members.length).toArray)
+      }.toArray
+    }
+    cents.map(_.toSeq).toSeq
+  }
+
+  /** Approximate top-k via an IVF (inverted-file) index: every corpus
+    * vector is assigned to its nearest spherical-k-means centroid in one
+    * linear pass; each query probes its `nprobe` closest cells and
+    * exact-reranks only those cells' vectors.
+    *
+    * Scale: the corpus never shuffles — cell assignment is a projection
+    * against broadcast centroid literals, and the probe join broadcasts
+    * the (tiny) query-cell table; expected rerank work is
+    * nprobe/nlist of the corpus per query.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val cents = typedlit(trainCentroids(corpus, idCol, vecCol, nlist))
+    def cellScores(vec: Column): Column = transform(cents, c => VectorOps.dot(c, vec))
+    // argmax cell: position of the max score (ties → first, deterministic)
+    def bestCell(vec: Column): Column = {
+      val scores = cellScores(vec)
+      array_position(scores, array_max(scores))
+    }
+    val cAssigned = corpus.select(col(idCol).as("_cid"), col(vecCol).as("_cv"),
+      VectorOps.norm(col(vecCol)).as("_cn"), bestCell(col(vecCol)).as("_cell"))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("_score").desc, col("_cell"))
+    val qProbes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
+        VectorOps.norm(col(vecCol)).as("_qn"),
+        posexplode(cellScores(col(vecCol))).as(Seq("_cell0", "_score")))
+      .withColumn("_cell", col("_cell0") + 1)
+      .withColumn("_rn", row_number().over(wq))
+      .filter(col("_rn") <= nprobe)
+      .select(col("query_id"), col("_qv"), col("_qn"), col("_cell"))
+    val scored = cAssigned.join(broadcast(qProbes), Seq("_cell"))
+      .filter(col("_cid") =!= col("query_id"))
+      .select(col("query_id"), col("_cid"),
+        round(VectorOps.dot(col("_qv"), col("_cv")) / (col("_qn") * col("_cn")), 6)
+          .as("_score"))
+    rankTopK(scored, k)
+  }
 }

@@ -21,10 +21,17 @@ object TextAnalysis {
   private val BpePattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
   private val PunctPattern = "[^A-Za-z0-9\\s]"
 
-  /** Token counts + quality signals + composite quality score. */
+  /** Token counts + quality signals + composite quality score.
+    * Tokens are materialized in a lower projection once — every later
+    * reference is an attribute read, not a re-run of the regex split
+    * (HOF/expression references inline their argument trees; see
+    * [[graft.functions.Text.shinglesOfTokens]]).
+    */
   def stats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val pre = docs.select(col(idCol), col(textCol),
+      Text.tokens(col(textCol)).as("_toks"))
     val text = col(textCol)
-    val toks = Text.tokens(text)
+    val toks = col("_toks")
     val nTok = size(toks)
     val punctRatio = round(
       size(regexp_extract_all(text, lit(PunctPattern), lit(0))) * lit(1.0) /
@@ -35,7 +42,7 @@ object TextAnalysis {
     val meanTokLen = round(
       aggregate(toks, lit(0), (acc, t) => acc + length(t)) * lit(1.0) /
         greatest(nTok, lit(1)), 6)
-    docs.select(
+    pre.select(
         col(idCol),
         nTok.cast("long").as("n_tokens"),
         size(split(trim(text), "\\s+")).cast("long").as("n_ws_tokens"),
@@ -64,14 +71,16 @@ object TextAnalysis {
     * and SQL-expressible by construction.
     */
   def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = Text.tokens(col(textCol))
+    val pre = docs.select(col(idCol), col("lang"), col(textCol),
+      Text.tokens(col(textCol)).as("_toks"))
+    val toks = col("_toks")
     def score(words: Seq[String]): Column =
       size(filter(toks, t => array_contains(typedlit(words), t)))
     val m = Markers.toMap
     val sEn = score(m("en")); val sEs = score(m("es"))
     val sDe = score(m("de")); val sFr = score(m("fr"))
     val hasZh = col(textCol).rlike("[\\x{4e00}-\\x{9fff}]")
-    docs.select(col(idCol), col("lang"),
+    pre.select(col(idCol), col("lang"),
       when(hasZh, "zh")
         .when(sEs > sEn && sEs >= sDe && sEs >= sFr, "es")
         .when(sDe > sEn && sDe >= sFr, "de")

@@ -49,6 +49,10 @@ object PipelineQueries {
     Similarity.lshTopK(annQueries(s, dir), Tables.embeddings(s, dir),
       "vec_id", "embedding", AnnK, AnnDim)
 
+  def annTopkIvf(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(annQueries(s, dir), Tables.embeddings(s, dir),
+      "vec_id", "embedding", AnnK)
+
   def textStats(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.stats(Tables.documents(s, dir), "doc_id", "text")
       .orderBy(col("doc_id"))
@@ -81,7 +85,8 @@ object PipelineQueries {
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embed_cosine" -> (dedupEmbedCosine _),
     "ann_topk_brute" -> (annTopkBrute _),
-    "ann_topk_lsh" -> (annTopkLsh _)
+    "ann_topk_lsh" -> (annTopkLsh _),
+    "ann_topk_ivf" -> (annTopkIvf _)
   )
 
   /** Shared shingle CTE for the Jaccard oracles — MUST stay in lockstep

@@ -101,13 +101,19 @@ object Relational {
       .orderBy(col("o_orderpriority"))
   }
 
-  /** NOT EXISTS → left-anti join: customers that never ordered. */
-  def qAntiJoin(s: SparkSession, dir: String): DataFrame =
+  /** NOT EXISTS → left-anti join: customers with no orders in 1996 H1
+    * (the window keeps the result set non-trivial at every scale).
+    */
+  def qAntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= ts("1996-01-01") &&
+        col("o_orderdate") < ts("1996-07-01"))
     Tables.customer(s, dir)
-      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_customers"))
       .orderBy(col("c_mktsegment"))
+  }
 
   /** Left-outer join keeping parts with zero lineitems. The aggregation is
     * pushed below the join (aggregate-then-join), so the join carries one
@@ -413,7 +419,10 @@ object Relational {
     "q_anti_join" ->
       """SELECT c_mktsegment, count(*) AS n_customers
         |FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |                    AND o_orderdate < TIMESTAMP '1996-07-01')
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
     "q_outer_join" ->

@@ -33,6 +33,18 @@ class SimilaritySpec extends SparkTestBase {
     assert(top == Seq((1L, 1L), (2L, 2L)))
   }
 
+  test("ivfTopK recall vs brute force on real embeddings is usable") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter($"vec_id" < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val brute = pairs(Similarity.bruteTopK(queries, emb, "vec_id", "embedding", 5))
+    val ivf = pairs(Similarity.ivfTopK(queries, emb, "vec_id", "embedding", 5))
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.3, s"recall@5 = $recall below floor (near-random data, " +
+      "nprobe/nlist = 4/16 probes a quarter of the corpus)")
+  }
+
   test("lshTopK recall vs brute force on real embeddings is usable") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val queries = emb.filter($"vec_id" < 10)
