@@ -1,0 +1,47 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Streaming event-time aggregations over the `events` stream shape —
+  * the watermarked counterparts of the batch queries `q_window_tumbling`,
+  * `q_session_window`, and `reorder_dedup_events`, so the same semantics
+  * run over `readStream` sources (Kafka/files) with bounded state.
+  *
+  * All operators take/return DataFrames and work identically on batch
+  * inputs (Spark's unified semantics), which is how the specs pin their
+  * results to the batch oracles.
+  */
+object EventAggregates {
+
+  /** Tumbling-window counts/sums per event type; watermark bounds state
+    * to (watermark + window) of event time.
+    */
+  def tumblingCounts(events: DataFrame, tsCol: String, windowLen: String,
+      watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Gap-based session aggregation per user (merging windows). */
+  def sessionCounts(events: DataFrame, tsCol: String, gap: String,
+      watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"), col("n_events"))
+
+  /** Streaming exact dedup on arbitrary key columns within the watermark
+    * horizon (first occurrence wins — the generalization of the
+    * reference's S3 semantics to any key).
+    */
+  def dedupWithinWatermark(events: DataFrame, tsCol: String, watermark: String,
+      keys: Seq[String]): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+}

@@ -52,6 +52,23 @@ object ReorderDemo {
 
     val rt = AvroCodec.decode(AvroCodec.encode(input.head)) == input.head
     println(s"avro_roundtrip=$rt")
+
+    // drive the streaming event aggregates over the same records
+    val evStream = MemoryStream[ElectronicOrder]
+    val agg = graft.streaming.EventAggregates.tumblingCounts(
+      evStream.toDF()
+        .selectExpr("time AS event_id", "timestamp_millis(time) AS ts",
+          "cast(price as long) AS user_id", "electronic_id AS event_type",
+          "price AS value"),
+      "ts", "6 hours", "10 hours")
+    val q2 = agg.writeStream.format("memory").queryName("demo_agg")
+      .outputMode(OutputMode.Complete).start()
+    evStream.addData(input)
+    q2.processAllAvailable()
+    q2.stop()
+    println("tumbling 6h windows:")
+    spark.table("demo_agg").orderBy("window_start").collect()
+      .foreach(r => println(s"  ${r.getAs[java.sql.Timestamp]("window_start")} n=${r.getAs[Long]("n")}"))
     spark.stop()
   }
 }

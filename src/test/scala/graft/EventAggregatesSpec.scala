@@ -1,0 +1,98 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.operators.SkewAgg
+import graft.streaming.EventAggregates
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+final case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+class EventAggregatesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ev(id: Long, minute: Int, user: Long, tpe: String, v: Double) =
+    Ev(id, Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"), user, tpe, v)
+
+  private val batch = Seq(
+    ev(0, 1, 1, "click", 1.0), ev(1, 3, 1, "view", 2.0),
+    ev(2, 7, 2, "click", 3.0), ev(3, 2, 2, "click", 4.0), // out of order
+    ev(4, 45, 1, "click", 5.0),                            // new session for user 1
+    ev(5, 46, 2, "view", 6.0))
+
+  /** Same operator applied to the batch DataFrame pins the streaming
+    * result (unified semantics): run streaming via MemoryStream, compare
+    * to the batch run.
+    */
+  test("streaming tumbling counts equal the batch run of the same operator") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventAggregates.tumblingCounts(input.toDF(), "ts", "10 minutes", "30 minutes")
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      input.addData(batch)
+      q.processAllAvailable()
+      val streaming = spark.table("tumbling")
+        .orderBy("window_start", "event_type").collect().toSeq
+      val batchRun = EventAggregates.tumblingCounts(batch.toDF(), "ts", "10 minutes", "30 minutes")
+        .orderBy("window_start", "event_type").collect().toSeq
+      assert(streaming == batchRun)
+      assert(streaming.map(_.getAs[Long]("n")).sum == batch.size.toLong)
+    } finally q.stop()
+  }
+
+  test("streaming session windows merge by gap and equal the batch run") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventAggregates.sessionCounts(input.toDF(), "ts", "30 minutes", "1 hour")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      input.addData(batch)
+      q.processAllAvailable()
+      val streaming = spark.table("sessions")
+        .orderBy("user_id", "session_start").collect().toSeq
+      val batchRun = EventAggregates.sessionCounts(batch.toDF(), "ts", "30 minutes", "1 hour")
+        .orderBy("user_id", "session_start").collect().toSeq
+      assert(streaming == batchRun)
+      // user 1: events at 10:01/10:03 then 10:45 -> two sessions
+      assert(streaming.count(_.getAs[Long]("user_id") == 1L) == 2)
+    } finally q.stop()
+  }
+
+  test("streaming dedup keeps the first occurrence per key") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventAggregates.dedupWithinWatermark(input.toDF(), "ts", "1 hour", Seq("user_id", "event_type"))
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(batch)
+      q.processAllAvailable()
+      val out = spark.table("dedup_stream").select("event_id").as[Long].collect().toSet
+      // (1,click) first occurrence id=0; (2,click) id=2 or 3? batch arrival order: id 2 then 3
+      assert(out.contains(0L) && !out.contains(4L), "later (1,click) dropped")
+      assert(out.contains(1L) && out.contains(5L))
+      assert(out.intersect(Set(2L, 3L)).size == 1, "exactly one (2,click) survives")
+    } finally q.stop()
+  }
+
+  test("salted two-phase aggregation equals the direct aggregation") {
+    val df = Tables.events(spark, "/root/testdata/sf0.001")
+    val direct = df.groupBy(col("event_type"))
+      .agg(sum(col("value")).as("sum_value"), count(lit(1)).as("n"))
+      .orderBy("event_type").collect().toSeq
+    val salted = SkewAgg.saltedSumCount(df, "event_type", "value", "event_id", 16)
+      .orderBy("event_type").collect().toSeq
+    // counts identical; double sums compared with tolerance (association order differs)
+    direct.zip(salted).foreach { case (d, s) =>
+      assert(d.getString(0) == s.getString(0))
+      assert(d.getAs[Long]("n") == s.getAs[Long]("n"))
+      assert(math.abs(d.getAs[Double]("sum_value") - s.getAs[Double]("sum_value")) < 1e-6)
+    }
+  }
+}
