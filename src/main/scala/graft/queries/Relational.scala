@@ -320,7 +320,32 @@ object Relational {
         approx_count_distinct(col("l_suppkey")).as("approx_supps"))
       .orderBy(col("l_returnflag"))
 
+  /** JSON scalar functions over the events.props JSON column. */
+  def qJson(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"),
+        min(col("event_id")).as("first_event"))
+      .orderBy(col("k"))
+
+  /** Correlated scalar subquery (SQL surface): parts priced well above
+    * their brand's average.
+    */
+  def qScalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.part(s, dir).createOrReplaceTempView("part_v")
+    s.sql(
+      """SELECT p_partkey, p_brand, p_retailprice
+        |FROM part_v p
+        |WHERE p_retailprice > (SELECT avg(p2.p_retailprice) + 50
+        |                       FROM part_v p2 WHERE p2.p_brand = p.p_brand)
+        |ORDER BY p_partkey""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_json" -> (qJson _),
+    "q_scalar_subquery" -> (qScalarSubquery _),
     "q_window_tumbling" -> (qWindowTumbling _),
     "q_session_window" -> (qSessionWindow _),
     "q_approx_distinct" -> (qApproxDistinct _),
@@ -346,6 +371,16 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_json" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  count(*) AS n, min(event_id) AS first_event
+        |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
+    "q_scalar_subquery" ->
+      """SELECT p_partkey, p_brand, p_retailprice
+        |FROM part p
+        |WHERE p_retailprice > (SELECT avg(p2.p_retailprice) + 50
+        |                       FROM part p2 WHERE p2.p_brand = p.p_brand)
+        |ORDER BY p_partkey""".stripMargin,
     "q_window_tumbling" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
         |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
