@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Similarity, TemporalJoins, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -73,7 +73,38 @@ object PipelineQueries {
     Multimodal.decodeImages(media).toDF().orderBy(col("media_id"))
   }
 
+  /** Point-in-time (as-of) join: each error event picks up the latest
+    * prior click of the same user.
+    */
+  def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"), col("value").as("click_value"))
+    TemporalJoins.asOfJoin(errors, clicks, "user_id", "ts", "click_ts",
+        "click_id", Seq("click_ts", "click_id", "click_value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Bounded range join: error events paired with purchase events within
+    * ±60 seconds (any user), via time-bucket blocking.
+    */
+  def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("ts").as("pts"))
+    TemporalJoins.rangeJoin(errors, purchases, "ts", "pts", 60000L)
+      .select(col("error_id"), col("purchase_id"))
+      .orderBy(col("error_id"), col("purchase_id"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
+    "q_asof_join" -> (qAsofJoin _),
+    "q_range_join" -> (qRangeJoin _),
     "mm_binary_stats" -> (mmBinaryStats _),
     "mm_decode_stub" -> (mmDecodeStub _),
     "text_stats" -> (textStats _),
@@ -116,6 +147,22 @@ object PipelineQueries {
        |ORDER BY doc_a, doc_b""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+        |c AS (SELECT user_id, ts AS click_ts, event_id AS click_id, value AS click_value
+        |      FROM events WHERE event_type = 'click')
+        |SELECT e.event_id, e.user_id, e.ts,
+        |  c.click_ts AS asof_click_ts, c.click_id AS asof_click_id,
+        |  c.click_value AS asof_click_value
+        |FROM e ASOF LEFT JOIN c
+        |  ON e.user_id = c.user_id AND e.ts >= c.click_ts
+        |ORDER BY event_id""".stripMargin,
+    "q_range_join" ->
+      """SELECT e.event_id AS error_id, p.event_id AS purchase_id
+        |FROM events e JOIN events p
+        |  ON e.event_type = 'error' AND p.event_type = 'purchase'
+        | AND abs(epoch_us(e.ts) - epoch_us(p.ts)) <= 60000000
+        |ORDER BY error_id, purchase_id""".stripMargin,
     "dedup_exact_docs" ->
       """SELECT doc_id, lang, source, n_chars FROM (
         |  SELECT doc_id, lang, source, n_chars,
