@@ -92,6 +92,31 @@ class StreamingReorderSpec extends SparkTestBase {
     assert(collected.toSeq == goldenOrder)
   }
 
+  test("faithful operator runs on the RocksDB state store provider") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val out = runFaithful(Seq(fixture), "rocksdb_golden")
+      assert(out.map(_.order_id) == goldenOrder,
+        "same golden output when state lives in RocksDB (the reference's store engine)")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("documented divergence (SURVEY S1/7.4): disorder beyond grace is dropped, not re-buffered") {
+    // record 13 arrives in a later batch with event time > grace older than
+    // the watermark; Kafka Streams would re-buffer and emit it late, Spark's
+    // stateful operator drops it — encode the divergence so it stays a
+    // conscious decision.
+    val tooLate = ElectronicOrder("13", "one", "straggler", 1.0, t("2021-11-03T20:00:00Z"))
+    val out = runFaithful(Seq(fixture, Seq(tooLate)), "latedrop")
+    assert(!out.map(_.order_id).contains("13"), "beyond-grace record is dropped by design")
+    assert(out.map(_.order_id) == goldenOrder)
+  }
+
   test("avro codec round-trips and tolerates Confluent framing") {
     val o = fixture.head
     val raw = AvroCodec.encode(o)
