@@ -343,7 +343,30 @@ object Relational {
         |ORDER BY p_partkey""".stripMargin)
   }
 
+  /** Pivot: event counts per user pivoted to one column per event type
+    * (explicit value list — at scale an implicit pivot scans twice to
+    * discover values).
+    */
+  def qPivot(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("user_id"))
+
+  /** Unpivot (melt): wide per-part numeric columns back to long form. */
+  def qUnpivot(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .select(col("p_partkey"), col("p_size").cast("double").as("size"),
+        col("p_retailprice").as("retailprice"))
+      .unpivot(Array(col("p_partkey")), Array(col("size"), col("retailprice")),
+        "measure", "value")
+      .orderBy(col("p_partkey"), col("measure"))
+
   val queries: Map[String, Q] = Map(
+    "q_pivot" -> (qPivot _),
+    "q_unpivot" -> (qUnpivot _),
     "q_json" -> (qJson _),
     "q_scalar_subquery" -> (qScalarSubquery _),
     "q_window_tumbling" -> (qWindowTumbling _),
@@ -371,6 +394,20 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'error') AS error,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'signup') AS signup,
+        |  count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_unpivot" ->
+      """SELECT p_partkey, measure, value FROM (
+        |  SELECT p_partkey, 'size' AS measure, CAST(p_size AS DOUBLE) AS value FROM part
+        |  UNION ALL
+        |  SELECT p_partkey, 'retailprice' AS measure, p_retailprice AS value FROM part
+        |) t ORDER BY p_partkey, measure""".stripMargin,
     "q_json" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
         |  count(*) AS n, min(event_id) AS first_event
