@@ -364,7 +364,29 @@ object Relational {
         "measure", "value")
       .orderBy(col("p_partkey"), col("measure"))
 
+  /** Fixed-width histogram over a measure (exact integer binning on both
+    * engines — no data-dependent bounds discovery).
+    */
+  def qHistogram(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(floor(col("l_extendedprice") / 5000).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("l_extendedprice")), 2).as("bin_min"),
+        round(max(col("l_extendedprice")), 2).as("bin_max"))
+      .orderBy(col("bin"))
+
+  /** Bivariate statistics: correlation and covariance per group. */
+  def qCorr(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_discount")), 4).as("cov_qty_disc"))
+      .orderBy(col("l_returnflag"))
+
   val queries: Map[String, Q] = Map(
+    "q_histogram" -> (qHistogram _),
+    "q_corr" -> (qCorr _),
     "q_pivot" -> (qPivot _),
     "q_unpivot" -> (qUnpivot _),
     "q_json" -> (qJson _),
@@ -394,6 +416,17 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_histogram" ->
+      """SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bin,
+        |  count(*) AS n,
+        |  round(min(l_extendedprice), 2) AS bin_min,
+        |  round(max(l_extendedprice), 2) AS bin_max
+        |FROM lineitem GROUP BY 1 ORDER BY bin""".stripMargin,
+    "q_corr" ->
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+        |  round(covar_samp(l_quantity, l_discount), 4) AS cov_qty_disc
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_pivot" ->
       """SELECT user_id,
         |  count(*) FILTER (event_type = 'click') AS click,
