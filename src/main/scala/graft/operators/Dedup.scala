@@ -44,6 +44,14 @@ object Dedup {
     docs.select(col(idCol).as("_id"), Text.tokens(col(textCol)).as("_toks"))
       .select(col("_id"), explode(Text.shinglesOfTokens(col("_toks"), n)).as("_sh"))
       .select(col("_id"), xxhash64(col("_sh")).as("_h"))
+      // the pair pipelines reference this subtree 3-4 times (sizes, document
+      // frequency, prefix, verification sets) and Spark does not reuse the
+      // exchanges (each branch projects differently) — caching the 16-byte
+      // (id, hash) rows avoids re-tokenizing the corpus per branch. The
+      // CacheManager dedupes by canonical plan, so the exact/MinHash/keep
+      // queries over the same docs also share one materialization;
+      // ContextCleaner reclaims it when unreferenced.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Exact-Jaccard verification of candidate pairs against the per-doc
     * distinct shingle-hash sets; shared by the exact and MinHash paths so
@@ -177,6 +185,22 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxDist)
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** End-to-end near-dedup: returns the SURVIVING documents — a doc is
+    * dropped iff it has a near-duplicate (word-n-gram Jaccard ≥ tau) with
+    * a smaller id. This is the standard greedy keep-first policy (not
+    * transitive clustering: of a chain a~b~c with a≁c, only b is dropped
+    * — b matches a; c survives because its only smaller near-dup, b, is
+    * itself judged against c directly). Deterministic and
+    * oracle-expressible. Candidates come from the MinHash+LSH path, so
+    * the whole operation is sub-quadratic.
+    */
+  def nearDedupKeepFirst(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, tau: Double): DataFrame = {
+    val losers = minhashLshPairs(docs, idCol, textCol, n, tau)
+      .select(col("doc_b").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
   }
 
   // ------------------------------------------------- embedding near-dup

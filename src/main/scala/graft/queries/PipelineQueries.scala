@@ -32,6 +32,11 @@ object PipelineQueries {
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text")
 
+  def dedupNearKeep(s: SparkSession, dir: String): DataFrame =
+    Dedup.nearDedupKeepFirst(Tables.documents(s, dir), "doc_id", "text", 3, Tau)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
   def dedupEmbedCosine(s: SparkSession, dir: String): DataFrame =
     Dedup.embedCosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding", CosTau)
 
@@ -114,6 +119,7 @@ object PipelineQueries {
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
+    "dedup_near_keep" -> (dedupNearKeep _),
     "dedup_embed_cosine" -> (dedupEmbedCosine _),
     "ann_topk_brute" -> (annTopkBrute _),
     "ann_topk_lsh" -> (annTopkLsh _),
@@ -171,6 +177,17 @@ object PipelineQueries {
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "dedup_ngram_jaccard" -> jaccardPairsSql,
     "dedup_minhash" -> jaccardPairsSql,
+    "dedup_near_keep" ->
+      s"""$shingleCte
+         |SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d
+         |WHERE d.doc_id NOT IN (
+         |  SELECT doc_b FROM (
+         |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |      round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+         |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+         |    FROM s a, s b WHERE a.doc_id < b.doc_id) p
+         |  WHERE jaccard >= $Tau)
+         |ORDER BY d.doc_id""".stripMargin,
     "dedup_embed_cosine" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |p AS (
