@@ -27,7 +27,7 @@ object Dedup {
     * key per map task, never the raw text.
     */
   def exactByHash(df: DataFrame, keyCol: String, tieBreak: String): DataFrame = {
-    val cols = df.columns
+    val cols = df.columns.toIndexedSeq
     df.groupBy(md5(col(keyCol)).as("_k"))
       .agg(min_by(struct(cols.map(col): _*), col(tieBreak)).as("_first"))
       .select(cols.map(c => col(s"_first.$c").as(c)): _*)

@@ -29,7 +29,7 @@ object Reorder {
     * emit in ascending event-time order. Pure `DataFrame => DataFrame`.
     */
   def reorderDedup(df: DataFrame, timeCol: String, arrivalCol: String): DataFrame = {
-    val cols = df.columns
+    val cols = df.columns.toIndexedSeq
     df.groupBy(col(timeCol))
       .agg(min_by(struct(cols.map(col): _*), col(arrivalCol)).as("_first"))
       .select(cols.map(c => col(s"_first.$c").as(c)): _*)
