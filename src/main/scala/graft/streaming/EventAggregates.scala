@@ -44,4 +44,23 @@ object EventAggregates {
     events
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
+  /** Stream-stream inner join within a bounded event-time interval: left
+    * rows match right rows with the same key whose timestamp lies in
+    * [left.ts - before, left.ts + after]. Both sides carry watermarks so
+    * Spark can bound join state (state ∝ watermark + interval, not the
+    * stream length). Column names on the right are taken as given — pass
+    * pre-renamed frames to avoid ambiguity.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTs: String, rightTs: String, watermark: String,
+      before: String, after: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r,
+      l(keyCol) === r(keyCol) &&
+        col(rightTs) >= col(leftTs) - expr(s"INTERVAL $before") &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $after"))
+      .drop(r(keyCol))
+  }
 }

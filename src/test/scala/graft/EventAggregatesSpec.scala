@@ -81,6 +81,31 @@ class EventAggregatesSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch join and bounds state") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    def shape(df: org.apache.spark.sql.DataFrame, p: String) =
+      df.select(col("event_id").as(s"${p}_id"), col("user_id"),
+        col("ts").as(s"${p}_ts"))
+    val joined = EventAggregates.intervalJoin(
+      shape(clicks.toDF(), "click"), shape(purchases.toDF(), "purchase"),
+      "user_id", "click_ts", "purchase_ts", "1 hour", "0 seconds", "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("ssjoin")
+      .outputMode(OutputMode.Append).start()
+    try {
+      clicks.addData(Seq(ev(0, 1, 1, "click", 1.0), ev(1, 30, 2, "click", 2.0)))
+      purchases.addData(Seq(
+        ev(10, 5, 1, "purchase", 9.0),   // 4 min after click 0 -> match
+        ev(11, 50, 2, "purchase", 8.0),  // 20 min after click 1 -> no match
+        ev(12, 2, 2, "purchase", 7.0)))  // before user 2's click -> no match
+      q.processAllAvailable()
+      val got = spark.table("ssjoin").select("click_id", "purchase_id")
+        .as[(Long, Long)].collect().toSet
+      assert(got == Set((0L, 10L)))
+    } finally q.stop()
+  }
+
   test("salted two-phase aggregation equals the direct aggregation") {
     val df = Tables.events(spark, "/root/testdata/sf0.001")
     val direct = df.groupBy(col("event_type"))
