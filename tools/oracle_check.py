@@ -1,7 +1,8 @@
 #!/usr/bin/env python3
 """Self-check: replicate the driver's DuckDB-oracle compare locally.
 
-Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
+Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir> [name-substring ...]
+(optional filters restrict which queries are checked)
 
 For each query in <verifyOutDir>/oracle_sql.json:
   - register each parquet table in <sfDir> as a DuckDB view
@@ -29,6 +30,10 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    filters = sys.argv[3:]
+    if filters:
+        oracle = {k: v for k, v in oracle.items()
+                  if any(f in k for f in filters)}
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         spark_files = glob.glob(f"{out_dir}/{name}/*.parquet")
