@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.{PolyHash, Text}
+import graft.functions.{MinGramMd5, PolyHash, Text}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -98,13 +98,10 @@ object TextAnalysis {
     */
   def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val text = col(textCol)
-    val grams = transform(
-      sequence(lit(1), greatest(length(text) - 7, lit(1))),
-      i => md5(text.substr(i, lit(8))))
     docs.select(
       col(idCol),
       PolyHash.polyHash(text).as("poly_hash"),
-      array_min(grams).as("fp_min8"),
+      MinGramMd5.minGramMd5(text, 8).as("fp_min8"),
       md5(text).as("fp_full"))
   }
 }
