@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, PolyHash, TopKByScore}
+import graft.functions.{DotProduct, MinGramMd5, PolyHash, TopKByScore}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -35,6 +35,7 @@ object GraftExtensions {
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "poly_hash" -> { args => PolyHash(args.head) },
     "dot_product" -> { args => DotProduct(args(0), args(1)) },
+    "min_gram_md5" -> { args => MinGramMd5(args(0), intArg(args(1), "min_gram_md5")) },
     // aggregate builders return the AggregateFunction; the analyzer wraps it
     "topk_by" -> { args => TopKByScore(args(0), args(1), intArg(args(2), "topk_by")) }
   )

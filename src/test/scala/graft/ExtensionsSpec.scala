@@ -15,6 +15,12 @@ class ExtensionsSpec extends SparkTestBase {
       .as[Double].head()
     assert(dp == 32.0)
 
+    val mg = spark.sql(
+      "SELECT min_gram_md5('hello world', 8) = " +
+        "array_min(transform(sequence(1, greatest(length('hello world') - 7, 1)), " +
+        "i -> md5(substring('hello world', i, 8)))) AS ok").as[Boolean].head()
+    assert(mg, "min_gram_md5 must equal its composable definition")
+
     Seq((1L, 1.0, 10L), (1L, 3.0, 11L), (1L, 2.0, 12L), (2L, 9.0, 13L))
       .toDF("g", "s", "id").createOrReplaceTempView("tk")
     val top = spark.sql(
