@@ -56,13 +56,18 @@ object MinGramMd5 {
     */
   def minGramHex(s: String, g: Int): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    val n = math.max(s.length - g + 1, 1)
+    // windows are UNICODE CODE POINTS, matching Spark substring()/DuckDB
+    // slicing — UTF-16 char windows would split surrogate pairs and
+    // diverge from the oracles on supplementary characters
+    val cps = s.codePoints().toArray
+    val n = math.max(cps.length - g + 1, 1)
     var best: Array[Byte] = null
     var i = 0
     while (i < n) {
       md.reset()
-      val end = math.min(i + g, s.length)
-      val dig = md.digest(s.substring(i, end).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val count = math.min(g, cps.length - i)
+      val dig = md.digest(new String(cps, i, count)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       if (best == null || unsignedLess(dig, best)) best = dig
       i += 1
     }

@@ -41,6 +41,12 @@ case class MinHashAgg(
   override def nullable: Boolean = false
   override def prettyName: String = "minhash_agg"
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"minhash_agg requires a bigint hash column, got ${child.dataType.catalogString}")
+
   override def createAggregationBuffer(): Array[Long] = Array.fill(k)(Long.MaxValue)
 
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {

@@ -46,6 +46,13 @@ case class TopKByScore(
   override def nullable: Boolean = false
   override def prettyName: String = "topk_by_score"
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (score.dataType == DoubleType && id.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"topk_by_score requires (double, bigint), got " +
+        s"(${score.dataType.catalogString}, ${id.dataType.catalogString})")
+
   /** Head of the queue = the WORST retained entry (lowest score, then
     * highest id), so exceeding k pops the right victim.
     */

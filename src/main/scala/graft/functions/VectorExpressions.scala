@@ -41,10 +41,20 @@ case class DotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
 
-  override protected def nullSafeEval(l: Any, r: Any): Any = {
+  // mismatched lengths yield NULL — the same result the composable
+  // zip_with/aggregate form produces (zip_with pads with null, which
+  // poisons the sum), so a corrupt/mis-dimensioned vector surfaces as a
+  // missing score instead of a plausible partial dot product
+  override def nullable: Boolean = true
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val l = left.eval(input)
+    val r = right.eval(input)
+    if (l == null || r == null) return null
     val la = l.asInstanceOf[ArrayData]
     val ra = r.asInstanceOf[ArrayData]
-    val n = math.min(la.numElements(), ra.numElements())
+    val n = la.numElements()
+    if (ra.numElements() != n) return null
     val lFloat = elemType(left).contains(FloatType)
     val rFloat = elemType(right).contains(FloatType)
     var acc = 0.0
@@ -66,12 +76,16 @@ case class DotProduct(left: Expression, right: Expression)
       val acc = ctx.freshName("dpAcc")
       val i = ctx.freshName("dpI")
       s"""
-         |final int $n = java.lang.Math.min($la.numElements(), $ra.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ((double) $la.$lGet($i)) * ((double) $ra.$rGet($i));
+         |final int $n = $la.numElements();
+         |if ($ra.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += ((double) $la.$lGet($i)) * ((double) $ra.$rGet($i));
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -26,15 +26,20 @@ import org.apache.spark.sql.functions._
   */
 object KafkaAvroIO {
 
-  /** Config keys matching configuration/dev.properties. */
+  /** Config keys matching configuration/dev.properties. `confluentFramed`
+    * defaults true because the reference produces via Confluent's
+    * SpecificAvroSerde (StreamsUtils.java:29-33), whose wire format
+    * prefixes magic byte + schema id.
+    */
   final case class KafkaConf(bootstrap: String, inputTopic: String,
-      outputTopic: String, checkpoint: String)
+      outputTopic: String, checkpoint: String, confluentFramed: Boolean = true)
 
   def loadConf(props: Map[String, String]): KafkaConf = KafkaConf(
     bootstrap = props.getOrElse("bootstrap.servers", "localhost:9092"),
     inputTopic = props.getOrElse("input.topic.name", "electronic-orders"),
     outputTopic = props.getOrElse("output.topic.name", "electronic-orders-reordered"),
-    checkpoint = props.getOrElse("checkpoint.location", "/tmp/graft-checkpoint"))
+    checkpoint = props.getOrElse("checkpoint.location", "/tmp/graft-checkpoint"),
+    confluentFramed = props.getOrElse("confluent.framed", "true").toBoolean)
 
   /** Streaming source: Kafka records → typed orders (key ignored per the
     * reference, which re-keys on output anyway — semantics S4).
@@ -49,7 +54,7 @@ object KafkaAvroIO {
       .load()
       .select(col("value"))
       .as[Array[Byte]]
-      .map(AvroCodec.decode)
+      .map(b => AvroCodec.decode(b, conf.confluentFramed))
   }
 
   /** Streaming sink: reordered rows → Kafka, key = the synthetic store
@@ -91,12 +96,13 @@ object AvroCodec {
     out.toByteArray
   }
 
-  /** Decodes raw Avro binary; skips a Confluent frame (0x00 + schema id)
-    * if present.
+  /** Decodes Avro binary. Framing is EXPLICIT: sniffing the Confluent
+    * magic byte is ambiguous because a raw payload whose first field is an
+    * empty string also starts with 0x00 — callers must know their topic's
+    * wire format (they always do: it's a producer-side config).
     */
-  def decode(bytes: Array[Byte]): ElectronicOrder = {
-    val payload =
-      if (bytes.length > 5 && bytes(0) == 0x00) bytes.drop(5) else bytes
+  def decode(bytes: Array[Byte], confluentFramed: Boolean = false): ElectronicOrder = {
+    val payload = if (confluentFramed) bytes.drop(5) else bytes
     val dec = DecoderFactory.get().binaryDecoder(payload, null)
     val rec = new GenericDatumReader[GenericRecord](schema).read(null, dec)
     ElectronicOrder(

@@ -49,8 +49,10 @@ object Dedup {
       // exchanges (each branch projects differently) — caching the 16-byte
       // (id, hash) rows avoids re-tokenizing the corpus per branch. The
       // CacheManager dedupes by canonical plan, so the exact/MinHash/keep
-      // queries over the same docs also share one materialization;
-      // ContextCleaner reclaims it when unreferenced.
+      // queries over the same docs share ONE materialization. NOTE: the
+      // cache is pinned for the session's lifetime (CacheManager holds a
+      // strong reference); long-lived sessions sweeping many corpora
+      // should call spark.catalog.clearCache() between datasets.
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Exact-Jaccard verification of candidate pairs against the per-doc
@@ -114,8 +116,13 @@ object Dedup {
     * the same bucket. Verification joins candidate pairs against per-doc
     * distinct-shingle-hash sets and computes exact Jaccard with array
     * intersection, so the final output equals the exact operator's output
-    * whenever banding recall is 1 (by design, P[miss] < 1e-12 at tau 0.7
-    * with these parameters). Output: (doc_a, doc_b, jaccard).
+    * whenever banding recall is 1. Honest math: a pair at exactly j has
+    * per-band collision probability j^4, so P[miss] = (1-j^4)^32 — ~1.5e-4
+    * at j = 0.7 (the threshold itself) but < 1e-13 at j ≥ 0.89, where all
+    * of this corpus's true pairs sit (verified against the exact oracle at
+    * three scale factors). Corpora with mass just above tau should use
+    * more, narrower bands (e.g. 64×2) at the cost of more candidates.
+    * Output: (doc_a, doc_b, jaccard).
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, tau: Double): DataFrame = {

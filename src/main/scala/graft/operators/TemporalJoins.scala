@@ -29,32 +29,40 @@ object TemporalJoins {
       leftTimeCol: String, rightTimeCol: String, tieBreak: String,
       rightCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    // The right payload travels as ONE nullable struct so the window fill
+    // is atomic: filling each column independently would let a NULL field
+    // in the latest right row be backfilled from an older row, emitting a
+    // composite row that never existed.
     val l = left
       .withColumn("_t", col(leftTimeCol))
       .withColumn("_side", lit(1))
-      .withColumn("_tb", lit(Long.MaxValue))
-    val lAligned = rightCols.foldLeft(l)((d, c) =>
-      d.withColumn(s"_r_$c", lit(null).cast(right.schema(c).dataType)))
+      .withColumn("_tb", lit(null).cast(right.schema(tieBreak).dataType))
+      .withColumn("_rrow",
+        lit(null).cast(org.apache.spark.sql.types.StructType(
+          rightCols.map(c => right.schema(c)))))
     val r0 = right
       .withColumn("_t", col(rightTimeCol))
       .withColumn("_side", lit(0))
-      .withColumn("_tb", col(tieBreak).cast("long"))
-    val rAligned0 = rightCols.foldLeft(r0)((d, c) => d.withColumn(s"_r_$c", col(c)))
-    // project to the union schema: left payload nulled on right rows
-    val unionCols = leftCols.map(col) ++ Seq(col("_t"), col("_side"), col("_tb")) ++
-      rightCols.map(c => col(s"_r_$c"))
-    val rAligned = leftCols.foldLeft(rAligned0)((d, c) =>
+      .withColumn("_tb", col(tieBreak))
+      .withColumn("_rrow", struct(rightCols.map(col): _*))
+    val unionCols = leftCols.map(col) ++
+      Seq(col("_t"), col("_side"), col("_tb"), col("_rrow"))
+    val rAligned = leftCols.foldLeft(r0)((d, c) =>
       if (right.columns.contains(c)) d else
         d.withColumn(c, lit(null).cast(left.schema(c).dataType)))
-    val unioned = lAligned.select(unionCols: _*)
+    val unioned = l.select(unionCols: _*)
       .unionByName(rAligned.select(unionCols: _*))
+    // among right rows at the same (key, time) the greatest tieBreak wins;
+    // left rows sort after right rows at equal time (_side 1 > 0), so the
+    // left row's own _tb never influences ordering
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col("_t"), col("_side"), col("_tb"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightCols.foldLeft(unioned)((d, c) =>
-      d.withColumn(s"asof_$c", last(col(s"_r_$c"), ignoreNulls = true).over(w)))
-    filled.filter(col("_side") === 1)
-      .select(leftCols.map(col) ++ rightCols.map(c => col(s"asof_$c")): _*)
+    unioned
+      .withColumn("_rfill", last(col("_rrow"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(leftCols.map(col) ++
+        rightCols.map(c => col(s"_rfill.$c").as(s"asof_$c")): _*)
   }
 
   /** Inner range join: all pairs with |leftTime − rightTime| ≤ tolerance.

@@ -444,7 +444,7 @@ object Relational {
     "q_json" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
         |  count(*) AS n, min(event_id) AS first_event
-        |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
+        |FROM events GROUP BY 1 ORDER BY k NULLS FIRST""".stripMargin,
     "q_scalar_subquery" ->
       """SELECT p_partkey, p_brand, p_retailprice
         |FROM part p

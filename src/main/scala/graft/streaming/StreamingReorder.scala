@@ -64,11 +64,13 @@ object StreamingReorder {
     def fn(key: String, rows: Iterator[ElectronicOrder],
         state: GroupState[BufferState]): Iterator[Reordered] = {
       if (state.hasTimedOut) {
-        // punctuation analog: whole-store ordered flush (Application.java:72-83)
+        // punctuation analog: whole-store ordered flush (Application.java:72-83).
+        // REMOVE the state rather than storing an empty buffer — otherwise
+        // every key ever seen keeps store space and re-fires an empty
+        // timeout each grace period forever; new data re-creates the state
+        // (stream-time punctuation is only meaningful with data, S6).
         val buf = state.getOption.map(_.buffer).getOrElse(Map.empty)
-        state.update(BufferState(Map.empty))
-        // keep the punctuation cadence alive one grace past the watermark
-        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + graceMs)
+        state.remove()
         flush(buf)
       } else {
         var buf = state.getOption.map(_.buffer).getOrElse(Map.empty)

@@ -22,6 +22,13 @@ class SimilaritySpec extends SparkTestBase {
     assert(got == expected)
   }
 
+  test("dot_product of mismatched-length arrays is NULL, not a partial sum") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT dot_product(array(1.0D, 2.0D), array(1.0D, 2.0D, 3.0D)) AS d")
+    assert(r.head().isNullAt(0))
+  }
+
   test("bruteTopK ranks an obvious nearest neighbor first") {
     val corpus = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),

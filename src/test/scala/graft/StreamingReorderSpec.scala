@@ -92,6 +92,22 @@ class StreamingReorderSpec extends SparkTestBase {
     assert(collected.toSeq == goldenOrder)
   }
 
+  test("README demo fixture (B2) reorders to the documented consumer output") {
+    // README.md:45-56 input order; key HDTV-2333; expected = ascending time
+    // (README.md:77-88). FIXTURES.md §B2.
+    val times = Seq(
+      1635980400000L, 1635987600000L, 1635984000000L, 1635998400000L,
+      1635991200000L, 1636002000000L, 1635994800000L, 1636005600000L,
+      1636009200000L, 1636012800000L, 1636016400000L, 1636070400000L)
+    val input = times.zipWithIndex.map { case (tm, i) =>
+      ElectronicOrder("instore-1", "HDTV-2333", s"u$i", 2000.0 + i, tm)
+    }
+    val out = runFaithful(Seq(input), "readme_golden")
+    assert(out.map(_.time) == times.sorted)
+    assert(out.map(_.key) == times.sorted.map(tm => s"key-$tm"))
+    assert(out.forall(_.electronic_id == "HDTV-2333"))
+  }
+
   test("faithful operator runs on the RocksDB state store provider") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
@@ -117,11 +133,15 @@ class StreamingReorderSpec extends SparkTestBase {
     assert(out.map(_.order_id) == goldenOrder)
   }
 
-  test("avro codec round-trips and tolerates Confluent framing") {
+  test("avro codec round-trips raw and explicitly-framed payloads") {
     val o = fixture.head
     val raw = AvroCodec.encode(o)
     assert(AvroCodec.decode(raw) == o)
     val framed = Array[Byte](0, 0, 0, 0, 42) ++ raw
-    assert(AvroCodec.decode(framed) == o)
+    assert(AvroCodec.decode(framed, confluentFramed = true) == o)
+    // the case that killed the old sniffing heuristic: a raw payload whose
+    // first field is an empty string also starts with 0x00
+    val empty = ElectronicOrder("", "HDTV", "u1", 9.99, 1000L)
+    assert(AvroCodec.decode(AvroCodec.encode(empty)) == empty)
   }
 }

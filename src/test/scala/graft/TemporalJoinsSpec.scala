@@ -34,6 +34,19 @@ class TemporalJoinsSpec extends SparkTestBase {
       (4L, Some(30L), Some(3.0))))
   }
 
+  test("asOfJoin fills the right payload atomically — a NULL field in the latest row stays NULL") {
+    val trades = Seq((1L, "A", t("2024-01-01 10:05:00"))).toDF("trade_id", "sym", "ts")
+    val quotes = Seq(
+      (10L, "A", t("2024-01-01 10:00:00"), Some(1.0)),
+      (20L, "A", t("2024-01-01 10:02:00"), None)) // latest row has NULL px
+      .toDF("quote_id", "sym", "qts", "px")
+    val out = TemporalJoins.asOfJoin(trades, quotes, "sym", "ts", "qts",
+        "quote_id", Seq("quote_id", "px")).head()
+    assert(out.getAs[Long]("asof_quote_id") == 20L)
+    assert(out.isNullAt(out.fieldIndex("asof_px")),
+      "px must come from the SAME row as quote_id, not be backfilled from an older row")
+  }
+
   test("rangeJoin finds exactly the pairs within tolerance, including bucket boundaries") {
     val l = Seq((1L, t("2024-01-01 10:00:00")), (2L, t("2024-01-01 10:10:00")))
       .toDF("lid", "ts")
