@@ -1,0 +1,41 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+/** Guards the driver-facing contract (SparkEntry/Verify/Bench): the
+  * correctness gate silently weakens if query and oracle keys drift, and
+  * an oracle key with no query would break the driver's compare loop.
+  */
+class DriverContractSpec extends SparkTestBase {
+
+  test("every oracle key has a query; no accidental orphans") {
+    val qs = SparkEntry.queries.keySet
+    val os = SparkEntry.oracleSql.keySet
+    val orphans = os.diff(qs)
+    assert(orphans.isEmpty, s"oracle entries without a query: $orphans")
+    val rowsOnly = qs.diff(os)
+    // rows-only queries must be the deliberate list (engine-specific
+    // hashes/sketches/stubs/approx paths), not an accidentally-dropped oracle
+    assert(rowsOnly == Set("dedup_simhash", "ann_topk_lsh", "ann_topk_ivf",
+      "mm_decode_stub", "q_approx_distinct"),
+      s"unexpected rows-only queries: $rowsOnly")
+  }
+
+  test("entry() returns rows on the smoke scale") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("Verify main writes one parquet dir per query plus parseable oracle json") {
+    val out = Files.createTempDirectory("graft-contract").toString
+    Verify.main(Array("/root/testdata/sf0.001", out))
+    SparkEntry.queries.keys.foreach { name =>
+      assert(Files.exists(Paths.get(out, name)), s"missing output for $name")
+    }
+    val json = Files.readString(Paths.get(out, "oracle_sql.json"))
+    // driver parses with a strict JSON parser; ujson isn't on the test
+    // classpath so round-trip through Spark's JSON reader as a proxy
+    val parsed = spark.read.json(
+      spark.createDataset(Seq(json))(org.apache.spark.sql.Encoders.STRING))
+    assert(parsed.columns.length == SparkEntry.oracleSql.size)
+  }
+}
