@@ -384,7 +384,49 @@ object Relational {
         round(covar_samp(col("l_quantity"), col("l_discount")), 4).as("cov_qty_disc"))
       .orderBy(col("l_returnflag"))
 
+  /** Analytic window functions beyond rank: ntile, lag/lead, percent_rank,
+    * cume_dist — all exact rationals/integers, so cross-engine safe.
+    */
+  def qWindowAnalytics(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        lag(col("c_custkey"), 1).over(w).as("prev_cust"),
+        lead(col("c_custkey"), 1).over(w).as("next_cust"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy(col("c_mktsegment"), col("c_acctbal"), col("c_custkey"))
+  }
+
+  /** Array/collection functions over the embedding column. */
+  def qArrayFn(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        round(element_at(col("embedding"), 1).cast("double"), 6).as("first_val"),
+        round(array_max(transform(col("embedding"), x => x.cast("double"))), 6)
+          .as("max_val"),
+        round(array_min(transform(col("embedding"), x => x.cast("double"))), 6)
+          .as("min_val"),
+        size(filter(col("embedding"), x => x > 0)).cast("long").as("n_pos"))
+      .orderBy(col("vec_id"))
+
+  /** Ordered string aggregation (listagg equivalent, sorted for
+    * determinism).
+    */
+  def qStringAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.nation(s, dir)
+      .groupBy(col("n_regionkey").cast("long").as("regionkey"))
+      .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"),
+        count(lit(1)).as("n"))
+      .orderBy(col("regionkey"))
+
   val queries: Map[String, Q] = Map(
+    "q_window_analytics" -> (qWindowAnalytics _),
+    "q_array_fn" -> (qArrayFn _),
+    "q_string_agg" -> (qStringAgg _),
     "q_histogram" -> (qHistogram _),
     "q_corr" -> (qCorr _),
     "q_pivot" -> (qPivot _),
@@ -416,6 +458,29 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_window_analytics" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  lag(c_custkey, 1) OVER w AS prev_cust,
+        |  lead(c_custkey, 1) OVER w AS next_cust,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_mktsegment, c_acctbal, c_custkey""".stripMargin,
+    "q_array_fn" ->
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS BIGINT) AS dim,
+        |  round(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+        |  round(list_max(CAST(embedding AS DOUBLE[])), 6) AS max_val,
+        |  round(list_min(CAST(embedding AS DOUBLE[])), 6) AS min_val,
+        |  CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q_string_agg" ->
+      """SELECT CAST(n_regionkey AS BIGINT) AS regionkey,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        |  count(*) AS n
+        |FROM nation GROUP BY 1 ORDER BY regionkey""".stripMargin,
     "q_histogram" ->
       """SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bin,
         |  count(*) AS n,
