@@ -1,0 +1,30 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / split assignment for training-data pipelines.
+  *
+  * `Dataset.sample`/`sampleBy` are seeded per PARTITION INDEX, so the
+  * selected rows change with partitioning (cluster size, AQE coalescing) —
+  * unacceptable for reproducible train/val splits. These operators derive
+  * the decision from a content hash instead: stable across partitioning,
+  * reruns, engines (md5 is universal), and appends (a document keeps its
+  * split forever, the property dataset versioning needs).
+  */
+object Sampling {
+
+  /** Uniform bucket in [0, buckets) from the id's MD5 (first 8 hex chars). */
+  private def hashBucket(idCol: Column, buckets: Int): Column =
+    pmod(conv(substring(md5(idCol.cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(buckets.toLong))
+
+  /** Adds a `split` column: "train" for trainPct% of rows, else "val". */
+  def withSplit(df: DataFrame, idCol: String, trainPct: Int): DataFrame =
+    df.withColumn("split",
+      when(hashBucket(col(idCol), 100) < trainPct, "train").otherwise("val"))
+
+  /** Deterministic pct% sample (keep-if-bucket-below). */
+  def sampled(df: DataFrame, idCol: String, pct: Int): DataFrame =
+    df.filter(hashBucket(col(idCol), 100) < pct)
+}

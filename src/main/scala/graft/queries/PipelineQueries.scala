@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Dedup, Multimodal, Similarity, TemporalJoins, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TemporalJoins, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -107,7 +107,17 @@ object PipelineQueries {
       .orderBy(col("error_id"), col("purchase_id"))
   }
 
+  /** Deterministic 80/20 train-val split over documents (hash-based so it
+    * is independent of partitioning — unlike Dataset.sample).
+    */
+  def sampleSplit(s: SparkSession, dir: String): DataFrame =
+    Sampling.withSplit(Tables.documents(s, dir), "doc_id", 80)
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_doc"))
+      .orderBy(col("split"))
+
   val queries: Map[String, Relational.Q] = Map(
+    "sample_split" -> (sampleSplit _),
     "q_asof_join" -> (qAsofJoin _),
     "q_range_join" -> (qRangeJoin _),
     "mm_binary_stats" -> (mmBinaryStats _),
@@ -153,6 +163,11 @@ object PipelineQueries {
        |ORDER BY doc_a, doc_b""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "sample_split" ->
+      """SELECT CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80
+        |            THEN 'train' ELSE 'val' END AS split,
+        |  count(*) AS n, min(doc_id) AS first_doc
+        |FROM documents GROUP BY 1 ORDER BY split""".stripMargin,
     "q_asof_join" ->
       """WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
         |c AS (SELECT user_id, ts AS click_ts, event_id AS click_id, value AS click_value
