@@ -21,6 +21,16 @@ class DriverContractSpec extends SparkTestBase {
       s"unexpected rows-only queries: $rowsOnly")
   }
 
+  test("Kafka config honors the reference's dev.properties keys") {
+    val conf = graft.io.KafkaAvroIO.loadConf(Map(
+      "input.topic.name" -> "in-t", "output.topic.name" -> "out-t",
+      "bootstrap.servers" -> "b:9092", "confluent.framed" -> "false"))
+    assert(conf.inputTopic == "in-t" && conf.outputTopic == "out-t")
+    assert(conf.bootstrap == "b:9092" && !conf.confluentFramed)
+    // defaults mirror the reference's serde (Confluent framing on)
+    assert(graft.io.KafkaAvroIO.loadConf(Map.empty).confluentFramed)
+  }
+
   test("entry() returns rows on the smoke scale") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
