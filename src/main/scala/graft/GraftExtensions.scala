@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, MinGramMd5, PolyHash, TopKByScore}
+import graft.functions.{DotProduct, MinGramMd5, MinHashAgg, PolyHash, SimHashAgg, TopKByScore}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -32,12 +32,22 @@ object GraftExtensions {
       s"$fn expects a literal integer k, got $other")
   }
 
+  private def longArg(e: Expression, fn: String): Long = e match {
+    case Literal(v: Long, _) => v
+    case Literal(v: Int, _) => v.toLong
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal long, got $other")
+  }
+
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "poly_hash" -> { args => PolyHash(args.head) },
     "dot_product" -> { args => DotProduct(args(0), args(1)) },
     "min_gram_md5" -> { args => MinGramMd5(args(0), intArg(args(1), "min_gram_md5")) },
     // aggregate builders return the AggregateFunction; the analyzer wraps it
-    "topk_by" -> { args => TopKByScore(args(0), args(1), intArg(args(2), "topk_by")) }
+    "topk_by" -> { args => TopKByScore(args(0), args(1), intArg(args(2), "topk_by")) },
+    "minhash_agg" -> { args =>
+      MinHashAgg(args(0), intArg(args(1), "minhash_agg"), longArg(args(2), "minhash_agg")) },
+    "simhash_agg" -> { args => SimHashAgg(args(0)) }
   )
 
   /** Register on an already-built session (builder extensions only apply

@@ -43,37 +43,57 @@ object KafkaAvroIO {
 
   /** Streaming source: Kafka records → typed orders (key ignored per the
     * reference, which re-keys on output anyway — semantics S4).
+    *
+    * The decode is the native expression [[graft.functions.AvroOrderWire]]
+    * — it stays inside whole-stage codegen instead of round-tripping every
+    * record through a typed lambda (spark-avro's `from_avro` shape, which
+    * isn't on this classpath).
     */
   def source(spark: SparkSession, conf: KafkaConf): Dataset[ElectronicOrder] = {
     import spark.implicits._
-    spark.readStream
+    decodeValues(spark.readStream
       .format("kafka")
       .option("kafka.bootstrap.servers", conf.bootstrap)
       .option("subscribe", conf.inputTopic)
       .option("startingOffsets", "earliest")
-      .load()
-      .select(col("value"))
-      .as[Array[Byte]]
-      .map(b => AvroCodec.decode(b, conf.confluentFramed))
+      .load(), conf.confluentFramed)
   }
 
-  /** Streaming sink: reordered rows → Kafka, key = the synthetic store
-    * key column, value = Avro-encoded order.
+  /** Kafka wire rows (with a binary `value` column) → typed orders; the
+    * Kafka-free half of [[source]] so tests can drive it from MemoryStream
+    * or a static DataFrame.
     */
-  def sink(reordered: Dataset[graft.streaming.StreamingReorder.Reordered],
-      conf: KafkaConf): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    val spark = reordered.sparkSession
+  def decodeValues(wire: DataFrame, confluentFramed: Boolean): Dataset[ElectronicOrder] = {
+    val spark = wire.sparkSession
     import spark.implicits._
-    reordered
-      .map(r => (r.key, AvroCodec.encode(ElectronicOrder(
-        r.order_id, r.electronic_id, r.user_id, r.price, r.time))))
-      .toDF("key", "value")
+    wire
+      .select(graft.functions.AvroOrderWire
+        .decode(col("value"), confluentFramed).as("o"))
+      .select(col("o.*"))
+      .as[ElectronicOrder]
+  }
+
+  /** Reordered rows → Kafka wire frame: key = the synthetic store key
+    * column, value = the Avro-encoded order (native expression — no typed
+    * lambda). Split from [[sink]] so the MemoryStream smoke test can run
+    * the identical encode stage against a non-Kafka sink.
+    */
+  def encodeValues(reordered: Dataset[graft.streaming.StreamingReorder.Reordered],
+      confluentFramed: Boolean): DataFrame =
+    reordered.select(col("key"),
+      graft.functions.AvroOrderWire.encode(
+        struct(col("order_id"), col("electronic_id"), col("user_id"),
+          col("price"), col("time")), confluentFramed).as("value"))
+
+  /** Streaming sink: reordered rows → Kafka. */
+  def sink(reordered: Dataset[graft.streaming.StreamingReorder.Reordered],
+      conf: KafkaConf): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    encodeValues(reordered, conf.confluentFramed)
       .writeStream
       .format("kafka")
       .option("kafka.bootstrap.servers", conf.bootstrap)
       .option("topic", conf.outputTopic)
       .option("checkpointLocation", conf.checkpoint)
-  }
 }
 
 /** Avro binary serde for `ElectronicOrder` built on avro-core. */

@@ -150,23 +150,16 @@ object Dedup {
 
   /** 64-bit SimHash over distinct tokens: bit i of the fingerprint is the
     * sign of Σ_tokens (±1 depending on bit i of xxhash64(token)).
-    * Computed as 64 conditional-sum aggregates (all codegen'd, map-side
-    * partials). Output: (id, simhash).
+    * One single-buffer aggregate ([[graft.functions.SimHashAgg]]: a
+    * long[64] vote array with map-side partials) instead of 64 wide
+    * conditional-sum columns. Output: (id, simhash).
     */
-  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs.select(col(idCol).as("_id"),
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("_id"),
         explode(array_distinct(Text.tokens(col(textCol)))).as("_t"))
       .select(col("_id"), xxhash64(col("_t")).as("_h"))
-    val bitSums = (0 until 64).map { i =>
-      sum(when(shiftright(col("_h"), i).bitwiseAND(1) === 1, 1).otherwise(-1))
-        .as(s"_b$i")
-    }
-    val sums = toks.groupBy(col("_id")).agg(bitSums.head, bitSums.tail: _*)
-    val fp = (0 until 64).map { i =>
-      when(col(s"_b$i") > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
-    sums.select(col("_id"), fp.as("simhash"))
-  }
+      .groupBy(col("_id"))
+      .agg(graft.functions.SimHashAgg.simhash(col("_h")).as("simhash"))
 
   /** Pairs with SimHash Hamming distance ≤ maxDist (≤ 3 with the default
     * 4 bands): band the 64-bit fingerprint into 4 × 16-bit chunks and

@@ -94,6 +94,61 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** All pairs with cosine ≥ tau via hyperplane-LSH banding + exact
+    * verification — the sub-quadratic scale path for [[graft.operators.Dedup.embedCosinePairs]].
+    *
+    * Candidate generation: each vector gets `tables` bucket ids (`bits`
+    * hyperplane signs each); vectors sharing any bucket become a candidate
+    * pair, then candidates are exact-verified with the rounded cosine, so
+    * precision is always 1 and output rows are bit-identical to the
+    * all-pairs operator whenever recall is 1.
+    *
+    * Honest recall math (Goemans–Williamson): a pair at angle θ agrees on
+    * one hyperplane with p = 1 − θ/π, so
+    * P[miss] = (1 − p^bits)^tables.
+    *
+    * REGIME — this is where the scale claim lives or dies:
+    *  - near-dup regime (tau ≥ ~0.8, p ≥ 0.8): the defaults (16 tables ×
+    *    8 bits) give P[miss] ≤ (1−0.8^8)^16 ≈ 2e-2 … and at tau = 0.9,
+    *    ≈ 3e-5 — while random pairs (p = 0.5) collide with chance
+    *    16·0.5^8 ≈ 6%, i.e. the candidate set is ~6% of the cross
+    *    product and shrinks geometrically as `bits` grows. This is the
+    *    100 TB path.
+    *  - moderate-threshold regime (tau ≤ ~0.5, p ≤ 0.67): NO hyperplane
+    *    banding can be both recall-safe and selective — recall-safe
+    *    parameters (wide-or over shallow bands) make nearly every pair a
+    *    candidate, so the operator degenerates to a verified all-pairs
+    *    join. It stays *correct* (callers pass shallow `bits` + many
+    *    `tables`, e.g. 2×48: P[miss at tau=0.4] ≈ 2.6e-11) but the honest
+    *    advice at this tau is the blocked brute-force join. Thresholds
+    *    this low are a similarity *search* problem, not near-dup.
+    */
+  def lshCosinePairs(emb: DataFrame, idCol: String, vecCol: String,
+      tau: Double, dim: Int, tables: Int = 16, bits: Int = 8): DataFrame = {
+    import graft.functions.VectorOps
+    // candidate generation and dedup shuffle ONLY (table, bucket, id) longs
+    // — vectors are re-attached after `distinct()`, so the wide payload
+    // never rides the banding self-join (same discipline as
+    // Dedup.verifyPairs for shingle sets).
+    val buckets = emb.select(col(idCol).as("_id"),
+      posexplode(bucketIds(col(vecCol), dim, tables, bits)).as(Seq("_t", "_b")))
+    val cands = buckets.select(col("_id").as("id_a"), col("_t"), col("_b"))
+      .join(buckets.select(col("_id").as("id_b"), col("_t"), col("_b")), Seq("_t", "_b"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val vecs = emb.select(col(idCol).as("_vid"), col(vecCol).as("_v"),
+      VectorOps.norm(col(vecCol)).as("_n"))
+    cands
+      .join(vecs.select(col("_vid").as("id_a"), col("_v").as("_va"), col("_n").as("_na")), "id_a")
+      .join(vecs.select(col("_vid").as("id_b"), col("_v").as("_vb"), col("_n").as("_nb")), "id_b")
+      .withColumn("cosine",
+        round(VectorOps.dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")), 6))
+      .filter(col("cosine") >= tau)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   // --------------------------------------------------------- IVF path
 
   /** Spherical k-means centroids trained on a BOUNDED deterministic

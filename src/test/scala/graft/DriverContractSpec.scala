@@ -17,7 +17,7 @@ class DriverContractSpec extends SparkTestBase {
     // rows-only queries must be the deliberate list (engine-specific
     // hashes/sketches/stubs/approx paths), not an accidentally-dropped oracle
     assert(rowsOnly == Set("dedup_simhash", "ann_topk_lsh", "ann_topk_ivf",
-      "mm_decode_stub", "q_approx_distinct"),
+      "q_approx_distinct"),
       s"unexpected rows-only queries: $rowsOnly")
   }
 

@@ -21,14 +21,59 @@ class MultimodalSpec extends SparkTestBase {
     assert(new String(first.content, "UTF-8") == "a tiny document")
   }
 
-  test("decodeImages is deterministic, drops payloads, preserves row count") {
+  /** A real in-memory PNG: w×h RGB, solid color. */
+  private def png(w: Int, h: Int, rgb: Int = 0x336699): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("decodeImages reads a real PNG's true dimensions via javax.imageio") {
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "image/png", png(17, 9), Map.empty),
+      Multimodal.MediaRecord(2L, "image/png", png(64, 1), Map.empty),
+      // poison row: not an image — must yield decoded=false, not a crash
+      Multimodal.MediaRecord(3L, "image/png", "not a png".getBytes, Map.empty)).toDS()
+    val out = Multimodal.decodeImages(media, partitions = 2)
+      .collect().sortBy(_.media_id)
+    assert(out(0) == Multimodal.DecodedImage(1L, 17, 9, 3, 17L * 9 * 3, decoded = true))
+    assert(out(1) == Multimodal.DecodedImage(2L, 64, 1, 3, 64L * 3, decoded = true))
+    assert(out(2) == Multimodal.DecodedImage(3L, 0, 0, 0, 0L, decoded = false))
+  }
+
+  test("renderImages -> decodeImages round trip: md5-derived dims, deterministic") {
     val media = Multimodal.fromText(docs, "doc_id", "text", "image")
-    val out1 = Multimodal.decodeImages(media, partitions = 3).collect().sortBy(_.media_id)
-    val out2 = Multimodal.decodeImages(media).collect().sortBy(_.media_id)
-    assert(out1.toSeq == out2.toSeq, "stub decode must not depend on partitioning")
-    assert(out1.length == 3)
-    assert(out1.forall(d => d.width >= 1 && d.height >= 1 && d.channels == 3))
-    assert(out1.forall(d => d.n_pixels == d.width.toLong * d.height * d.channels))
+    val out1 = Multimodal.decodeImages(Multimodal.renderImages(media), partitions = 3)
+      .collect().sortBy(_.media_id)
+    val out2 = Multimodal.decodeImages(Multimodal.renderImages(media))
+      .collect().sortBy(_.media_id)
+    assert(out1.toSeq == out2.toSeq, "decode must not depend on partitioning")
+    assert(out1.forall(_.decoded), "synthesized PNGs must actually decode")
+    // dims must equal the documented md5 derivation (the SQL oracle's formula)
+    docs.collect().foreach { r =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(r.getString(1).getBytes("UTF-8"))
+      val expected = (1 + (d(0) & 0xFF) % 64, 1 + (d(1) & 0xFF) % 64)
+      val got = out1.find(_.media_id == r.getLong(0)).get
+      assert((got.width, got.height) == expected && got.channels == 3)
+    }
+  }
+
+  test("resizeImages rescales real pixels and re-encodes") {
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "image/png", png(40, 20, 0xAA5500), Map("k" -> "v")),
+      Multimodal.MediaRecord(2L, "image/png", "junk".getBytes, Map.empty)).toDS()
+    val resized = Multimodal.resizeImages(media, 8, 8).collect().sortBy(_.media_id)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(resized(0).content))
+    assert(img.getWidth == 8 && img.getHeight == 8)
+    // bilinear resize of a solid color stays that color
+    assert((img.getRGB(4, 4) & 0xFFFFFF) == 0xAA5500)
+    assert(resized(0).meta == Map("k" -> "v"))
+    assert(new String(resized(1).content) == "junk", "undecodable rows pass through")
   }
 
   test("sampleFrames explodes 1 row per sampled frame with monotone pts") {

@@ -1,0 +1,115 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.io.{AvroCodec, KafkaAvroIO}
+import graft.model.ElectronicOrder
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** One Kafka wire record for MemoryStream (top-level: Spark's product
+  * encoder cannot instantiate inner classes).
+  */
+final case class WireRecord(value: Array[Byte])
+
+/** The production entry point ([[ReorderApp]]) minus the broker: property
+  * parsing parity with the reference's loader (StreamsUtils.java:16-27)
+  * and the full wire-in → reorder → wire-out assembly on MemoryStream.
+  */
+class ReorderAppSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def t(iso: String): Long = java.time.Instant.parse(iso).toEpochMilli
+
+  // the reference's golden fixture (ApplicationTest.java:32-44) — it spans
+  // more than the 10 h grace window, so the event-time flush actually fires
+  private val fixture = Seq(
+    ElectronicOrder("1", "one", "vandeley", 5.0, t("2021-11-03T23:00:00Z")),
+    ElectronicOrder("2", "one", "penny-packer", 15.0, t("2021-11-04T01:05:00Z")),
+    ElectronicOrder("3", "one", "romanov", 25.0, t("2021-11-04T01:10:00Z")),
+    ElectronicOrder("4", "one", "david", 35.0, t("2021-11-04T01:40:00Z")),
+    ElectronicOrder("5", "one", "jerry", 45.0, t("2021-11-04T02:25:00Z")),
+    ElectronicOrder("6", "one", "natalie", 55.0, t("2021-11-04T01:20:00Z")),
+    ElectronicOrder("7", "one", "lisa", 65.0, t("2021-11-04T02:45:00Z")),
+    ElectronicOrder("8", "one", "gavin", 75.0, t("2021-11-04T02:00:00Z")),
+    ElectronicOrder("9", "one", "paul", 85.0, t("2021-11-04T03:00:00Z")),
+    ElectronicOrder("10", "one", "martin", 95.0, t("2021-11-04T02:40:00Z")),
+    ElectronicOrder("11", "one", "rebecca", 105.0, t("2021-11-04T02:20:00Z")),
+    ElectronicOrder("12", "one", "jessica", 115.0, t("2021-11-05T00:00:00Z")))
+
+  test("loadProps parses a .properties file with the reference's keys") {
+    val f = Files.createTempFile("graft-app", ".properties")
+    // dev.properties:1-10 keys, verbatim format (= separated, blank lines)
+    Files.writeString(f,
+      """application.id=reorder-api-application
+        |bootstrap.servers=localhost:9094
+        |schema.registry.url=http://localhost:8081
+        |enable.idempotence=true
+        |acks=all
+        |
+        |input.topic.name=reorder-input-topic
+        |output.topic.name=reorder-output-topic
+        |
+        |replication.factor=1""".stripMargin)
+    val props = ReorderApp.loadProps(f.toString)
+    assert(props("application.id") == "reorder-api-application")
+    assert(props("acks") == "all" && props.size == 8)
+    val conf = KafkaAvroIO.loadConf(props)
+    assert(conf.bootstrap == "localhost:9094")
+    assert(conf.inputTopic == "reorder-input-topic")
+    assert(conf.outputTopic == "reorder-output-topic")
+    assert(conf.confluentFramed, "reference produces Confluent-framed Avro")
+  }
+
+  test("native Avro expressions agree with the codec oracle (raw + framed)") {
+    val orders = fixture :+ ElectronicOrder("", "HDTV", "u1", 9.99, 1000L)
+    for (framed <- Seq(false, true)) {
+      val wire = orders.map { o =>
+        val raw = AvroCodec.encode(o)
+        WireRecord(if (framed) Array[Byte](0, 0, 0, 0, 42) ++ raw else raw)
+      }
+      val decoded = KafkaAvroIO.decodeValues(wire.toDF(), framed)
+        .collect().toSeq
+      assert(decoded == orders, s"native decode (framed=$framed) != codec oracle")
+    }
+    // encode side: the native expression's raw payload must be byte-exact
+    // with the codec's, and its framed payload must carry the 5-byte header
+    val ds = fixture.map(o => graft.streaming.StreamingReorder.Reordered(
+      s"key-${o.time}", o.order_id, o.electronic_id, o.user_id, o.price, o.time)).toDS()
+    val raw = KafkaAvroIO.encodeValues(ds, confluentFramed = false)
+      .as[(String, Array[Byte])].collect().toMap
+    fixture.foreach { o =>
+      assert(java.util.Arrays.equals(raw(s"key-${o.time}"), AvroCodec.encode(o)))
+    }
+    val framedOut = KafkaAvroIO.encodeValues(ds, confluentFramed = true)
+      .as[(String, Array[Byte])].collect().toMap
+    fixture.foreach { o =>
+      val b = framedOut(s"key-${o.time}")
+      assert(b(0) == 0 && java.util.Arrays.equals(b.drop(5), AvroCodec.encode(o)))
+    }
+  }
+
+  test("wire-in -> topology -> wire-out assembly reproduces the golden reorder") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[WireRecord]
+    // the exact stages main() wires: decodeValues ∘ topology ∘ encodeValues,
+    // with only format("kafka") swapped for MemoryStream + memory sink
+    val reordered = ReorderApp.topology(
+      KafkaAvroIO.decodeValues(input.toDF(), confluentFramed = true))
+    val q = KafkaAvroIO.encodeValues(reordered, confluentFramed = true)
+      .writeStream.format("memory").queryName("app_smoke")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(fixture.map(o =>
+        WireRecord(Array[Byte](0, 0, 0, 0, 7) ++ AvroCodec.encode(o))))
+      q.processAllAvailable()
+      q.processAllAvailable() // let the event-time timeout flush fire
+      val out = spark.table("app_smoke").as[(String, Array[Byte])].collect().toSeq
+        .map { case (k, v) => (k, AvroCodec.decode(v, confluentFramed = true)) }
+      val expected = fixture.sortBy(_.time)
+      assert(out.map(_._2) == expected, "values, ascending event time")
+      assert(out.map(_._1) == expected.map(o => s"key-${o.time}"), "S4 store keys")
+    } finally q.stop()
+  }
+}

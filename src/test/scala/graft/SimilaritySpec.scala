@@ -40,27 +40,62 @@ class SimilaritySpec extends SparkTestBase {
     assert(top == Seq((1L, 1L), (2L, 2L)))
   }
 
-  test("ivfTopK recall vs brute force on real embeddings is usable") {
-    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+  // ---- hard recall gates: ann_topk_lsh / ann_topk_ivf are rows-only in
+  // the driver's correctness report forever (no SQL oracle can reproduce
+  // the hash buckets / trained centroids), so these fixed floors at the
+  // driver's own verify scale (sf0.01) ARE their correctness signal.
+
+  private def annPairs(df: org.apache.spark.sql.DataFrame) =
+    df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+
+  test("ivfTopK recall@5 >= 0.3 vs brute force at sf0.01") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
     val queries = emb.filter($"vec_id" < 10)
-    def pairs(df: org.apache.spark.sql.DataFrame) =
-      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
-    val brute = pairs(Similarity.bruteTopK(queries, emb, "vec_id", "embedding", 5))
-    val ivf = pairs(Similarity.ivfTopK(queries, emb, "vec_id", "embedding", 5))
+    val brute = annPairs(Similarity.bruteTopK(queries, emb, "vec_id", "embedding", 5))
+    val ivf = annPairs(Similarity.ivfTopK(queries, emb, "vec_id", "embedding", 5))
     val recall = (brute & ivf).size.toDouble / brute.size
     assert(recall >= 0.3, s"recall@5 = $recall below floor (near-random data, " +
       "nprobe/nlist = 4/16 probes a quarter of the corpus)")
   }
 
-  test("lshTopK recall vs brute force on real embeddings is usable") {
-    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+  test("lshTopK recall@5 >= 0.5 vs brute force at sf0.01") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
     val queries = emb.filter($"vec_id" < 10)
-    def pairs(df: org.apache.spark.sql.DataFrame) =
-      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
-    val brute = pairs(Similarity.bruteTopK(queries, emb, "vec_id", "embedding", 5))
-    val lsh = pairs(Similarity.lshTopK(queries, emb, "vec_id", "embedding", 5, 64))
+    val brute = annPairs(Similarity.bruteTopK(queries, emb, "vec_id", "embedding", 5))
+    val lsh = annPairs(Similarity.lshTopK(queries, emb, "vec_id", "embedding", 5, 64))
     val recall = (brute & lsh).size.toDouble / brute.size
     assert(recall >= 0.5, s"recall@5 = $recall below floor (data is near-random; " +
       "0.5 is the honest floor for L=8 b=4 at ~60-degree neighbor angles)")
+  }
+
+  test("lshCosinePairs equals the all-pairs operator at sf0.01 (recall 1)") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double)].collect().toSeq
+    val exact = rows(graft.operators.Dedup
+      .embedCosinePairs(emb, "vec_id", "embedding", 0.4))
+    // recall-safe parameters for the tau=0.4 regime (see scaladoc):
+    // per-pair P[miss] = (1 - 0.631)^24 ~ 4e-11
+    val lsh = rows(Similarity
+      .lshCosinePairs(emb, "vec_id", "embedding", 0.4, 64, tables = 24, bits = 1))
+    assert(exact.nonEmpty, "sanity: the corpus must contain true pairs")
+    assert(lsh == exact, "LSH-banded pairs must equal the verified all-pairs output")
+  }
+
+  test("lshCosinePairs default parameters find planted near-dups (tau=0.9 regime)") {
+    // the 100 TB story: at near-dup thresholds the default 16x8 banding
+    // prunes hard AND keeps recall — planted clones at cosine ~0.999 and
+    // orthogonal-ish noise must separate cleanly.
+    val rnd = new scala.util.Random(3)
+    val base = Array.fill(64)(rnd.nextGaussian().toFloat)
+    def jitter(eps: Float) = base.zipWithIndex.map { case (x, i) =>
+      x + eps * (if (i % 2 == 0) 1 else -1) * rnd.nextFloat() }
+    val noise = (10L until 60L).map(i => (i, Array.fill(64)(rnd.nextGaussian().toFloat)))
+    val emb = (Seq((0L, base), (1L, jitter(0.01f)), (2L, jitter(0.01f))) ++ noise)
+      .toDF("vec_id", "embedding")
+    val got = Similarity.lshCosinePairs(emb, "vec_id", "embedding", 0.9, 64)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((0L, 1L), (0L, 2L), (1L, 2L)),
+      s"expected exactly the planted clone pairs, got $got")
   }
 }

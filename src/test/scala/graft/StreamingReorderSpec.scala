@@ -133,6 +133,44 @@ class StreamingReorderSpec extends SparkTestBase {
     assert(out.map(_.order_id) == goldenOrder)
   }
 
+  /** Run the late-output variant over batches; returns rows in emission order. */
+  private def runLate(batches: Seq[Seq[ElectronicOrder]],
+      name: String): Seq[StreamingReorder.Reordered] = {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[ElectronicOrder]
+    val q = StreamingReorder.withLateOutput(input.toDS(), GraceMs)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      spark.table(name).as[StreamingReorder.Reordered].collect().toSeq
+    } finally q.stop()
+  }
+
+  test("withLateOutput matches the golden output on the reference fixture") {
+    val out = runLate(Seq(fixture), "late_golden")
+    assert(out.map(_.order_id) == goldenOrder)
+    assert(out.map(_.key) == fixture.map(_.time).sorted.map(ti => s"key-$ti"))
+  }
+
+  test("withLateOutput: beyond-grace straggler IS emitted — late, locally sorted (S1 fidelity)") {
+    // the sibling of `latedrop`: same input, opposite (reference-faithful)
+    // behavior — Kafka Streams re-buffers beyond-grace records and its next
+    // stream-time punctuation emits them (Application.java:73-82)
+    val tooLate = ElectronicOrder("13", "one", "straggler", 1.0, t("2021-11-03T20:00:00Z"))
+    val out = runLate(Seq(fixture, Seq(tooLate)), "late_emit")
+    assert(out.map(_.order_id) == goldenOrder :+ "13",
+      "straggler must flush in the next punctuation epoch, after the golden prefix")
+    assert(out.last.key == s"key-${tooLate.time}")
+  }
+
+  test("withLateOutput: a buffer younger than grace stays buffered (stream-time punctuation, S6)") {
+    // disorder window < grace and no successor data: the reference's
+    // STREAM_TIME punctuation cannot fire, so nothing may be emitted
+    val out = runLate(Seq(fixture.take(4)), "late_hold")
+    assert(out.isEmpty, "no flush before stream time passes oldest + grace")
+  }
+
   test("randomized streams: faithful output equals batch reorder+dedup per key") {
     // seeded random multi-key streams with disorder bounded by grace,
     // random batch splits — streaming must agree with the batch operator
