@@ -14,8 +14,10 @@ import org.apache.spark.sql.functions._
   * principles: join/shuffle keys are 8-byte hashes (never raw text), every
   * aggregation has a map-side partial, and candidate generation is always
   * sub-quadratic (inverted index or LSH banding) — the only intentionally
-  * quadratic operator is [[embedCosinePairs]], whose scale path is the
-  * hyperplane-LSH variant in [[Similarity]].
+  * quadratic operator is [[embedCosinePairs]], a SPEC-ONLY baseline whose
+  * production paths live in [[Similarity]]: [[Similarity.blockedCosinePairs]]
+  * (exact, bounded memory, any tau) and [[Similarity.lshCosinePairs]]
+  * (sub-quadratic, near-dup tau).
   */
 object Dedup {
 
@@ -206,11 +208,14 @@ object Dedup {
   // ------------------------------------------------- embedding near-dup
 
   /** Embedding-cosine near-duplicate pairs, exact all-pairs variant.
-    * Intentionally quadratic — correct at moderate corpus sizes and the
-    * oracle baseline for the hyperplane-LSH scale path
-    * ([[Similarity.lshCosinePairs]]). The smaller side should be
-    * broadcast by the optimizer; the threshold compares ROUNDED cosine so
-    * engine-level float summation differences cannot flip membership.
+    * SPEC-ONLY BASELINE — intentionally quadratic via an unconditional
+    * crossJoin, so it is NOT registered as a driver query (no registered
+    * query may contain an unconditional cartesian); it exists to pin the
+    * scale paths bit-equal in `SimilaritySpec`:
+    * [[Similarity.blockedCosinePairs]] (exact, bounded memory — the
+    * registered tau = 0.4 path) and [[Similarity.lshCosinePairs]]
+    * (sub-quadratic near-dup path). The threshold compares ROUNDED cosine
+    * so engine-level float summation differences cannot flip membership.
     * Output: (id_a, id_b, cosine).
     */
   def embedCosinePairs(emb: DataFrame, idCol: String, vecCol: String,

@@ -149,6 +149,60 @@ object Similarity {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** All pairs with cosine ≥ tau, EXACT, via a blocked brute-force pair
+    * join — the scale path for moderate thresholds (tau ≤ ~0.5) where no
+    * hyperplane banding can be both recall-safe and selective (see
+    * [[lshCosinePairs]]'s regime notes). Same output contract as
+    * [[graft.operators.Dedup.embedCosinePairs]], bit-identical rows.
+    *
+    * Plan: each row gets a deterministic block id `xxhash64(id) mod B`;
+    * a row in block `b` joins bucket `(b, j)` for `j ≥ b` as the left side
+    * and bucket `(i, b)` for `i ≤ b` as the right side, so every one of
+    * the B(B+1)/2 unordered block pairs materializes exactly once and
+    * every vector pair is scored exactly once (same-block buckets dedup on
+    * `id_l < id_r`; cross-block pairs appear in one bucket only). Compared
+    * to a crossJoin this trades a bounded (B+1)× row replication for:
+    *  - **balance**: B(B+1)/2 equal-size join buckets spread over the
+    *    cluster instead of one nested-loop stage;
+    *  - **bounded memory**: a join task buffers one block pair, i.e.
+    *    O(n/B) vectors — pick B ≈ n·bytesPerVec / targetTaskBytes and the
+    *    working set stays flat as n grows (n²/2 dot products are the
+    *    irreducible cost of EXACT all-pairs; sub-quadratic at high tau is
+    *    what [[lshCosinePairs]] is for);
+    *  - norms precomputed once per row, never per pair.
+    */
+  def blockedCosinePairs(emb: DataFrame, idCol: String, vecCol: String,
+      tau: Double, blocks: Int = 16): DataFrame = {
+    val b = blocks
+    require(b >= 1, "blocks must be >= 1")
+    val rows = emb.select(col(idCol).as("_id"), col(vecCol).as("_v"),
+      VectorOps.norm(col(vecCol)).as("_n"),
+      pmod(xxhash64(col(idCol)), lit(b)).cast("int").as("_blk"))
+    val left = rows.select(col("_id").as("_idl"), col("_v").as("_vl"),
+        col("_n").as("_nl"), col("_blk").as("_bl"),
+        explode(sequence(col("_blk"), lit(b - 1))).as("_j"))
+      .select(col("_idl"), col("_vl"), col("_nl"), col("_bl"),
+        (col("_bl") * b + col("_j")).as("_bucket"))
+    val right = rows.select(col("_id").as("_idr"), col("_v").as("_vr"),
+        col("_n").as("_nr"), col("_blk").as("_br"),
+        explode(sequence(lit(0), col("_blk"))).as("_i"))
+      .select(col("_idr"), col("_vr"), col("_nr"), col("_br"),
+        (col("_i") * b + col("_br")).as("_bucket"))
+    // hash join, not sort-merge: bucket keys are few and coarse, so
+    // sorting (B+1)·n replicated vector rows buys nothing — the hash
+    // side holds one block pair's O(n/B) rows, which is the operator's
+    // memory bound anyway
+    left.join(right.hint("shuffle_hash"), Seq("_bucket"))
+      .filter(col("_bl") =!= col("_br") || col("_idl") < col("_idr"))
+      .select(
+        least(col("_idl"), col("_idr")).as("id_a"),
+        greatest(col("_idl"), col("_idr")).as("id_b"),
+        round(VectorOps.dot(col("_vl"), col("_vr")) / (col("_nl") * col("_nr")), 6)
+          .as("cosine"))
+      .filter(col("cosine") >= tau)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   // --------------------------------------------------------- IVF path
 
   /** Spherical k-means centroids trained on a BOUNDED deterministic

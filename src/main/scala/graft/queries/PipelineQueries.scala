@@ -37,20 +37,20 @@ object PipelineQueries {
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
       .orderBy(col("doc_id"))
 
-  def dedupEmbedCosine(s: SparkSession, dir: String): DataFrame =
-    Dedup.embedCosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding", CosTau)
-
-  /** LSH-banded variant sharing the all-pairs oracle. This corpus's true
-    * pairs sit at cosine 0.40–0.60 (the moderate-threshold regime — see
-    * [[Similarity.lshCosinePairs]]), so the banding must be recall-safe
-    * rather than selective: 24 tables × 1 bit gives per-pair
-    * P[miss] = (1 − 0.631)^24 ≈ 4e-11 at the tau = 0.4 boundary. In the
-    * near-dup regime (tau ≥ 0.8) the defaults (16×8) prune to a few
-    * percent of the cross product instead.
+  /** Exact embedding-cosine pairs at tau = 0.4 via the BLOCKED brute-force
+    * join ([[Similarity.blockedCosinePairs]]) — the registered scale path
+    * for this corpus's regime. The corpus's true pairs sit at cosine
+    * 0.40–0.60, where no hyperplane banding is both recall-safe and
+    * selective (round 2 registered a recall-safe 24×1 banding here and it
+    * generated MORE candidate rows than the cross product — the documented
+    * degenerate case), so the honest plan is exact all-pairs with bounded
+    * memory and balanced block-pair tasks. The unconditional-crossJoin
+    * baseline ([[Dedup.embedCosinePairs]]) and the near-dup-regime LSH
+    * operator ([[Similarity.lshCosinePairs]], 16×8) are spec-only:
+    * `SimilaritySpec` pins both bit-equal to this output on their regimes.
     */
-  def dedupEmbedLsh(s: SparkSession, dir: String): DataFrame =
-    Similarity.lshCosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding",
-      CosTau, AnnDim, tables = 24, bits = 1)
+  def dedupEmbedCosine(s: SparkSession, dir: String): DataFrame =
+    Similarity.blockedCosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding", CosTau)
 
   private val AnnK = 5
   private val AnnDim = 64
@@ -155,7 +155,6 @@ object PipelineQueries {
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_near_keep" -> (dedupNearKeep _),
     "dedup_embed_cosine" -> (dedupEmbedCosine _),
-    "dedup_embed_lsh" -> (dedupEmbedLsh _),
     "ann_topk_brute" -> (annTopkBrute _),
     "ann_topk_lsh" -> (annTopkLsh _),
     "ann_topk_ivf" -> (annTopkIvf _)
@@ -228,18 +227,7 @@ object PipelineQueries {
          |    FROM s a, s b WHERE a.doc_id < b.doc_id) p
          |  WHERE jaccard >= $Tau)
          |ORDER BY d.doc_id""".stripMargin,
-    // the LSH variant verifies candidates exactly, so (recall permitting —
-    // see dedupEmbedLsh's parameter math) its rows equal the all-pairs op's
-    "dedup_embed_lsh" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |p AS (
-         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |    round(list_dot_product(a.v, b.v) /
-         |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
-         |      AS cosine
-         |  FROM e a, e b WHERE a.vec_id < b.vec_id)
-         |SELECT id_a, id_b, cosine FROM p WHERE cosine >= $CosTau
-         |ORDER BY id_a, id_b""".stripMargin,
+    // blocked brute force is exact, so it shares the all-pairs oracle
     "dedup_embed_cosine" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |p AS (

@@ -68,6 +68,23 @@ class SimilaritySpec extends SparkTestBase {
       "0.5 is the honest floor for L=8 b=4 at ~60-degree neighbor angles)")
   }
 
+  test("blockedCosinePairs equals the all-pairs baseline at sf0.01, any block count") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double)].collect().toSeq
+    val exact = rows(graft.operators.Dedup
+      .embedCosinePairs(emb, "vec_id", "embedding", 0.4))
+    assert(exact.nonEmpty, "sanity: the corpus must contain true pairs")
+    // every pair must be scored exactly once for ANY B — including B=1
+    // (single bucket: degenerates to the plain self-join) and a block
+    // count that does not divide the corpus size
+    for (b <- Seq(1, 7, 16)) {
+      val blocked = rows(Similarity
+        .blockedCosinePairs(emb, "vec_id", "embedding", 0.4, blocks = b))
+      assert(blocked == exact, s"blocks=$b must be bit-equal to the baseline")
+    }
+  }
+
   test("lshCosinePairs equals the all-pairs operator at sf0.01 (recall 1)") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
     def rows(df: org.apache.spark.sql.DataFrame) =
