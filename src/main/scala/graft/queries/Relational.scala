@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.operators.Percentiles
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -231,22 +232,33 @@ object Relational {
         round(max(col("l_extendedprice")), 2).as("max_price"))
       .orderBy(col("l_returnflag"))
 
-  /** Exact interpolated percentiles (PERCENTILE_CONT family) + median.
-    * Spark's `percentile` and DuckDB's `quantile_cont` both linearly
-    * interpolate on the sorted values, so this is hash-checkable; the
-    * approximate sketch path (`approx_percentile`) stays engine-specific
-    * and is covered by `q_approx_distinct`-style rows-only treatment in
-    * spirit — here the exact form is the contract.
+  /** Exact interpolated percentiles (PERCENTILE_CONT family) + median via
+    * [[graft.operators.Percentiles.exact]] — iterative range refinement
+    * with bounded executor AND driver memory, unlike Spark's built-in
+    * exact `percentile` aggregate (unbounded per-group value→count map —
+    * an OOM risk on 100 TB of high-cardinality doubles; the built-in
+    * stays pinned equal in `PercentilesSpec` as the semantics oracle).
+    * The interpolation arithmetic (`vk + (vk1 − vk)·frac`) is written
+    * identically in the DuckDB oracle SQL and the result is emitted
+    * UNROUNDED: both sides pick the same parquet doubles at ranks
+    * k/k+1 and apply the same IEEE op sequence, so the outputs are
+    * bit-identical — whereas `round(·, 2)` is NOT portable here (cent
+    * data interpolated at frac = 1/2 lands structurally on .xx5
+    * half-cent boundaries, where Spark's BigDecimal HALF_UP and
+    * DuckDB's double rounding disagree — observed at sf0.001), and
+    * `quantile_cont`'s internal lerp differs in the last ulp besides.
     */
-  def qPercentile(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
-      .groupBy(col("l_returnflag"))
-      .agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50_price"),
-        round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90_price"),
-        round(expr("percentile(l_extendedprice, 0.99)"), 2).as("p99_price"),
-        round(expr("median(l_quantity)"), 2).as("med_qty"))
+  def qPercentile(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val price = Percentiles.exact(li, "l_returnflag", "l_extendedprice",
+      Seq(0.5 -> "p50_price", 0.9 -> "p90_price", 0.99 -> "p99_price"))
+    val qty = Percentiles.exact(li, "l_returnflag", "l_quantity",
+      Seq(0.5 -> "med_qty"))
+    price.join(qty, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("p50_price"), col("p90_price"),
+        col("p99_price"), col("med_qty"))
       .orderBy(col("l_returnflag"))
+  }
 
   private def custIn(s: SparkSession, dir: String, y0: String, y1: String): DataFrame =
     Tables.orders(s, dir)
@@ -476,13 +488,46 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // manual type-7 interpolation, NOT quantile_cont, and NO rounding:
+    // vk + (vk1 - vk) * f with f = CAST(n-1 AS DOUBLE)*p - floor(...) is
+    // the exact IEEE op order the Spark side uses, so the doubles match
+    // bit-for-bit. All p literals are written `0.5e0`-style: a bare 0.5
+    // parses as DECIMAL in DuckDB and silently changes the arithmetic.
     "q_percentile" ->
-      """SELECT l_returnflag,
-        |  round(quantile_cont(l_extendedprice, 0.5), 2) AS p50_price,
-        |  round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price,
-        |  round(quantile_cont(l_extendedprice, 0.99), 2) AS p99_price,
-        |  round(median(l_quantity), 2) AS med_qty
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      """WITH sp AS (
+        |  SELECT l_returnflag AS g, l_extendedprice AS v,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) - 1 AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem),
+        |sq AS (
+        |  SELECT l_returnflag AS g, CAST(l_quantity AS DOUBLE) AS v,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) - 1 AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem),
+        |pp AS (
+        |  SELECT g,
+        |    max(CASE WHEN rn = CAST(floor(CAST(n-1 AS DOUBLE) * 0.5e0) AS BIGINT) THEN v END) AS lo50,
+        |    max(CASE WHEN rn = CAST(floor(CAST(n-1 AS DOUBLE) * 0.5e0) AS BIGINT) + 1 THEN v END) AS hi50,
+        |    max(CAST(n-1 AS DOUBLE) * 0.5e0 - floor(CAST(n-1 AS DOUBLE) * 0.5e0)) AS f50,
+        |    max(CASE WHEN rn = CAST(floor(CAST(n-1 AS DOUBLE) * 0.9e0) AS BIGINT) THEN v END) AS lo90,
+        |    max(CASE WHEN rn = CAST(floor(CAST(n-1 AS DOUBLE) * 0.9e0) AS BIGINT) + 1 THEN v END) AS hi90,
+        |    max(CAST(n-1 AS DOUBLE) * 0.9e0 - floor(CAST(n-1 AS DOUBLE) * 0.9e0)) AS f90,
+        |    max(CASE WHEN rn = CAST(floor(CAST(n-1 AS DOUBLE) * 0.99e0) AS BIGINT) THEN v END) AS lo99,
+        |    max(CASE WHEN rn = CAST(floor(CAST(n-1 AS DOUBLE) * 0.99e0) AS BIGINT) + 1 THEN v END) AS hi99,
+        |    max(CAST(n-1 AS DOUBLE) * 0.99e0 - floor(CAST(n-1 AS DOUBLE) * 0.99e0)) AS f99
+        |  FROM sp GROUP BY g),
+        |pq AS (
+        |  SELECT g,
+        |    max(CASE WHEN rn = CAST(floor(CAST(n-1 AS DOUBLE) * 0.5e0) AS BIGINT) THEN v END) AS loq,
+        |    max(CASE WHEN rn = CAST(floor(CAST(n-1 AS DOUBLE) * 0.5e0) AS BIGINT) + 1 THEN v END) AS hiq,
+        |    max(CAST(n-1 AS DOUBLE) * 0.5e0 - floor(CAST(n-1 AS DOUBLE) * 0.5e0)) AS fq
+        |  FROM sq GROUP BY g)
+        |SELECT pp.g AS l_returnflag,
+        |  CASE WHEN f50 = 0 THEN lo50 ELSE lo50 + (hi50 - lo50) * f50 END AS p50_price,
+        |  CASE WHEN f90 = 0 THEN lo90 ELSE lo90 + (hi90 - lo90) * f90 END AS p90_price,
+        |  CASE WHEN f99 = 0 THEN lo99 ELSE lo99 + (hi99 - lo99) * f99 END AS p99_price,
+        |  CASE WHEN fq = 0 THEN loq ELSE loq + (hiq - loq) * fq END AS med_qty
+        |FROM pp JOIN pq ON pp.g = pq.g ORDER BY l_returnflag""".stripMargin,
     "q_window_analytics" ->
       """SELECT c_custkey, c_mktsegment, c_acctbal,
         |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,

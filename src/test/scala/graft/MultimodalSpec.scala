@@ -87,12 +87,42 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
-  test("audioFeatures emits plausible deterministic features") {
+  test("renderWavs -> decodeAudio round trip: md5-derived features, real WAV parse") {
     val media = Multimodal.fromText(docs, "doc_id", "text", "audio")
-    val a = Multimodal.audioFeatures(media).collect().sortBy(_.media_id)
-    assert(a.length == 3)
-    assert(a.forall(f => f.sample_rate >= 8000 && f.rms >= 0.0 && f.rms <= 1.0))
-    assert(a.map(_.n_samples).toSeq ==
-      docs.orderBy("doc_id").select(length($"text") * 4).as[Long].collect().toSeq)
+    val out1 = Multimodal.decodeAudio(Multimodal.renderWavs(media), partitions = 2)
+      .collect().sortBy(_.media_id)
+    val out2 = Multimodal.decodeAudio(Multimodal.renderWavs(media))
+      .collect().sortBy(_.media_id)
+    assert(out1.toSeq == out2.toSeq, "decode must not depend on partitioning")
+    assert(out1.forall(_.decoded), "synthesized WAVs must actually decode")
+    // features must equal the documented md5 derivation (the SQL oracle)
+    docs.collect().foreach { r =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(r.getString(1).getBytes("UTF-8"))
+      def b(i: Int): Int = d(i) & 0xFF
+      val sr = 8000 * (1 + b(0) % 5)
+      val n = 500 + ((b(2) << 8 | b(3)) % 7500)
+      val amp = 1001 + 2 * ((b(4) << 8 | b(5)) % 15000)
+      val got = out1.find(_.media_id == r.getLong(0)).get
+      assert(got.sample_rate == sr && got.n_samples == n.toLong)
+      // square-wave RMS is exactly amp/32768 — bit-exact, no tolerance
+      assert(got.rms == amp / 32768.0, s"rms ${got.rms} != ${amp / 32768.0}")
+    }
+  }
+
+  test("decodeAudio survives poison rows and decodes a hand-built WAV") {
+    val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true, false)
+    val pcm = new Array[Byte](2 * 100) // silence: 100 zero samples
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, 100L)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "audio/wav", out.toByteArray, Map.empty),
+      Multimodal.MediaRecord(2L, "audio/wav", "not audio".getBytes, Map.empty)).toDS()
+    val a = Multimodal.decodeAudio(media).collect().sortBy(_.media_id)
+    assert(a(0) == Multimodal.DecodedAudio(1L, 16000, 100L, 0.0, decoded = true))
+    assert(a(1) == Multimodal.DecodedAudio(2L, 0, 0L, 0.0, decoded = false))
   }
 }
