@@ -58,22 +58,35 @@ object AvroOrderWire {
   }
 
   /** Decode one wire payload to an InternalRow in ElectronicOrder.schema
-    * field order. Strings pass through as raw UTF-8 bytes (Avro `Utf8` →
-    * `UTF8String`) with no intermediate `java.lang.String`.
+    * field order, or NULL for a corrupt payload (framed shorter than the
+    * 5-byte header, wrong magic byte, or malformed Avro body) — the
+    * poison-row contract: one bad record must yield a filterable null,
+    * not kill the streaming query (see
+    * [[graft.io.KafkaAvroIO.decodeValues]]). Strings pass through as raw
+    * UTF-8 bytes (Avro `Utf8` → `UTF8String`) with no intermediate
+    * `java.lang.String`.
     */
   def decodeRow(bytes: Array[Byte], framed: Boolean): InternalRow = {
+    if (framed && (bytes.length < 5 || bytes(0) != 0)) return null
     val offset = if (framed) 5 else 0
-    val slot = decoderTL.get()
-    val dec = DecoderFactory.get()
-      .binaryDecoder(bytes, offset, bytes.length - offset, slot(0))
-    slot(0) = dec
-    val rec = readerTL.get().read(null, dec)
-    def str(i: Int): UTF8String = rec.get(i) match {
-      case u: Utf8 => UTF8String.fromBytes(u.getBytes, 0, u.getByteLength)
-      case other => UTF8String.fromString(other.toString)
+    try {
+      val slot = decoderTL.get()
+      val dec = DecoderFactory.get()
+        .binaryDecoder(bytes, offset, bytes.length - offset, slot(0))
+      slot(0) = dec
+      val rec = readerTL.get().read(null, dec)
+      def str(i: Int): UTF8String = rec.get(i) match {
+        case u: Utf8 => UTF8String.fromBytes(u.getBytes, 0, u.getByteLength)
+        case other => UTF8String.fromString(other.toString)
+      }
+      new GenericInternalRow(Array[Any](str(0), str(1), str(2),
+        rec.get(3).asInstanceOf[Double], rec.get(4).asInstanceOf[Long]))
+    } catch {
+      // Avro surfaces truncation/corruption as IOException (EOFException)
+      // or AvroRuntimeException subclasses
+      case _: java.io.IOException | _: org.apache.avro.AvroRuntimeException =>
+        null
     }
-    new GenericInternalRow(Array[Any](str(0), str(1), str(2),
-      rec.get(3).asInstanceOf[Double], rec.get(4).asInstanceOf[Long]))
   }
 
   /** Encode one struct row (ElectronicOrder.schema field order) to the
@@ -120,6 +133,8 @@ case class AvroOrderDecode(child: Expression, framed: Boolean)
       s"avro_order_decode requires binary input, got ${child.dataType.catalogString}")
 
   override def dataType: DataType = ElectronicOrder.schema
+  // nullable even over non-null input: corrupt payloads decode to null
+  override def nullable: Boolean = true
   override def prettyName: String = "avro_order_decode"
 
   override protected def nullSafeEval(input: Any): Any =
@@ -127,7 +142,8 @@ case class AvroOrderDecode(child: Expression, framed: Boolean)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.AvroOrderWire.decodeRow($c, $framed);")
+      s"""${ev.value} = graft.functions.AvroOrderWire.decodeRow($c, $framed);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): AvroOrderDecode =
     copy(child = newChild)
@@ -139,12 +155,18 @@ case class AvroOrderDecode(child: Expression, framed: Boolean)
 case class AvroOrderEncode(child: Expression, framed: Boolean, schemaId: Int)
   extends UnaryExpression {
 
+  // names are checked too (case-insensitively): the record's strings are
+  // type-interchangeable, so a reordered struct would otherwise encode
+  // values into the wrong Avro fields without any analysis error
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case s: StructType if s.length == ElectronicOrder.schema.length &&
-        s.fields.map(_.dataType).sameElements(ElectronicOrder.schema.fields.map(_.dataType)) =>
+        s.fields.map(_.dataType).sameElements(ElectronicOrder.schema.fields.map(_.dataType)) &&
+        s.fields.map(_.name.toLowerCase).sameElements(
+          ElectronicOrder.schema.fields.map(_.name.toLowerCase)) =>
       TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"avro_order_encode requires an ElectronicOrder-shaped struct, got ${other.catalogString}")
+      s"avro_order_encode requires an ElectronicOrder-shaped struct " +
+        s"(matching field names and types), got ${other.catalogString}")
   }
 
   override def dataType: DataType = BinaryType

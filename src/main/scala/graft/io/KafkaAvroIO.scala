@@ -29,17 +29,24 @@ object KafkaAvroIO {
   /** Config keys matching configuration/dev.properties. `confluentFramed`
     * defaults true because the reference produces via Confluent's
     * SpecificAvroSerde (StreamsUtils.java:29-33), whose wire format
-    * prefixes magic byte + schema id.
+    * prefixes magic byte + schema id. `schemaId` is that header's id:
+    * registry-assigned ids start at 1, so emitting the 0 default produces
+    * frames no Confluent deserializer can resolve — deployments set
+    * `schema.id` to the registry's id for `electronic_order.avsc` (this
+    * engine never calls the registry itself: `schema.registry.url` is
+    * parsed for key parity only).
     */
   final case class KafkaConf(bootstrap: String, inputTopic: String,
-      outputTopic: String, checkpoint: String, confluentFramed: Boolean = true)
+      outputTopic: String, checkpoint: String, confluentFramed: Boolean = true,
+      schemaId: Int = 0)
 
   def loadConf(props: Map[String, String]): KafkaConf = KafkaConf(
     bootstrap = props.getOrElse("bootstrap.servers", "localhost:9092"),
     inputTopic = props.getOrElse("input.topic.name", "electronic-orders"),
     outputTopic = props.getOrElse("output.topic.name", "electronic-orders-reordered"),
     checkpoint = props.getOrElse("checkpoint.location", "/tmp/graft-checkpoint"),
-    confluentFramed = props.getOrElse("confluent.framed", "true").toBoolean)
+    confluentFramed = props.getOrElse("confluent.framed", "true").toBoolean,
+    schemaId = props.getOrElse("schema.id", "0").toInt)
 
   /** Streaming source: Kafka records → typed orders (key ignored per the
     * reference, which re-keys on output anyway — semantics S4).
@@ -62,6 +69,13 @@ object KafkaAvroIO {
   /** Kafka wire rows (with a binary `value` column) → typed orders; the
     * Kafka-free half of [[source]] so tests can drive it from MemoryStream
     * or a static DataFrame.
+    *
+    * Poison policy: a corrupt payload (truncated frame, wrong magic byte,
+    * malformed Avro) decodes to null and is FILTERED here rather than
+    * killing the query — the `LogAndContinue` analog of Kafka Streams'
+    * `DeserializationExceptionHandler` (the strict `LogAndFail` default
+    * would turn one bad record into a crash loop on restart, since the
+    * offset is re-read from the checkpoint).
     */
   def decodeValues(wire: DataFrame, confluentFramed: Boolean): Dataset[ElectronicOrder] = {
     val spark = wire.sparkSession
@@ -69,26 +83,42 @@ object KafkaAvroIO {
     wire
       .select(graft.functions.AvroOrderWire
         .decode(col("value"), confluentFramed).as("o"))
+      .filter(col("o").isNotNull)
       .select(col("o.*"))
       .as[ElectronicOrder]
   }
 
   /** Reordered rows → Kafka wire frame: key = the synthetic store key
     * column, value = the Avro-encoded order (native expression — no typed
-    * lambda). Split from [[sink]] so the MemoryStream smoke test can run
-    * the identical encode stage against a non-Kafka sink.
+    * lambda), framed with `schemaId` when Confluent framing is on. Split
+    * from [[sink]] so the MemoryStream smoke test can run the identical
+    * encode stage against a non-Kafka sink.
+    *
+    * `withTimestamp` adds a `timestamp` column = the flush's punctuation
+    * stream time (S5, Application.java:77). Spark's Kafka sink (4.x)
+    * recognizes only key/value/topic/partition/headers and lets the
+    * broker stamp append time, so over `format("kafka")` the column is
+    * carried but not honored — wire it to the producer record in a
+    * `foreachBatch` producer when S5 must reach the broker.
     */
   def encodeValues(reordered: Dataset[graft.streaming.StreamingReorder.Reordered],
-      confluentFramed: Boolean): DataFrame =
-    reordered.select(col("key"),
+      confluentFramed: Boolean, schemaId: Int = 0,
+      withTimestamp: Boolean = false): DataFrame = {
+    val base = reordered.select(col("key"),
       graft.functions.AvroOrderWire.encode(
         struct(col("order_id"), col("electronic_id"), col("user_id"),
-          col("price"), col("time")), confluentFramed).as("value"))
+          col("price"), col("time")), confluentFramed, schemaId).as("value"),
+      col("flush_time"))
+    if (withTimestamp)
+      base.select(col("key"), col("value"),
+        timestamp_millis(col("flush_time")).as("timestamp"))
+    else base.select(col("key"), col("value"))
+  }
 
   /** Streaming sink: reordered rows → Kafka. */
   def sink(reordered: Dataset[graft.streaming.StreamingReorder.Reordered],
       conf: KafkaConf): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    encodeValues(reordered, conf.confluentFramed)
+    encodeValues(reordered, conf.confluentFramed, conf.schemaId)
       .writeStream
       .format("kafka")
       .option("kafka.bootstrap.servers", conf.bootstrap)

@@ -38,28 +38,39 @@ object StreamingReorder extends Serializable {
 
   /** Flushed output row; `key` replicates the reference's synthetic store
     * key (Application.java:145) when `emitStoreKey` is set, else the
-    * original record key (`electronic_id`).
+    * original record key (`electronic_id`). `flush_time` is S5: the
+    * reference overwrites every forwarded record's timestamp with the
+    * punctuation's stream time (`new Record<>(kv.key, kv.value, timestamp)`,
+    * Application.java:77) — here it rides as an explicit column that
+    * [[graft.io.KafkaAvroIO.encodeValues]] can surface as the sink
+    * `timestamp`.
     */
   final case class Reordered(key: String, order_id: String, electronic_id: String,
-      user_id: String, price: Double, time: Long)
+      user_id: String, price: Double, time: Long, flush_time: Long)
 
   /** Per-key reorder buffer; public because Spark's generated encoder
     * code must reach the accessor.
     */
   final case class BufferState(buffer: Map[Long, ElectronicOrder])
 
-  /** [[withLateOutput]]'s state: the buffer plus this key's stream time
-    * (max event time seen), replacing the engine watermark so nothing is
-    * ever dropped as late.
+  /** [[withLateOutput]]'s state: the buffer, this key's stream time (max
+    * event time seen — replacing the engine watermark so nothing is ever
+    * dropped as late), and the next stream-time punctuation deadline
+    * (Kafka Streams' `context.schedule(grace, STREAM_TIME, …)` fires on a
+    * fixed stream-time interval, not relative to the oldest buffered
+    * record).
     */
-  final case class LateState(buffer: Map[Long, ElectronicOrder], streamTime: Long)
+  final case class LateState(buffer: Map[Long, ElectronicOrder],
+      streamTime: Long, nextPunctuate: Long)
 
-  /** S1/S2 whole-buffer ordered flush, optionally re-keyed (S4). */
+  /** S1/S2 whole-buffer ordered flush, optionally re-keyed (S4), stamped
+    * with the punctuation stream time (S5).
+    */
   private def flushBuffer(buf: Map[Long, ElectronicOrder],
-      emitStoreKey: Boolean): Iterator[Reordered] =
+      emitStoreKey: Boolean, flushTime: Long): Iterator[Reordered] =
     buf.toSeq.sortBy(_._1).iterator.map { case (t, o) =>
       val k = if (emitStoreKey) s"key-$t" else o.electronic_id
-      Reordered(k, o.order_id, o.electronic_id, o.user_id, o.price, t)
+      Reordered(k, o.order_id, o.electronic_id, o.user_id, o.price, t, flushTime)
     }
 
   /** The faithful operator. `orders` must be a streaming Dataset. */
@@ -67,9 +78,6 @@ object StreamingReorder extends Serializable {
       emitStoreKey: Boolean = true): Dataset[Reordered] = {
     val spark = orders.sparkSession
     import spark.implicits._
-
-    def flush(buf: Map[Long, ElectronicOrder]): Iterator[Reordered] =
-      flushBuffer(buf, emitStoreKey) // S2 ascending event time; S4 store key
 
     def fn(key: String, rows: Iterator[ElectronicOrder],
         state: GroupState[BufferState]): Iterator[Reordered] = {
@@ -81,7 +89,10 @@ object StreamingReorder extends Serializable {
         // (stream-time punctuation is only meaningful with data, S6).
         val buf = state.getOption.map(_.buffer).getOrElse(Map.empty)
         state.remove()
-        flush(buf)
+        // S5: stamp with the engine's stream-time clock at the flush — the
+        // watermark is what fired this timeout, playing the punctuation
+        // timestamp's role (Application.java:77)
+        flushBuffer(buf, emitStoreKey, state.getCurrentWatermarkMs())
       } else {
         var buf = state.getOption.map(_.buffer).getOrElse(Map.empty)
         rows.foreach { o =>
@@ -114,12 +125,17 @@ object StreamingReorder extends Serializable {
     * Application.java:73-82.
     *
     * How: no `withWatermark` at all, so Spark's stateful operator never
-    * filters late input; the grace trigger compares against this key's own
-    * stream time (max event time seen), tracked in state. The flush is
-    * purely data-driven — exactly Kafka Streams' STREAM_TIME punctuation
-    * (Application.java:64-69), which also only fires when records arrive
-    * (S6); a buffered tail with no successor data stays buffered, as in
-    * the reference.
+    * filters late input; punctuation is re-created at Kafka Streams'
+    * semantics (Application.java:64-69): a FIXED stream-time interval. The
+    * state tracks this key's stream time (max event time seen) and the
+    * next punctuation deadline — anchored at first-observed stream time +
+    * grace (Kafka Streams defers an unknown-stream-time schedule to the
+    * first record), firing when stream time crosses it, then re-armed at
+    * `deadline + grace`, realigned to `streamTime + grace` after a gap
+    * (`PunctuationSchedule.next`'s catch-up rule). Flushes only fire when
+    * records arrive (S6): a buffered tail with no successor data stays
+    * buffered, as in the reference — even a beyond-grace straggler waits
+    * for stream time to advance past the next deadline.
     *
     * Cost of fidelity, stated plainly: without a watermark Spark cannot
     * expire state on its own, so each key holds its (usually empty) state
@@ -134,19 +150,32 @@ object StreamingReorder extends Serializable {
 
     def fn(key: String, rows: Iterator[ElectronicOrder],
         state: GroupState[LateState]): Iterator[Reordered] = {
-      val st = state.getOption.getOrElse(LateState(Map.empty, Long.MinValue))
+      val st = state.getOption.getOrElse(LateState(Map.empty, Long.MinValue, Long.MinValue))
       var buf = st.buffer
       var streamTime = st.streamTime
       rows.foreach { o =>
         if (!buf.contains(o.time)) buf += o.time -> o // S3: first-wins
         if (o.time > streamTime) streamTime = o.time
       }
-      if (buf.nonEmpty && streamTime >= buf.keys.min + graceMs) {
-        // stream-time punctuation: whole-store ordered flush (S1/S2)
-        state.update(LateState(Map.empty, streamTime))
-        flushBuffer(buf, emitStoreKey)
+      // arm the first punctuation at first-observed stream time + grace
+      // (the batch's min event time, so the anchor does not depend on
+      // row order within the micro-batch)
+      val armed =
+        if (st.nextPunctuate != Long.MinValue) st.nextPunctuate
+        else if (buf.nonEmpty) buf.keys.min + graceMs
+        else Long.MinValue
+      if (armed != Long.MinValue && streamTime >= armed) {
+        // stream-time punctuation: whole-store ordered flush (S1/S2),
+        // stamped with the firing stream time (S5 — mayPunctuate passes
+        // current stream time, Application.java:72,77); re-arm one
+        // interval ahead, realigning after a multi-interval gap
+        val next =
+          if (armed + graceMs > streamTime) armed + graceMs
+          else streamTime + graceMs
+        state.update(LateState(Map.empty, streamTime, next))
+        flushBuffer(buf, emitStoreKey, streamTime)
       } else {
-        state.update(LateState(buf, streamTime))
+        state.update(LateState(buf, streamTime, armed))
         Iterator.empty
       }
     }

@@ -76,7 +76,8 @@ class ReorderAppSpec extends SparkTestBase {
     // encode side: the native expression's raw payload must be byte-exact
     // with the codec's, and its framed payload must carry the 5-byte header
     val ds = fixture.map(o => graft.streaming.StreamingReorder.Reordered(
-      s"key-${o.time}", o.order_id, o.electronic_id, o.user_id, o.price, o.time)).toDS()
+      s"key-${o.time}", o.order_id, o.electronic_id, o.user_id, o.price, o.time,
+      flush_time = 0L)).toDS()
     val raw = KafkaAvroIO.encodeValues(ds, confluentFramed = false)
       .as[(String, Array[Byte])].collect().toMap
     fixture.foreach { o =>
@@ -88,6 +89,46 @@ class ReorderAppSpec extends SparkTestBase {
       val b = framedOut(s"key-${o.time}")
       assert(b(0) == 0 && java.util.Arrays.equals(b.drop(5), AvroCodec.encode(o)))
     }
+  }
+
+  test("schema.id flows from properties to the Confluent frame header end to end") {
+    val props = Map("schema.id" -> "42")
+    val conf = KafkaAvroIO.loadConf(props)
+    assert(conf.schemaId == 42)
+    val ds = Seq(graft.streaming.StreamingReorder.Reordered(
+      "key-1000", "1", "HDTV", "u1", 9.99, 1000L, flush_time = 2000L)).toDS()
+    val out = KafkaAvroIO.encodeValues(ds, confluentFramed = true,
+      schemaId = conf.schemaId).as[(String, Array[Byte])].head()
+    val b = out._2
+    assert(b(0) == 0, "Confluent magic byte")
+    val headerId = ((b(1) & 0xFF) << 24) | ((b(2) & 0xFF) << 16) |
+      ((b(3) & 0xFF) << 8) | (b(4) & 0xFF)
+    assert(headerId == 42, "frame must carry the configured registry id, not 0")
+    assert(java.util.Arrays.equals(b.drop(5),
+      AvroCodec.encode(ElectronicOrder("1", "HDTV", "u1", 9.99, 1000L))))
+  }
+
+  test("encodeValues withTimestamp surfaces the S5 flush time as a sink timestamp column") {
+    val ds = Seq(graft.streaming.StreamingReorder.Reordered(
+      "key-1000", "1", "HDTV", "u1", 9.99, 1000L, flush_time = 5000L)).toDS()
+    val out = KafkaAvroIO.encodeValues(ds, confluentFramed = true, withTimestamp = true)
+    assert(out.columns.toSeq == Seq("key", "value", "timestamp"))
+    val ts = out.select(col("timestamp")).head().getTimestamp(0)
+    assert(ts.toInstant.toEpochMilli == 5000L,
+      "timestamp = punctuation stream time (Application.java:77)")
+  }
+
+  test("corrupt payloads decode to null and are filtered, not fatal (poison rows)") {
+    val good = fixture.head
+    val wire = Seq(
+      WireRecord(Array[Byte](0, 0, 0, 0, 7) ++ AvroCodec.encode(good)),
+      WireRecord(Array[Byte](0, 0, 0)),            // shorter than the header
+      WireRecord(Array[Byte](1, 0, 0, 0, 7, 9)),   // wrong magic byte
+      WireRecord(Array[Byte](0, 0, 0, 0, 7, -1))   // truncated Avro body
+    )
+    val decoded = KafkaAvroIO.decodeValues(wire.toDF(), confluentFramed = true)
+      .collect().toSeq
+    assert(decoded == Seq(good), "only the valid record survives")
   }
 
   test("wire-in -> topology -> wire-out assembly reproduces the golden reorder") {

@@ -155,13 +155,21 @@ class StreamingReorderSpec extends SparkTestBase {
 
   test("withLateOutput: beyond-grace straggler IS emitted — late, locally sorted (S1 fidelity)") {
     // the sibling of `latedrop`: same input, opposite (reference-faithful)
-    // behavior — Kafka Streams re-buffers beyond-grace records and its next
-    // stream-time punctuation emits them (Application.java:73-82)
+    // behavior — Kafka Streams re-buffers beyond-grace records and emits
+    // them at the NEXT stream-time punctuation (Application.java:73-82).
+    // Punctuation is a fixed stream-time interval, so the straggler alone
+    // cannot fire it (its time is behind stream time); a successor record
+    // advancing stream time past the next deadline flushes both.
     val tooLate = ElectronicOrder("13", "one", "straggler", 1.0, t("2021-11-03T20:00:00Z"))
-    val out = runLate(Seq(fixture, Seq(tooLate)), "late_emit")
-    assert(out.map(_.order_id) == goldenOrder :+ "13",
+    val advancer = ElectronicOrder("14", "one", "late-epoch", 2.0, t("2021-11-05T11:00:00Z"))
+    val out = runLate(Seq(fixture, Seq(tooLate), Seq(advancer)), "late_emit")
+    assert(out.map(_.order_id) == goldenOrder ++ Seq("13", "14"),
       "straggler must flush in the next punctuation epoch, after the golden prefix")
-    assert(out.last.key == s"key-${tooLate.time}")
+    assert(out.map(_.order_id).take(12) == goldenOrder)
+    // the straggler-only batch must NOT flush (stream time did not advance
+    // past the deadline): S5 stamps prove 13 and 14 share one flush epoch
+    assert(out.drop(12).map(_.flush_time).distinct.size == 1)
+    assert(out(12).key == s"key-${tooLate.time}")
   }
 
   test("withLateOutput: a buffer younger than grace stays buffered (stream-time punctuation, S6)") {
