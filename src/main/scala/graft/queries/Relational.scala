@@ -315,6 +315,89 @@ object Relational {
           .cast("long").as("days_to_2000"))
       .orderBy(col("o_orderkey"))
 
+  /** RANGE-frame window: peer-inclusive value-based frames (a sliding
+    * balance band per market segment) — the frame kind `rangeBetween`
+    * with non-integral offsets only reaches via SQL window syntax, which
+    * both engines share verbatim.
+    */
+  def qWindowRangeFrame(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .selectExpr("c_custkey", "c_mktsegment", "c_acctbal",
+        """round(sum(c_acctbal) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal
+          |RANGE BETWEEN 100.0 PRECEDING AND CURRENT ROW), 2) AS band_sum""".stripMargin,
+        """cast(count(*) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal
+          |RANGE BETWEEN 100.0 PRECEDING AND 100.0 FOLLOWING) AS BIGINT) AS band_n""".stripMargin)
+      .orderBy(col("c_mktsegment"), col("c_acctbal"), col("c_custkey"))
+
+  /** Window value functions (first/last/nth) over an explicit full frame
+    * — the default frame stops at CURRENT ROW, which makes `last_value`
+    * a no-op and is the classic cross-engine divergence trap, so the
+    * frame is spelled out.
+    */
+  def qFirstLast(s: SparkSession, dir: String): DataFrame = {
+    val frame = "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING"
+    val w = s"PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey $frame"
+    Tables.customer(s, dir)
+      .selectExpr("c_custkey", "c_mktsegment", "c_acctbal",
+        s"first_value(c_custkey) OVER ($w) AS poorest",
+        s"last_value(c_custkey) OVER ($w) AS richest",
+        s"nth_value(c_custkey, 3) OVER ($w) AS third")
+      .orderBy(col("c_mktsegment"), col("c_acctbal"), col("c_custkey"))
+  }
+
+  /** Regex functions: extract / replace-all / match test. DuckDB's
+    * `regexp_replace` replaces only the FIRST match unless passed the 'g'
+    * option — the oracle says so explicitly to stay in lockstep with
+    * Spark's replace-all semantics.
+    */
+  def qRegexFn(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .select(
+        col("p_partkey"),
+        regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
+        col("p_name").rlike("widget$").as("is_widget"))
+      .orderBy(col("p_partkey"))
+
+  /** NULL-handling scalars: nullif/coalesce/greatest/least and a
+    * null-aware comparison.
+    */
+  def qNullFn(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .select(
+        col("c_custkey"),
+        round(coalesce(nullif(col("c_acctbal"), lit(0.0)), lit(-1.0)), 2)
+          .as("bal_or_sentinel"),
+        round(greatest(col("c_acctbal"), lit(0.0)), 2).as("bal_floor0"),
+        round(least(col("c_acctbal"), lit(1000.0)), 2).as("bal_cap1k"),
+        col("c_acctbal").isNull.as("bal_missing"))
+      .orderBy(col("c_custkey"))
+
+  /** Lateral explode: one output row per word of `p_name` (the
+    * UNNEST/LATERAL VIEW shape — Spark `explode` generator, DuckDB
+    * `unnest`).
+    */
+  def qExplode(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .select(col("p_partkey"), explode(split(col("p_name"), " ")).as("word"))
+      .orderBy(col("p_partkey"), col("word"))
+
+  /** Conditional aggregates: filtered counts/sums and boolean
+    * aggregation, expressed as portable CASE forms (count_if / FILTER
+    * clauses lower to exactly these).
+    */
+  def qCondAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(when(col("o_totalprice") > 150000.0, 1)).as("n_big"),
+        round(sum(when(col("o_orderstatus") === "F", col("o_totalprice"))
+          .otherwise(0.0)), 2).as("filled_total"),
+        bool_and(col("o_totalprice") > 0.0).as("all_positive"),
+        bool_or(col("o_orderstatus") === "P").as("any_pending"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+
   /** Tumbling event-time window aggregation (batch form of the streaming
     * `window()` group — 1-day windows are epoch-aligned, so the oracle is
     * a date_trunc).
@@ -484,10 +567,59 @@ object Relational {
     "q_except" -> (qExcept _),
     "q_union" -> (qUnion _),
     "q_scalar_fn" -> (qScalarFn _),
-    "q_date_fn" -> (qDateFn _)
+    "q_date_fn" -> (qDateFn _),
+    "q_window_range" -> (qWindowRangeFrame _),
+    "q_first_last" -> (qFirstLast _),
+    "q_regex_fn" -> (qRegexFn _),
+    "q_null_fn" -> (qNullFn _),
+    "q_explode" -> (qExplode _),
+    "q_cond_agg" -> (qCondAgg _)
   )
 
   val oracles: Map[String, String] = Map(
+    "q_window_range" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        |  round(sum(c_acctbal) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal
+        |    RANGE BETWEEN 100.0 PRECEDING AND CURRENT ROW), 2) AS band_sum,
+        |  CAST(count(*) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal
+        |    RANGE BETWEEN 100.0 PRECEDING AND 100.0 FOLLOWING) AS BIGINT) AS band_n
+        |FROM customer ORDER BY c_mktsegment, c_acctbal, c_custkey""".stripMargin,
+    "q_first_last" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        |  first_value(c_custkey) OVER w AS poorest,
+        |  last_value(c_custkey) OVER w AS richest,
+        |  nth_value(c_custkey, 3) OVER w AS third
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY c_mktsegment, c_acctbal, c_custkey""".stripMargin,
+    // 'g' option: DuckDB regexp_replace is first-match-only by default,
+    // Spark's is replace-all
+    "q_regex_fn" ->
+      """SELECT p_partkey,
+        |  regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+        |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+        |  regexp_matches(p_name, 'widget$') AS is_widget
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_null_fn" ->
+      """SELECT c_custkey,
+        |  round(coalesce(nullif(c_acctbal, 0.0), -1.0), 2) AS bal_or_sentinel,
+        |  round(greatest(c_acctbal, 0.0), 2) AS bal_floor0,
+        |  round(least(c_acctbal, 1000.0), 2) AS bal_cap1k,
+        |  c_acctbal IS NULL AS bal_missing
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_explode" ->
+      """SELECT p_partkey, unnest(string_split(p_name, ' ')) AS word
+        |FROM part ORDER BY p_partkey, word""".stripMargin,
+    "q_cond_agg" ->
+      """SELECT o_orderpriority,
+        |  count(CASE WHEN o_totalprice > 150000.0 THEN 1 END) AS n_big,
+        |  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END), 2)
+        |    AS filled_total,
+        |  bool_and(o_totalprice > 0.0) AS all_positive,
+        |  bool_or(o_orderstatus = 'P') AS any_pending,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // manual type-7 interpolation, NOT quantile_cont, and NO rounding:
     // vk + (vk1 - vk) * f with f = CAST(n-1 AS DOUBLE)*p - floor(...) is
     // the exact IEEE op order the Spark side uses, so the doubles match
