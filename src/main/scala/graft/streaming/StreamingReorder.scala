@@ -1,9 +1,9 @@
 package graft.streaming
 
 import graft.model.ElectronicOrder
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, MapState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Structured Streaming re-expression of the reference's core operator:
   * the stateful event-time reorder buffer with first-wins timestamp dedup
@@ -183,6 +183,90 @@ object StreamingReorder extends Serializable {
     orders
       .groupByKey(_.electronic_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** [[faithful]] on Spark 4's `transformWithState` arbitrary-state v2
+    * API — same semantics (S1–S7), different state mechanics:
+    *  - the reorder buffer is a [[MapState]] keyed by event time, so a
+    *    batch's inserts are per-entry RocksDB puts instead of
+    *    re-serializing the whole buffer Map on every
+    *    `GroupState.update` (the v1 API's per-batch serde cost is
+    *    O(buffer), v2's is O(new records));
+    *  - the flush is an explicit event-time TIMER (registered at
+    *    `oldest + grace`, lowered when an older record arrives, cleared
+    *    on flush) rather than a timeout timestamp rewritten each batch.
+    * Measured honestly (`StreamBench`, MemoryStream, 100k records, 150
+    * keys): v1 and v2 are throughput-equivalent at this harness's scale
+    * even at 20× buffer depth — micro-batch fixed overhead dominates,
+    * not serde. The O(buffer) → O(inserts) serde asymmetry matters when
+    * per-key buffers are large relative to per-batch inserts AND rows
+    * are wide (a real grace window over high-rate keys), which a
+    * single-process MemoryStream cannot reach. Requires the RocksDB
+    * state store provider (the v2 API's native store); [[faithful]]
+    * remains for memory-provider deployments.
+    */
+  def faithfulV2(orders: Dataset[ElectronicOrder], graceMs: Long,
+      emitStoreKey: Boolean = true): Dataset[Reordered] = {
+    val spark = orders.sparkSession
+    import spark.implicits._
+    orders
+      .withColumn("event_time", timestamp_millis(col("time")))
+      .withWatermark("event_time", s"$graceMs milliseconds")
+      .as[ElectronicOrder]
+      .groupByKey(_.electronic_id)
+      .transformWithState(new ReorderProcessor(graceMs, emitStoreKey),
+        TimeMode.EventTime(), OutputMode.Append)
+  }
+
+  /** The stateful processor behind [[faithfulV2]]. */
+  private class ReorderProcessor(graceMs: Long, emitStoreKey: Boolean)
+    extends StatefulProcessor[String, ElectronicOrder, Reordered] {
+
+    @transient private var buffer: MapState[Long, ElectronicOrder] = _
+    @transient private var flushAt: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      buffer = getHandle.getMapState[Long, ElectronicOrder]("buffer",
+        Encoders.scalaLong, Encoders.product[ElectronicOrder], TTLConfig.NONE)
+      flushAt = getHandle.getValueState[Long]("flush_at",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[ElectronicOrder],
+        timers: TimerValues): Iterator[Reordered] = {
+      var minNew = Long.MaxValue
+      rows.foreach { o =>
+        // S3: first-wins per event time — a per-entry containsKey probe,
+        // not a whole-buffer read
+        if (!buffer.containsKey(o.time)) {
+          buffer.updateValue(o.time, o)
+          if (o.time < minNew) minNew = o.time
+        }
+      }
+      if (minNew != Long.MaxValue) {
+        // flush when the watermark passes oldest + grace; an event-time
+        // timer must sit above the current watermark to fire
+        val target = math.max(minNew + graceMs, timers.getCurrentWatermarkInMs() + 1)
+        val pending = if (flushAt.exists()) flushAt.get() else Long.MinValue
+        if (pending == Long.MinValue || target < pending) {
+          if (pending != Long.MinValue) getHandle.deleteTimer(pending)
+          getHandle.registerTimer(target)
+          flushAt.update(target)
+        }
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: String, timers: TimerValues,
+        info: ExpiredTimerInfo): Iterator[Reordered] = {
+      // punctuation analog: whole-store ordered flush (S1/S2), stamped
+      // with the engine's stream-time clock (S5); state fully cleared so
+      // idle keys hold no store space
+      val buf = buffer.iterator().map { case (t, o) => t -> o }.toMap
+      buffer.clear()
+      flushAt.clear()
+      flushBuffer(buf, emitStoreKey, timers.getCurrentWatermarkInMs())
+    }
   }
 
   /** The idiomatic variant: watermark + first-wins dedup within the

@@ -122,6 +122,34 @@ class StreamingReorderSpec extends SparkTestBase {
     }
   }
 
+  test("faithfulV2 (transformWithState) reproduces the golden output on RocksDB") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[ElectronicOrder]
+      val q = StreamingReorder.faithfulV2(input.toDS(), GraceMs)
+        .writeStream.format("memory").queryName("v2_golden")
+        .outputMode(OutputMode.Append).start()
+      try {
+        // split input + a duplicate timestamp: multi-batch timers + S3
+        val dup = ElectronicOrder("13", "one", "late-dup", 999.0, t("2021-11-04T01:05:00Z"))
+        Seq(fixture.take(6) :+ dup, fixture.drop(6)).foreach { b =>
+          input.addData(b); q.processAllAvailable()
+        }
+        q.processAllAvailable() // let the event-time timer fire
+        val out = spark.table("v2_golden").as[StreamingReorder.Reordered].collect().toSeq
+        assert(out.map(_.order_id) == goldenOrder, "golden values + order, dup dropped")
+        assert(out.map(_.key) == fixture.map(_.time).sorted.map(ti => s"key-$ti"), "S4 keys")
+        assert(out.map(_.flush_time).distinct.forall(_ > 0), "S5 stamps present")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("documented divergence (SURVEY S1/7.4): disorder beyond grace is dropped, not re-buffered") {
     // record 13 arrives in a later batch with event time > grace older than
     // the watermark; Kafka Streams would re-buffer and emit it late, Spark's
