@@ -205,6 +205,57 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  // ------------------------------------------------- cluster assignment
+
+  /** Connected-component cluster ids over a near-duplicate pair graph:
+    * every document gets `cluster_id` = the MINIMUM doc id reachable
+    * through the pair edges (its component's canonical representative) —
+    * the production dedup primitive: pairwise near-dup relations are not
+    * transitive, so real pipelines cluster first and then keep one
+    * representative per component, rather than greedily dropping pair
+    * losers ([[nearDedupKeepFirst]]'s simpler policy).
+    *
+    * Algorithm: iterative min-label propagation. Each round joins the
+    * current labels to the bidirectional edge list, takes
+    * `min(own, neighbors)` per node, and stops at the exact fixpoint
+    * (labels decrease monotonically, so an unchanged label sum — an
+    * O(#nodes) aggregate, no row-level diff — proves convergence).
+    * Rounds = component diameter; near-dup components are shallow in
+    * practice, `maxIters` bounds adversarial chains. Every shuffle
+    * carries (long, long) rows only; edges are cached across rounds;
+    * label lineage is truncated per round so plans stay flat.
+    *
+    * Output: (idCol, cluster_id), one row per input document (isolated
+    * documents are their own cluster).
+    */
+  def clusterIds(docs: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String = "doc_a", bCol: String = "doc_b",
+      maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .persist()
+    var labels = docs.select(col(idCol).cast("long").as("id"),
+      col(idCol).cast("long").as("label")).localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    var checksum = labels.agg(sum(col("label"))).head().getLong(0)
+    while (!converged && iter < maxIters) {
+      iter += 1
+      val neighborMin = edges.join(labels, col("src") === col("id"))
+        .groupBy(col("dst")).agg(min(col("label")).as("_nl"))
+      val next = labels.join(neighborMin, col("id") === col("dst"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("_nl"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      val nextSum = next.agg(sum(col("label"))).head().getLong(0)
+      converged = nextSum == checksum
+      checksum = nextSum
+      labels = next
+    }
+    edges.unpersist()
+    labels.select(col("id").as(idCol), col("label").as("cluster_id"))
+  }
+
   // ------------------------------------------------- embedding near-dup
 
   /** Embedding-cosine near-duplicate pairs, exact all-pairs variant.

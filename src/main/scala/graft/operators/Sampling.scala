@@ -27,4 +27,19 @@ object Sampling {
   /** Deterministic pct% sample (keep-if-bucket-below). */
   def sampled(df: DataFrame, idCol: String, pct: Int): DataFrame =
     df.filter(hashBucket(col(idCol), 100) < pct)
+
+  /** Deterministic STRATIFIED sample: a per-stratum keep percentage
+    * (downsample over-represented strata, keep the tail intact — the
+    * standard rebalancing move for training corpora), decided by the same
+    * content-hash bucket as [[sampled]], so membership is stable across
+    * partitioning, reruns, and appends, unlike `Dataset.sampleBy`'s
+    * partition-seeded draw. Pure narrow filter — no shuffle at any scale.
+    */
+  def stratifiedSampled(df: DataFrame, idCol: String, strataCol: String,
+      rates: Map[String, Int], defaultPct: Int): DataFrame = {
+    val pct = rates.foldLeft(lit(defaultPct)) { case (acc, (stratum, p)) =>
+      when(col(strataCol) === stratum, p).otherwise(acc)
+    }
+    df.filter(hashBucket(col(idCol), 100) < pct)
+  }
 }

@@ -88,6 +88,40 @@ object TextAnalysis {
         .otherwise("en").as("pred_lang"))
   }
 
+  /** Top-k salient terms per document, scored tf × N / df — the linear
+    * inverse-document-frequency variant of TF-IDF, chosen deliberately:
+    * `log` is not bit-portable across engines (libm vs engine builtins
+    * differ in the last ulp), while tf·N (exact integer, < 2^53) divided
+    * by df is ONE IEEE division both an oracle and Spark reproduce
+    * bit-for-bit. Ranking and the k-boundary therefore never flip.
+    *
+    * Shuffles at scale: one (doc, term) count aggregate, one term-level
+    * df aggregate (both map-side combined, term strings hash-distributed),
+    * one window by doc for the top-k — each carries counts, not text
+    * bodies. N comes from a count action (one column-pruned scan).
+    * Ties break by term ascending so output is total-ordered.
+    */
+  def termSalience(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = docs.count()
+    val terms = docs
+      .select(col(idCol).as("doc_id"), Text.tokens(col(textCol)).as("_toks"))
+      .select(col("doc_id"), explode(col("_toks")).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val score = (col("tf") * lit(n)).cast("double") / col("df")
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(score.desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .withColumn("score", score)
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"))
+      .orderBy(col("doc_id"), col("term"))
+  }
+
   /** Document fingerprints:
     *  - `poly_hash`: the [[PolyHash]] rolling hash of the full text
     *    (native codegen expression);

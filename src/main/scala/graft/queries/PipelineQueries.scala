@@ -157,8 +157,40 @@ object PipelineQueries {
       .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_doc"))
       .orderBy(col("split"))
 
+  /** Stratified rebalancing: downsample the over-represented language
+    * (en → 25%), keep the rest at 75% — content-hash decided, so
+    * membership is partitioning/rerun/append-stable.
+    */
+  def sampleStratified(s: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedSampled(Tables.documents(s, dir), "doc_id", "lang",
+      Map("en" -> 25), defaultPct = 75)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("first_doc"))
+      .orderBy(col("lang"))
+
+  /** Connected-component near-dup clusters over the MinHash pair graph
+    * (cluster_id = min member id) — the transitive-closure dedup
+    * primitive; pair membership is the hash-green exact-Jaccard set, so
+    * the oracle can recompute components with a recursive CTE.
+    */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, Tau)
+    Dedup.clusterIds(docs, "doc_id", pairs)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Top-3 salient terms per document (tf × N / df, exact-arithmetic
+    * TF-IDF variant — see [[TextAnalysis.termSalience]]).
+    */
+  def textSalientTerms(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.termSalience(Tables.documents(s, dir), "doc_id", "text", 3)
+
   val queries: Map[String, Relational.Q] = Map(
     "sample_split" -> (sampleSplit _),
+    "sample_stratified" -> (sampleStratified _),
+    "dedup_clusters" -> (dedupClusters _),
+    "text_salient_terms" -> (textSalientTerms _),
     "q_asof_join" -> (qAsofJoin _),
     "q_range_join" -> (qRangeJoin _),
     "mm_binary_stats" -> (mmBinaryStats _),
@@ -210,6 +242,51 @@ object PipelineQueries {
         |            THEN 'train' ELSE 'val' END AS split,
         |  count(*) AS n, min(doc_id) AS first_doc
         |FROM documents GROUP BY 1 ORDER BY split""".stripMargin,
+    "sample_stratified" ->
+      """SELECT lang, count(*) AS n_kept, min(doc_id) AS first_doc
+        |FROM documents
+        |WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+        |      < (CASE WHEN lang = 'en' THEN 25 ELSE 75 END)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    // connected components of the exact-Jaccard pair graph via recursive
+    // reachability; cluster_id = min reachable id (incl. self)
+    "dedup_clusters" ->
+      (shingleCte.replace("WITH t AS", "WITH RECURSIVE t AS") +
+        s""",
+          |p AS (
+          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |  FROM s a, s b WHERE a.doc_id < b.doc_id AND
+          |    round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+          |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) >= $Tau),
+          |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+          |      UNION ALL SELECT doc_b, doc_a FROM p),
+          |reach(src, dst) AS (
+          |  SELECT src, dst FROM e
+          |  UNION
+          |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src)
+          |SELECT d.doc_id,
+          |  least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS cluster_id
+          |FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+          |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin),
+    // tf × N / df: exact-integer numerator, one IEEE division — log-free
+    // so the doubles are bit-identical cross-engine (see termSalience)
+    "text_salient_terms" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS toks
+        |  FROM documents),
+        |x AS (SELECT doc_id, unnest(toks) AS term FROM t),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM x GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |sc AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        |    CAST(tf.tf * n.n AS DOUBLE) / dfreq.df AS score,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY CAST(tf.tf * n.n AS DOUBLE) / dfreq.df DESC, tf.term) AS rk
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, tf, df, score FROM sc
+        |WHERE rk <= 3 ORDER BY doc_id, term""".stripMargin,
     "q_asof_join" ->
       """WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
         |c AS (SELECT user_id, ts AS click_ts, event_id AS click_id, value AS click_value

@@ -22,6 +22,28 @@ class DedupSpec extends SparkTestBase {
     assert(kept.toSeq == Seq(0L, 1L, 2L, 3L), "doc 10 is a duplicate of doc 0 and must lose")
   }
 
+  test("clusterIds computes connected components with min-id labels") {
+    // graph: chain 1-2, 2-3 (one component, min 1); pair 5-6; isolates 4, 7
+    val universe = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val out = Dedup.clusterIds(universe, "doc_id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
+    // transitivity the pair-based policy can't express: 3 reaches 1 only
+    // through 2 — label propagation must carry it across the chain
+    assert(out(3L) == 1L)
+  }
+
+  test("clusterIds converges on a long chain (diameter > 1 iterations)") {
+    val n = 12
+    val universe = (1 to n).map(_.toLong).toDF("doc_id")
+    val pairs = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("doc_a", "doc_b")
+    val out = Dedup.clusterIds(universe, "doc_id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(out.values.toSet == Set(1L), "whole chain collapses to min id 1")
+  }
+
   test("ngramJaccardPairs finds exactly the planted near-dup pair") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.7)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet

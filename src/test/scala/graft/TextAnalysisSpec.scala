@@ -44,6 +44,24 @@ class TextAnalysisSpec extends SparkTestBase {
       5L -> "zh", 6L -> "en"))
   }
 
+  test("termSalience ranks rare terms above common ones, exact arithmetic") {
+    val docs = Seq(
+      (1L, "alpha beta beta gamma"),
+      (2L, "alpha beta delta"),
+      (3L, "alpha epsilon")).toDF("doc_id", "text")
+    val out = TextAnalysis.termSalience(docs, "doc_id", "text", 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    val doc1 = out.filter(_._1 == 1L).map(_._2).toSet
+    // alpha appears in all 3 docs (df=3, score 1*3/3=1); beta tf=2 df=2
+    // (score 3), gamma tf=1 df=1 (score 3) — the two salient terms win
+    assert(doc1 == Set("beta", "gamma"))
+    val gamma = out.find(t => t._1 == 1L && t._2 == "gamma").get
+    assert(gamma._5 == 1.0 * 3 / 1, "score is the exact rational tf*N/df")
+    // doc 3: epsilon (df=1) beats alpha (df=3)
+    assert(out.filter(_._1 == 3L).map(_._2).toSet == Set("alpha", "epsilon"))
+  }
+
   test("fingerprints are stable and edit-local (min-8-gram survives a suffix edit)") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
