@@ -17,9 +17,13 @@ object SparkEntry {
     (PipelineQueries.queries, PipelineQueries.oracles)
   )
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The end-to-end corpus-curation pipeline: quality gate → exact dedup
+    * → near-dup cluster dedup → stratified sample → per-language summary
+    * (all five stages individually hash-green operators).
+    */
   def entry(spark: SparkSession): DataFrame =
-    Relational.q1Agg(spark, "/root/testdata/sf0.001")
+    PipelineQueries.pipelineCurate(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -186,11 +186,47 @@ object PipelineQueries {
   def textSalientTerms(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.termSalience(Tables.documents(s, dir), "doc_id", "text", 3)
 
+  /** The END-TO-END corpus-curation pipeline — the composition a real
+    * training-data run executes, every stage one of this engine's
+    * hash-green operators:
+    *   1. quality gate (composite score ≥ 0.75, [[TextAnalysis.stats]] —
+    *      compares the ROUNDED score so boundary membership can't flip);
+    *   2. exact dedup ([[Dedup.exactByHash]], content-hash groupBy);
+    *   3. near-dup CLUSTER dedup: MinHash-LSH pairs →
+    *      [[Dedup.clusterIds]] components → keep each cluster's
+    *      representative (min id);
+    *   4. stratified rebalancing sample
+    *      ([[Sampling.stratifiedSampled]], en → 50%, rest 90%);
+    *   5. per-language corpus summary.
+    * Semi joins keep each stage's survivor set as ids-only (no text
+    * bodies re-shuffle between stages); the oracle recomputes all five
+    * stages in one SQL statement.
+    */
+  def pipelineCurate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val quality = TextAnalysis.stats(docs, "doc_id", "text")
+      .filter(col("quality") >= 0.75).select(col("doc_id"))
+    val kept0 = docs.join(quality, Seq("doc_id"), "left_semi")
+    val kept1 = Dedup.exactByHash(kept0, "text", "doc_id")
+    val pairs = Dedup.minhashLshPairs(kept1, "doc_id", "text", 3, Tau)
+    val reps = Dedup.clusterIds(kept1, "doc_id", pairs)
+      .filter(col("doc_id") === col("cluster_id")).select(col("doc_id"))
+    val kept2 = kept1.join(reps, Seq("doc_id"), "left_semi")
+    val sampled = Sampling.stratifiedSampled(kept2, "doc_id", "lang",
+      Map("en" -> 50), defaultPct = 90)
+    sampled.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("first_doc"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     "sample_split" -> (sampleSplit _),
     "sample_stratified" -> (sampleStratified _),
     "dedup_clusters" -> (dedupClusters _),
     "text_salient_terms" -> (textSalientTerms _),
+    "pipeline_curate" -> (pipelineCurate _),
     "q_asof_join" -> (qAsofJoin _),
     "q_range_join" -> (qRangeJoin _),
     "mm_binary_stats" -> (mmBinaryStats _),
@@ -268,6 +304,59 @@ object PipelineQueries {
           |  least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS cluster_id
           |FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
           |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin),
+    // all five curation stages in one statement; every sub-expression is
+    // the lockstep copy of its stage's own green oracle (quality formula
+    // from text_stats, md5 row_number from dedup_exact_docs, shingle
+    // pairs from the jaccard oracles, reachability from dedup_clusters,
+    // hash threshold from sample_stratified)
+    "pipeline_curate" ->
+      s"""WITH RECURSIVE t AS (
+         |  SELECT doc_id, text,
+         |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS toks
+         |  FROM documents),
+         |qx AS (
+         |  SELECT doc_id,
+         |    round(least(CAST(len(toks) AS BIGINT) / 100.0, 1.0) * 0.4 +
+         |      (1.0 - round(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0 /
+         |        greatest(length(text), 1), 6)) * 0.3 +
+         |      (1.0 - round(len(list_filter(toks,
+         |          x -> list_contains(['the','a','and','of','to','in','is','on','for','with'], x))) * 1.0 /
+         |        greatest(len(toks), 1), 6)) * 0.3, 6) AS quality
+         |  FROM t),
+         |k0 AS (SELECT d.* FROM documents d JOIN qx USING (doc_id) WHERE qx.quality >= 0.75),
+         |k1 AS (SELECT * FROM (
+         |  SELECT k0.*, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |  FROM k0) WHERE rn = 1),
+         |sh1 AS (
+         |  SELECT t.doc_id,
+         |    list_distinct(CASE WHEN len(toks) >= 3
+         |      THEN list_transform(range(1, len(toks) - 1),
+         |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         |      ELSE [array_to_string(toks, ' ')] END) AS sh
+         |  FROM t JOIN k1 USING (doc_id)),
+         |p AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sh1 a, sh1 b WHERE a.doc_id < b.doc_id AND
+         |    round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+         |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) >= $Tau),
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+         |      UNION ALL SELECT doc_b, doc_a FROM p),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM e
+         |  UNION
+         |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+         |lab AS (
+         |  SELECT k1.doc_id,
+         |    least(k1.doc_id, coalesce(min(r.dst), k1.doc_id)) AS cluster_id
+         |  FROM k1 LEFT JOIN reach r ON r.src = k1.doc_id GROUP BY k1.doc_id),
+         |k2 AS (SELECT k1.* FROM k1 JOIN lab ON k1.doc_id = lab.doc_id
+         |       AND k1.doc_id = lab.cluster_id),
+         |samp AS (SELECT * FROM k2
+         |  WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+         |        < (CASE WHEN lang = 'en' THEN 50 ELSE 90 END))
+         |SELECT lang, count(*) AS n_docs, min(doc_id) AS first_doc,
+         |  sum(n_chars) AS total_chars
+         |FROM samp GROUP BY lang ORDER BY lang""".stripMargin,
     // tf × N / df: exact-integer numerator, one IEEE division — log-free
     // so the doubles are bit-identical cross-engine (see termSalience)
     "text_salient_terms" ->
