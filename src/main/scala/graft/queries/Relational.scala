@@ -382,6 +382,37 @@ object Relational {
       .select(col("p_partkey"), explode(split(col("p_name"), " ")).as("word"))
       .orderBy(col("p_partkey"), col("word"))
 
+  /** Map functions: literal construction, key lookup, cardinality, key
+    * listing — emitted as flattened scalars because a raw map column's
+    * serialized form is not comparable across engines.
+    */
+  def qMapFn(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .select(col("p_partkey"),
+        map(lit("brand"), col("p_brand"), lit("type"), col("p_type")).as("_m"))
+      .select(
+        col("p_partkey"),
+        element_at(col("_m"), "brand").as("brand_val"),
+        size(col("_m")).cast("long").as("m_size"),
+        array_join(map_keys(col("_m")), ",").as("m_keys"))
+      .orderBy(col("p_partkey"))
+
+  /** Math functions restricted to the BIT-PORTABLE set: sqrt is
+    * IEEE-754 correctly rounded (identical bits on every conforming
+    * engine, unlike libm's exp/ln/pow), x·x is one exact multiply, and
+    * floor/ceil/sign are integral. No rounding needed anywhere.
+    */
+  def qMathFn(s: SparkSession, dir: String): DataFrame =
+    Tables.supplier(s, dir)
+      .select(
+        col("s_suppkey"),
+        sqrt(abs(col("s_acctbal"))).as("sqrt_bal"),
+        floor(col("s_acctbal")).cast("long").as("floor_bal"),
+        ceil(col("s_acctbal")).cast("long").as("ceil_bal"),
+        signum(col("s_acctbal")).cast("long").as("sign_bal"),
+        (col("s_acctbal") * col("s_acctbal")).as("sq_bal"))
+      .orderBy(col("s_suppkey"))
+
   /** Conditional aggregates: filtered counts/sums and boolean
     * aggregation, expressed as portable CASE forms (count_if / FILTER
     * clauses lower to exactly these).
@@ -573,7 +604,9 @@ object Relational {
     "q_regex_fn" -> (qRegexFn _),
     "q_null_fn" -> (qNullFn _),
     "q_explode" -> (qExplode _),
-    "q_cond_agg" -> (qCondAgg _)
+    "q_cond_agg" -> (qCondAgg _),
+    "q_map_fn" -> (qMapFn _),
+    "q_math_fn" -> (qMathFn _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -611,6 +644,24 @@ object Relational {
     "q_explode" ->
       """SELECT p_partkey, unnest(string_split(p_name, ' ')) AS word
         |FROM part ORDER BY p_partkey, word""".stripMargin,
+    // DuckDB map subscript returns a LIST — [1] unwraps to the scalar
+    "q_map_fn" ->
+      """SELECT p_partkey,
+        |  m['brand'][1] AS brand_val,
+        |  CAST(cardinality(m) AS BIGINT) AS m_size,
+        |  array_to_string(map_keys(m), ',') AS m_keys
+        |FROM (SELECT p_partkey, MAP {'brand': p_brand, 'type': p_type} AS m FROM part)
+        |ORDER BY p_partkey""".stripMargin,
+    // sqrt is IEEE correctly rounded and x*x one exact multiply: raw
+    // doubles compare bit-for-bit, no rounding required
+    "q_math_fn" ->
+      """SELECT s_suppkey,
+        |  sqrt(abs(s_acctbal)) AS sqrt_bal,
+        |  CAST(floor(s_acctbal) AS BIGINT) AS floor_bal,
+        |  CAST(ceil(s_acctbal) AS BIGINT) AS ceil_bal,
+        |  CAST(sign(s_acctbal) AS BIGINT) AS sign_bal,
+        |  s_acctbal * s_acctbal AS sq_bal
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
     "q_cond_agg" ->
       """SELECT o_orderpriority,
         |  count(CASE WHEN o_totalprice > 150000.0 THEN 1 END) AS n_big,
