@@ -207,7 +207,12 @@ object PipelineQueries {
     val quality = TextAnalysis.stats(docs, "doc_id", "text")
       .filter(col("quality") >= 0.75).select(col("doc_id"))
     val kept0 = docs.join(quality, Seq("doc_id"), "left_semi")
+    // the exact-dedup survivor set feeds three consumers (pair generation,
+    // cluster-label init, the final semi join) — persist it once instead
+    // of re-running the quality+dedup chain per consumer; in a real run
+    // this is the stage boundary a pipeline would checkpoint to storage
     val kept1 = Dedup.exactByHash(kept0, "text", "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = Dedup.minhashLshPairs(kept1, "doc_id", "text", 3, Tau)
     val reps = Dedup.clusterIds(kept1, "doc_id", pairs)
       .filter(col("doc_id") === col("cluster_id")).select(col("doc_id"))
