@@ -156,12 +156,24 @@ object Dedup {
     * long[64] vote array with map-side partials) instead of 64 wide
     * conditional-sum columns. Output: (id, simhash).
     */
-  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // token hash = first 64 bits of md5 (two 32-bit halves combined) —
+    // chosen over xxhash64 deliberately: md5 is computable in ANSI-ish
+    // SQL, so the whole fingerprint (votes, sign bits, banding) is
+    // recomputable by the DuckDB oracle and dedup_simhash is hash-green
+    // instead of a pinned rows-only check. Bit i of the combined long is
+    // bit i of lo for i < 32, bit i-32 of hi otherwise — the oracle
+    // extracts bits from the halves and never needs the (sign-wrapping)
+    // 64-bit combine.
+    val md = md5(col("_t"))
+    val hi = conv(substring(md, 1, 8), 16, 10).cast("long")
+    val lo = conv(substring(md, 9, 8), 16, 10).cast("long")
     docs.select(col(idCol).as("_id"),
         explode(array_distinct(Text.tokens(col(textCol)))).as("_t"))
-      .select(col("_id"), xxhash64(col("_t")).as("_h"))
+      .select(col("_id"), shiftleft(hi, 32).bitwiseOR(lo).as("_h"))
       .groupBy(col("_id"))
       .agg(graft.functions.SimHashAgg.simhash(col("_h")).as("simhash"))
+  }
 
   /** Pairs with SimHash Hamming distance ≤ maxDist (≤ 3 with the default
     * 4 bands): band the 64-bit fingerprint into 4 × 16-bit chunks and

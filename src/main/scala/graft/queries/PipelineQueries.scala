@@ -309,6 +309,36 @@ object PipelineQueries {
           |  least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS cluster_id
           |FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
           |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin),
+    // full simhash recomputation: md5-half token hashes -> 64 per-bit
+    // votes (±1, bit set iff vote > 0, matching SimHashAgg exactly) ->
+    // two's-complement fingerprint (bit 63 contributes -2^63) -> all
+    // pairs with hamming <= 3 (tiny at oracle scale; the Spark side's
+    // 4x16 banding is recall-exact for <= 3, so the sets coincide)
+    "dedup_simhash" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS toks
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(list_distinct(toks)) AS tk FROM t),
+        |h AS (SELECT doc_id,
+        |    ('0x' || substring(md5(tk), 1, 8))::BIGINT AS hi,
+        |    ('0x' || substring(md5(tk), 9, 8))::BIGINT AS lo
+        |  FROM tok),
+        |v AS (SELECT doc_id, r.i,
+        |    sum((CASE WHEN r.i < 32 THEN (lo >> r.i) & 1
+        |              ELSE (hi >> (r.i - 32)) & 1 END) * 2 - 1) AS vote
+        |  FROM h CROSS JOIN (SELECT unnest(range(64)) AS i) r
+        |  GROUP BY doc_id, r.i),
+        |fp AS (SELECT doc_id,
+        |    CAST(sum(CASE WHEN vote > 0 THEN
+        |      CASE WHEN i = 63 THEN -9223372036854775808 ELSE (1::BIGINT << i) END
+        |      ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM v GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        |FROM fp a, fp b
+        |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // all five curation stages in one statement; every sub-expression is
     // the lockstep copy of its stage's own green oracle (quality formula
     // from text_stats, md5 row_number from dedup_exact_docs, shingle
