@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-batch preparation operators: shard assignment, deterministic
+  * sequence packing, and weighted source interleaving (domain mixing) —
+  * the last mile between a curated corpus and a dataloader.
+  *
+  * Everything is content-hash- or total-order-deterministic (stable
+  * across partitioning, reruns, and appends) and built from exact
+  * integer arithmetic or single IEEE divisions, so a SQL oracle
+  * reproduces results bit-for-bit.
+  */
+object Packing {
+
+  /** Stable shard id in [0, nShards) from the id's MD5 — the same
+    * content-hash bucket family as [[Sampling]], so shard membership
+    * never depends on partitioning.
+    */
+  def shardOf(idCol: Column, nShards: Int): Column =
+    pmod(conv(substring(md5(idCol.cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(nShards.toLong))
+
+  /** Deterministic concat-then-chunk pack assignment: documents are laid
+    * end to end per shard in id order, and a document belongs to the pack
+    * where its first token lands — `pack_id = (cumsum − own) div budget`,
+    * the standard LLM-pretraining chunking rule expressed as one running
+    * sum. All arithmetic is exact integer, so the assignment is
+    * bit-reproducible anywhere.
+    *
+    * Scale: the running sum is a window per SHARD — parallelism =
+    * `nShards` (pick it ≥ cluster cores; packing is per-dataloader-worker
+    * anyway). No global single-partition sort ever happens.
+    * Output: input columns + `shard`, `pack_id`.
+    */
+  def packByBudget(docs: DataFrame, idCol: String, tokensCol: String,
+      nShards: Int, budgetTokens: Long): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.withColumn("shard", shardOf(col(idCol), nShards))
+      .withColumn("_cum", sum(col(tokensCol)).over(w))
+      .withColumn("pack_id",
+        expr(s"(_cum - $tokensCol) div $budgetTokens"))
+      .drop("_cum")
+  }
+
+  /** Weighted source interleaving (domain mixing): source s's k-th
+    * document (in id order) gets mix position k / weight(s), so a source
+    * with weight 4 appears 4× as densely in the merged order — the
+    * deterministic equivalent of sampling-with-ratios dataset mixing.
+    * Returns the first `limit` documents of the merged order with their
+    * `mix_rank`; the global sort is a distributed top-k (orderBy+limit),
+    * and the rank window runs over only those `limit` rows. The position
+    * is one IEEE division of exacts (rank / weight) — bit-portable.
+    * Ties (equal positions across sources) break by (source, id).
+    */
+  def interleaveByWeight(docs: DataFrame, idCol: String, sourceCol: String,
+      weights: Map[String, Double], defaultWeight: Double,
+      limit: Int): DataFrame = {
+    val wExpr = weights.foldLeft(lit(defaultWeight)) { case (acc, (s, v)) =>
+      when(col(sourceCol) === s, v).otherwise(acc)
+    }
+    val perSource = Window.partitionBy(col(sourceCol)).orderBy(col(idCol))
+    val ranked = docs
+      .withColumn("_rn", row_number().over(perSource).cast("long"))
+      .withColumn("pos", col("_rn").cast("double") / wExpr)
+      .orderBy(col("pos"), col(sourceCol), col(idCol))
+      .limit(limit)
+    // rank over the k surviving rows only — bounded single partition
+    val global = Window.orderBy(col("pos"), col(sourceCol), col(idCol))
+    ranked.withColumn("mix_rank", row_number().over(global).cast("long"))
+      .select(col("mix_rank"), col(idCol), col(sourceCol), col("pos"))
+      .orderBy(col("mix_rank"))
+  }
+}

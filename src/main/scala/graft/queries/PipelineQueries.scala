@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TemporalJoins, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Packing, Sampling, Similarity, TemporalJoins, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -186,6 +186,28 @@ object PipelineQueries {
   def textSalientTerms(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.termSalience(Tables.documents(s, dir), "doc_id", "text", 3)
 
+  /** Deterministic sequence packing: 8 shards, 4096-token budget;
+    * per-(shard, pack) summary. All-integer arithmetic — see
+    * [[Packing.packByBudget]].
+    */
+  def packSequences(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(graft.functions.Text.tokens(col("text"))).cast("long").as("n_tok"))
+    Packing.packByBudget(docs, "doc_id", "n_tok", nShards = 8, budgetTokens = 4096L)
+      .groupBy(col("shard"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_sum"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy(col("shard"), col("pack_id"))
+  }
+
+  /** Weighted domain mixing: src0 at 4× density, first 200 of the merged
+    * order — see [[Packing.interleaveByWeight]].
+    */
+  def sampleMix(s: SparkSession, dir: String): DataFrame =
+    Packing.interleaveByWeight(Tables.documents(s, dir), "doc_id", "source",
+      Map("src0" -> 4.0), defaultWeight = 1.0, limit = 200)
+
   /** The END-TO-END corpus-curation pipeline — the composition a real
     * training-data run executes, every stage one of this engine's
     * hash-green operators:
@@ -232,6 +254,8 @@ object PipelineQueries {
     "dedup_clusters" -> (dedupClusters _),
     "text_salient_terms" -> (textSalientTerms _),
     "pipeline_curate" -> (pipelineCurate _),
+    "pack_sequences" -> (packSequences _),
+    "sample_mix" -> (sampleMix _),
     "q_asof_join" -> (qAsofJoin _),
     "q_range_join" -> (qRangeJoin _),
     "mm_binary_stats" -> (mmBinaryStats _),
@@ -309,6 +333,35 @@ object PipelineQueries {
           |  least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS cluster_id
           |FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
           |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin),
+    // concat-then-chunk assignment is all-integer: cumsum per md5 shard
+    // in id order, pack = (cum - own) // budget
+    "pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x != '')) AS BIGINT) AS n_tok,
+        |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS shard
+        |  FROM documents),
+        |c AS (SELECT doc_id, shard, n_tok,
+        |  sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+        |SELECT shard, (cum - n_tok) // 4096 AS pack_id,
+        |  count(*) AS n_docs, sum(n_tok) AS tok_sum, min(doc_id) AS first_doc
+        |FROM c GROUP BY shard, pack_id ORDER BY shard, pack_id""".stripMargin,
+    // mix position = rank / weight, one IEEE division of exacts; weight
+    // literals in e0 form (bare 4.0 parses as DECIMAL in DuckDB)
+    "sample_mix" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |p AS (SELECT doc_id, source,
+        |  CAST(rn AS DOUBLE) / (CASE WHEN source = 'src0' THEN 4.0e0 ELSE 1.0e0 END) AS pos
+        |  FROM r),
+        |top AS (SELECT * FROM p ORDER BY pos, source, doc_id LIMIT 200)
+        |SELECT row_number() OVER (ORDER BY pos, source, doc_id) AS mix_rank,
+        |  doc_id, source, pos
+        |FROM top ORDER BY mix_rank""".stripMargin,
     // full simhash recomputation: md5-half token hashes -> 64 per-bit
     // votes (±1, bit set iff vote > 0, matching SimHashAgg exactly) ->
     // two's-complement fingerprint (bit 63 contributes -2^63) -> all
