@@ -441,6 +441,31 @@ object Relational {
         col("n"), col("sum_value"))
       .orderBy(col("window_start"), col("event_type"))
 
+  /** Sliding (hopping) event-time windows: 2-hour windows every 30
+    * minutes — each event lands in exactly 4 windows; the oracle explodes
+    * the 4 epoch-aligned starts per event (start = ⌊ts/slide⌋·slide −
+    * j·slide always contains ts for j < window/slide, so no containment
+    * filter is needed).
+    */
+  def qWindowSliding(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "2 hours", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  /** Correlated EXISTS (SQL surface — the semi join's declarative form). */
+  def qExistsSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+    Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT c_custkey, c_name FROM customer_v c
+        |WHERE EXISTS (SELECT 1 FROM orders_v o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   /** Gap-based session windows via the native session_window function
     * (30-minute inactivity gap, same sessionization the streaming path
     * uses); oracle reconstructs sessions with a lag + running-sum.
@@ -606,7 +631,9 @@ object Relational {
     "q_explode" -> (qExplode _),
     "q_cond_agg" -> (qCondAgg _),
     "q_map_fn" -> (qMapFn _),
-    "q_math_fn" -> (qMathFn _)
+    "q_math_fn" -> (qMathFn _),
+    "q_window_sliding" -> (qWindowSliding _),
+    "q_exists_subquery" -> (qExistsSubquery _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -644,6 +671,23 @@ object Relational {
     "q_explode" ->
       """SELECT p_partkey, unnest(string_split(p_name, ' ')) AS word
         |FROM part ORDER BY p_partkey, word""".stripMargin,
+    // each event belongs to window/slide = 4 hops; start alignment is
+    // epoch µs (events.ts nanos truncate to µs on both sides)
+    "q_window_sliding" ->
+      """WITH x AS (
+        |  SELECT event_type,
+        |    make_timestamp(((epoch_us(ts) // 1800000000) - j.j) * 1800000000)
+        |      AS window_start
+        |  FROM events CROSS JOIN (SELECT unnest(range(4)) AS j) j)
+        |SELECT window_start, event_type, count(*) AS n
+        |FROM x GROUP BY window_start, event_type
+        |ORDER BY window_start, event_type""".stripMargin,
+    "q_exists_subquery" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
     // DuckDB map subscript returns a LIST — [1] unwraps to the scalar
     "q_map_fn" ->
       """SELECT p_partkey,
