@@ -186,6 +186,25 @@ object PipelineQueries {
   def textSalientTerms(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.termSalience(Tables.documents(s, dir), "doc_id", "text", 3)
 
+  /** Gopher-style quality rule flags: published corpus-filter heuristics
+    * (word-count bounds, mean-word-length band, symbol and stopword
+    * ratios) as per-document booleans + the conjunction. Every rule
+    * compares a ROUNDED exact ratio from [[TextAnalysis.stats]], so
+    * boundary membership is bit-stable and the query is hash-green —
+    * unlike model-based quality scores, which would be rows-only.
+    */
+  def textQualityRules(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.stats(Tables.documents(s, dir), "doc_id", "text")
+      .select(col("doc_id"),
+        col("n_tokens").between(50, 100000).as("pass_word_count"),
+        col("mean_tok_len").between(3.0, 10.0).as("pass_word_len"),
+        (col("punct_ratio") <= 0.2).as("pass_symbol"),
+        (col("stop_ratio") >= 0.01).as("pass_stopword"))
+      .withColumn("pass_all",
+        col("pass_word_count") && col("pass_word_len") &&
+          col("pass_symbol") && col("pass_stopword"))
+      .orderBy(col("doc_id"))
+
   /** Deterministic sequence packing: 8 shards, 4096-token budget;
     * per-(shard, pack) summary. All-integer arithmetic — see
     * [[Packing.packByBudget]].
@@ -256,6 +275,7 @@ object PipelineQueries {
     "pipeline_curate" -> (pipelineCurate _),
     "pack_sequences" -> (packSequences _),
     "sample_mix" -> (sampleMix _),
+    "text_quality_rules" -> (textQualityRules _),
     "q_asof_join" -> (qAsofJoin _),
     "q_range_join" -> (qRangeJoin _),
     "mm_binary_stats" -> (mmBinaryStats _),
@@ -333,6 +353,27 @@ object PipelineQueries {
           |  least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS cluster_id
           |FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
           |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin),
+    // rule thresholds compare the text_stats oracle's ROUNDED ratios
+    "text_quality_rules" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    round(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 1.0 / greatest(length(text), 1), 6) AS punct_ratio,
+        |    round(len(list_filter(toks, t -> list_contains(['the','a','and','of','to','in','is','on','for','with'], t))) * 1.0 / greatest(len(toks), 1), 6) AS stop_ratio,
+        |    round(list_sum(list_transform(toks, t -> length(t))) * 1.0 / greatest(len(toks), 1), 6) AS mean_tok_len
+        |  FROM t)
+        |SELECT doc_id,
+        |  n_tokens BETWEEN 50 AND 100000 AS pass_word_count,
+        |  mean_tok_len BETWEEN 3.0 AND 10.0 AS pass_word_len,
+        |  punct_ratio <= 0.2 AS pass_symbol,
+        |  stop_ratio >= 0.01 AS pass_stopword,
+        |  (n_tokens BETWEEN 50 AND 100000) AND (mean_tok_len BETWEEN 3.0 AND 10.0)
+        |    AND punct_ratio <= 0.2 AND stop_ratio >= 0.01 AS pass_all
+        |FROM s ORDER BY doc_id""".stripMargin,
     // concat-then-chunk assignment is all-integer: cumsum per md5 shard
     // in id order, pack = (cum - own) // budget
     "pack_sequences" ->
