@@ -26,6 +26,17 @@ object EventAggregates {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Sliding (hopping) window counts: each event contributes to
+    * windowLen/slide windows; watermark bounds state as for tumbling.
+    */
+  def slidingCounts(events: DataFrame, tsCol: String, windowLen: String,
+      slide: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+
   /** Gap-based session aggregation per user (merging windows). */
   def sessionCounts(events: DataFrame, tsCol: String, gap: String,
       watermark: String): DataFrame =

@@ -45,6 +45,27 @@ class EventAggregatesSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming sliding windows equal the batch run (4 hops per event)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventAggregates.slidingCounts(input.toDF(), "ts", "20 minutes",
+      "5 minutes", "30 minutes")
+      .writeStream.format("memory").queryName("sliding")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      input.addData(batch)
+      q.processAllAvailable()
+      val streaming = spark.table("sliding")
+        .orderBy("window_start", "event_type").collect().toSeq
+      val batchRun = EventAggregates.slidingCounts(batch.toDF(), "ts",
+        "20 minutes", "5 minutes", "30 minutes")
+        .orderBy("window_start", "event_type").collect().toSeq
+      assert(streaming == batchRun)
+      // every event lands in exactly window/slide = 4 hops
+      assert(streaming.map(_.getAs[Long]("n")).sum == 4L * batch.size)
+    } finally q.stop()
+  }
+
   test("streaming session windows merge by gap and equal the batch run") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
