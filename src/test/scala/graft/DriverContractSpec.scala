@@ -8,6 +8,27 @@ import java.nio.file.{Files, Paths}
   */
 class DriverContractSpec extends SparkTestBase {
 
+  test("q_approx_distinct stays within HLL++ error bounds of the exact counts") {
+    // the one sketch query has no SQL oracle (engine-specific HLL), so —
+    // like the ANN recall floors — a hard accuracy gate replaces it:
+    // default rsd 0.05 ⇒ gate at 3σ = 15% relative error per group
+    val dir = "/root/testdata/sf0.01"
+    val approx = SparkEntry.queries("q_approx_distinct")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = Tables.lineitem(spark, dir)
+      .groupBy(org.apache.spark.sql.functions.col("l_returnflag"))
+      .agg(
+        org.apache.spark.sql.functions.countDistinct("l_partkey").as("p"),
+        org.apache.spark.sql.functions.countDistinct("l_suppkey").as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (g, (p, sCount)) =>
+      val (ap, as_) = approx(g)
+      assert(math.abs(ap - p).toDouble / p <= 0.15, s"$g parts: $ap vs $p")
+      assert(math.abs(as_ - sCount).toDouble / sCount <= 0.15, s"$g supps: $as_ vs $sCount")
+    }
+  }
+
   test("every oracle key has a query; no accidental orphans") {
     val qs = SparkEntry.queries.keySet
     val os = SparkEntry.oracleSql.keySet
