@@ -386,8 +386,8 @@ object PipelineQueries {
         |c AS (SELECT doc_id, shard, n_tok,
         |  sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
         |    ROWS UNBOUNDED PRECEDING) AS cum FROM t)
-        |SELECT shard, (cum - n_tok) // 4096 AS pack_id,
-        |  count(*) AS n_docs, sum(n_tok) AS tok_sum, min(doc_id) AS first_doc
+        |SELECT shard, CAST((cum - n_tok) // 4096 AS BIGINT) AS pack_id,
+        |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS tok_sum, min(doc_id) AS first_doc
         |FROM c GROUP BY shard, pack_id ORDER BY shard, pack_id""".stripMargin,
     // mix position = rank / weight, one IEEE division of exacts; weight
     // literals in e0 form (bare 4.0 parses as DECIMAL in DuckDB)
@@ -484,7 +484,7 @@ object PipelineQueries {
          |  WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
          |        < (CASE WHEN lang = 'en' THEN 50 ELSE 90 END))
          |SELECT lang, count(*) AS n_docs, min(doc_id) AS first_doc,
-         |  sum(n_chars) AS total_chars
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars
          |FROM samp GROUP BY lang ORDER BY lang""".stripMargin,
     // tf × N / df: exact-integer numerator, one IEEE division — log-free
     // so the doubles are bit-identical cross-engine (see termSalience)
