@@ -27,9 +27,10 @@ import org.apache.spark.sql.SparkSession
   *
   * Output hand-off: the bare JSON line is the FIRST line this main writes
   * to stdout (preceded by a newline so log interleaving cannot glue it to
-  * another line), duplicated to stderr, and written to `bench_out.json`
-  * (path override: SPARK_GRAFT_BENCH_OUT) — three chances for the driver's
-  * parser.
+  * another line), duplicated to stderr, and written to
+  * `$TMPDIR/graft_bench_out.json` (path override: SPARK_GRAFT_BENCH_OUT) —
+  * three chances for the driver's parser, none of them littering the repo
+  * working tree.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -82,7 +83,11 @@ object Bench {
     println()
     println(json)
     Console.err.println(json)
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    // default OUTSIDE the repo cwd (tmpdir) so repeated runs don't strew
+    // untracked artifacts in the working tree; SPARK_GRAFT_BENCH_OUT pins
+    // an explicit path
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      new java.io.File(System.getProperty("java.io.tmpdir"), "graft_bench_out.json").getPath)
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()

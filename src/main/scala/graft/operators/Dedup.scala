@@ -61,9 +61,10 @@ object Dedup {
     * distinct shingle-hash sets; shared by the exact and MinHash paths so
     * both emit identical `(doc_a, doc_b, jaccard)` rows for true pairs.
     */
-  private def verifyPairs(cands: DataFrame, sh: DataFrame, tau: Double): DataFrame = {
+  private def verifyPairs(cands: DataFrame, sh: DataFrame, tau: Double,
+      ordered: Boolean = true): DataFrame = {
     val sets = sh.groupBy(col("_id")).agg(collect_set(col("_h")).as("_set"))
-    cands
+    val pairs = cands
       .join(sets.select(col("_id").as("_ida"), col("_set").as("_seta")), "_ida")
       .join(sets.select(col("_id").as("_idb"), col("_set").as("_setb")), "_idb")
       .withColumn("_inter", size(array_intersect(col("_seta"), col("_setb"))))
@@ -71,7 +72,10 @@ object Dedup {
         (size(col("_seta")) + size(col("_setb")) - col("_inter")), 4))
       .filter(col("jaccard") >= tau)
       .select(col("_ida").as("doc_a"), col("_idb").as("doc_b"), col("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
+    // the global sort exists for deterministic oracle output; consumers
+    // that only feed a join/left-anti (near-dedup, clustering) skip it —
+    // a range-partition + sort stage for nothing otherwise
+    if (ordered) pairs.orderBy(col("doc_a"), col("doc_b")) else pairs
   }
 
   /** All pairs with word-n-gram Jaccard ≥ tau, computed exactly with
@@ -85,7 +89,7 @@ object Dedup {
     * suffers at scale). Candidates are then exact-verified.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, tau: Double): DataFrame = {
+      n: Int, tau: Double, ordered: Boolean = true): DataFrame = {
     val sh = shingleHashes(docs, idCol, textCol, n)
     val sizes = sh.groupBy(col("_id")).agg(count(lit(1)).as("_n"))
     val dfreq = sh.groupBy(col("_h")).agg(count(lit(1)).as("_df"))
@@ -101,7 +105,7 @@ object Dedup {
       .filter(col("_ida") < col("_idb"))
       .select(col("_ida"), col("_idb"))
       .distinct()
-    verifyPairs(cands, sh, tau)
+    verifyPairs(cands, sh, tau, ordered)
   }
 
   // ------------------------------------------------------- MinHash + LSH
@@ -127,7 +131,7 @@ object Dedup {
     * Output: (doc_a, doc_b, jaccard).
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, tau: Double): DataFrame = {
+      n: Int, tau: Double, ordered: Boolean = true): DataFrame = {
     val sh = shingleHashes(docs, idCol, textCol, n)
     // single-buffer MinHash aggregate: one array column instead of 128
     // wide agg columns (see graft.functions.MinHashAgg)
@@ -145,7 +149,7 @@ object Dedup {
       .filter(col("x._id") < col("y._id"))
       .select(col("x._id").as("_ida"), col("y._id").as("_idb"))
       .distinct()
-    verifyPairs(cands, sh, tau)
+    verifyPairs(cands, sh, tau, ordered)
   }
 
   // ------------------------------------------------------------- SimHash
@@ -212,7 +216,7 @@ object Dedup {
     */
   def nearDedupKeepFirst(docs: DataFrame, idCol: String, textCol: String,
       n: Int, tau: Double): DataFrame = {
-    val losers = minhashLshPairs(docs, idCol, textCol, n, tau)
+    val losers = minhashLshPairs(docs, idCol, textCol, n, tau, ordered = false)
       .select(col("doc_b").as(idCol))
     docs.join(losers, Seq(idCol), "left_anti")
   }

@@ -17,12 +17,14 @@ import org.apache.spark.sql.functions._
   * re-encodes actual pixels) and AUDIO decode/encode are REAL
   * (`javax.sound.sampled.AudioSystem`: WAV/AIFF/AU payloads decode to
   * true sample rate / frame count, and RMS is computed over the actual
-  * PCM samples). Only VIDEO remains STUBBED (`FakeCodec` below — the JDK
-  * ships no video codec and this environment has no external libraries):
-  * a deterministic, clearly-marked stand-in deriving plausible frames
-  * from the bytes, with the Spark-side plumbing — schema, encoders,
-  * partitioning, batch iteration, explode shape — real and tested;
-  * swapping `FakeCodec` for a real decoder is a one-object change.
+  * PCM samples). VIDEO is real too, over a self-describing container the
+  * JDK can actually decode (it ships no mp4/webm codec and this
+  * environment has no external libraries): `GVID` = magic + frame count
+  * + length-prefixed PNG frames at a fixed 25 fps, every frame decoded
+  * with the same genuine `javax.imageio` path as still images. Swapping
+  * in an mp4 demuxer changes only [[Multimodal.decodeVideos]]'s
+  * container-parsing loop; the per-frame schema, poison policy, and
+  * explode shape are codec-independent.
   *
   * Scale: rows carry payloads of MBs, so the operators repartition by id
   * before heavy decode stages to balance executor work, and all outputs
@@ -44,22 +46,48 @@ object Multimodal {
   final case class VideoFrame(media_id: Long, frame_idx: Int, pts_ms: Long,
       frame_fp: Long)
 
-  /** STUB CODEC — deterministic fake in place of a real VIDEO library
-    * only (images use real javax.imageio, audio real javax.sound.sampled;
-    * the JDK has no video codec). Every derived value is a pure function
-    * of the payload bytes so tests and reruns are stable.
+  final case class DecodedVideoFrame(media_id: Long, frame_idx: Int,
+      pts_ms: Long, width: Int, height: Int, n_pixels: Long, decoded: Boolean)
+
+  /** The `GVID` toy container: `"GVID"` magic, int32-BE frame count, then
+    * per frame an int32-BE byte length followed by a REAL PNG payload.
+    * Fixed 25 fps (40 ms per frame). The JDK ships still-image codecs but
+    * no video demuxer, so this self-describing concatenation is the
+    * simplest container whose every frame exercises a genuine
+    * `javax.imageio` decode — the shape (demux loop → per-frame decode →
+    * small typed rows) is exactly what an mp4-backed implementation does.
     */
-  private object FakeCodec {
-    def frameCount(bytes: Array[Byte]): Int = 1 + (byteAt(bytes, 3) % 8)
-    def frameFingerprint(bytes: Array[Byte], idx: Int): Long = {
-      var h = 1125899906842597L
-      var i = idx % math.max(bytes.length, 1)
-      val end = math.min(i + 64, bytes.length)
-      while (i < end) { h = h * 31 + bytes(i); i += 1 }
-      h
+  private[graft] object Gvid {
+    val Magic: Array[Byte] = "GVID".getBytes("US-ASCII")
+    val FrameMs = 40L // 25 fps
+
+    def write(frames: Seq[Array[Byte]]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(
+        8 + frames.map(_.length + 4).sum)
+      val d = new java.io.DataOutputStream(out)
+      d.write(Magic); d.writeInt(frames.length)
+      frames.foreach { f => d.writeInt(f.length); d.write(f) }
+      d.flush()
+      out.toByteArray
     }
-    private def byteAt(b: Array[Byte], i: Int): Int =
-      if (b.isEmpty) 0 else b(i % b.length) & 0xFF
+
+    /** Demux to raw PNG payloads; None on a corrupt container (bad magic,
+      * truncated frame table) — the poison-row contract.
+      */
+    def read(bytes: Array[Byte]): Option[IndexedSeq[Array[Byte]]] = {
+      if (bytes.length < 8 || !bytes.startsWith(Magic)) return None
+      val in = new java.io.DataInputStream(
+        new java.io.ByteArrayInputStream(bytes, 4, bytes.length - 4))
+      try {
+        val n = in.readInt()
+        if (n < 0 || n > 100000) return None
+        Some((0 until n).map { _ =>
+          val len = in.readInt()
+          if (len < 0 || len > bytes.length) throw new java.io.IOException("bad frame length")
+          in.readNBytes(len)
+        })
+      } catch { case _: java.io.IOException => None }
+    }
   }
 
   /** Wrap a string column as a media payload table (test-data stand-in for
@@ -272,16 +300,103 @@ object Multimodal {
     }
   }
 
-  /** Frame sampling (stub): one row per sampled frame, payload dropped —
-    * the flatMap shape (1 → N small rows) is the real contract.
+  /** Deterministic GVID synthesis — the video twin of [[renderImages]]
+    * (production reads `format("binaryFile")`): renders
+    * `1 + byte0 % 6` frames, frame i a `(1 + byte(2i+2) % 64) ×
+    * (1 + byte(2i+3) % 64)` solid-color REAL PNG (bytes from the
+    * payload's MD5, so a SQL oracle recomputes frame count and every
+    * frame's dimensions), wrapped in the length-prefixed [[Gvid]]
+    * container. Real bytes out: [[decodeVideos]] downstream does a
+    * genuine demux + per-frame `javax.imageio` decode.
     */
-  def sampleFrames(media: Dataset[MediaRecord], everyMs: Long = 1000L): Dataset[VideoFrame] = {
+  def renderVideos(media: Dataset[MediaRecord]): Dataset[MediaRecord] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { batch =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      batch.map { m =>
+        md.reset()
+        val d = md.digest(m.content)
+        def b(i: Int): Int = d(i) & 0xFF
+        val frames = (0 until 1 + b(0) % 6).map { i =>
+          val (w, h) = (1 + b(2 * i + 2) % 64, 1 + b(2 * i + 3) % 64)
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+          val rgb = (b(2 * i + 2) << 16) | (b(2 * i + 3) << 8) | b(i)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+            y += 1
+          }
+          val out = new java.io.ByteArrayOutputStream(256)
+          javax.imageio.ImageIO.write(img, "png", out)
+          out.toByteArray
+        }
+        MediaRecord(m.media_id, "video/gvid", Gvid.write(frames), m.meta)
+      }
+    }
+  }
+
+  /** Batched REAL video decode: demux the [[Gvid]] container and decode
+    * every frame with `javax.imageio`, emitting one small typed row per
+    * frame (payload dropped — a 100 TB video scan must never shuffle
+    * blobs). `pts_ms` is the container's fixed 25 fps clock. Poison
+    * policy: a corrupt container or frame yields a single
+    * `decoded = false` row with `frame_idx = -1` rather than failing the
+    * batch.
+    */
+  def decodeVideos(media: Dataset[MediaRecord], partitions: Int = 0): Dataset[DecodedVideoFrame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val balanced = if (partitions > 0) media.repartition(partitions, col("media_id")) else media
+    balanced.mapPartitions { batch =>
+      batch.flatMap { m =>
+        Gvid.read(m.content) match {
+          case None =>
+            Seq(DecodedVideoFrame(m.media_id, -1, 0L, 0, 0, 0L, decoded = false))
+          case Some(frames) =>
+            frames.zipWithIndex.map { case (png, i) =>
+              val img =
+                try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+                catch { case _: java.io.IOException => null }
+              if (img == null)
+                DecodedVideoFrame(m.media_id, i, i * Gvid.FrameMs, 0, 0, 0L, decoded = false)
+              else {
+                val c = img.getRaster.getNumBands
+                DecodedVideoFrame(m.media_id, i, i * Gvid.FrameMs,
+                  img.getWidth, img.getHeight,
+                  img.getWidth.toLong * img.getHeight * c, decoded = true)
+              }
+            }
+        }
+      }
+    }
+  }
+
+  /** Frame sampling: demux the [[Gvid]] container, keep every `stride`-th
+    * frame, decode it for real, and fingerprint the DECODED pixels
+    * (dims + top-left RGB — stable across any lossless re-encode of the
+    * same pixels, unlike hashing container bytes). One small row per
+    * sampled frame, payload dropped. Corrupt containers/frames are
+    * skipped (poison policy: flatMap emits nothing for them).
+    */
+  def sampleFrames(media: Dataset[MediaRecord], stride: Int = 2): Dataset[VideoFrame] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.flatMap { m =>
-      val n = FakeCodec.frameCount(m.content)
-      (0 until n).map(i =>
-        VideoFrame(m.media_id, i, i * everyMs, FakeCodec.frameFingerprint(m.content, i)))
+      Gvid.read(m.content).toSeq.flatMap { frames =>
+        frames.zipWithIndex.collect { case (png, i) if i % stride == 0 =>
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+            catch { case _: java.io.IOException => null }
+          Option(img).map { im =>
+            val fp = (im.getWidth.toLong << 48) | (im.getHeight.toLong << 32) |
+              (im.getRGB(0, 0) & 0xFFFFFFL)
+            VideoFrame(m.media_id, i, i * Gvid.FrameMs, fp)
+          }
+        }.flatten
+      }
     }
   }
 

@@ -102,6 +102,24 @@ object PipelineQueries {
       .orderBy(col("media_id"))
   }
 
+  /** Real end-to-end video pipeline: deterministic GVID synthesis (frame
+    * count and per-frame dims derived from md5, SQL-recomputable) →
+    * genuine container demux + per-frame javax.imageio decode. Hash-green
+    * because every decoded dimension is a pure function of the text —
+    * while the bytes in between are a real PNG-per-frame round trip.
+    */
+  def mmVideoDecode(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.fromText(Tables.documents(s, dir), "doc_id", "text", "video")
+    Multimodal.decodeVideos(Multimodal.renderVideos(media)).toDF()
+      .select(col("media_id"),
+        col("frame_idx").cast("long").as("frame_idx"),
+        col("pts_ms"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("n_pixels"), col("decoded"))
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
   /** Real end-to-end audio pipeline: deterministic WAV synthesis (sample
     * rate / length / amplitude derived from md5, SQL-recomputable) →
     * genuine javax.sound.sampled decode. Hash-green because a ±amp square
@@ -175,7 +193,7 @@ object PipelineQueries {
     */
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, Tau)
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, Tau, ordered = false)
     Dedup.clusterIds(docs, "doc_id", pairs)
       .orderBy(col("doc_id"))
   }
@@ -254,7 +272,7 @@ object PipelineQueries {
     // this is the stage boundary a pipeline would checkpoint to storage
     val kept1 = Dedup.exactByHash(kept0, "text", "doc_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = Dedup.minhashLshPairs(kept1, "doc_id", "text", 3, Tau)
+    val pairs = Dedup.minhashLshPairs(kept1, "doc_id", "text", 3, Tau, ordered = false)
     val reps = Dedup.clusterIds(kept1, "doc_id", pairs)
       .filter(col("doc_id") === col("cluster_id")).select(col("doc_id"))
     val kept2 = kept1.join(reps, Seq("doc_id"), "left_semi")
@@ -281,6 +299,7 @@ object PipelineQueries {
     "mm_binary_stats" -> (mmBinaryStats _),
     "mm_image_decode" -> (mmImageDecode _),
     "mm_audio_decode" -> (mmAudioDecode _),
+    "mm_video_decode" -> (mmVideoDecode _),
     "text_stats" -> (textStats _),
     "text_langid" -> (textLangid _),
     "text_fingerprint" -> (textFingerprint _),
@@ -624,6 +643,21 @@ object PipelineQueries {
         |  CAST(h AS BIGINT) AS height, CAST(3 AS BIGINT) AS channels,
         |  CAST(w * h * 3 AS BIGINT) AS n_pixels, true AS decoded
         |FROM d ORDER BY media_id""".stripMargin,
+    // frame count + per-frame dims are pure md5 functions (renderVideos'
+    // contract); byte j of the digest is hex chars (2j+1, 2j+2)
+    "mm_video_decode" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS m FROM documents),
+        |f AS (SELECT doc_id, m,
+        |  unnest(range(0, 1 + (('0x' || substring(m, 1, 2))::INT % 6))) AS i
+        |  FROM d)
+        |SELECT doc_id AS media_id, CAST(i AS BIGINT) AS frame_idx,
+        |  CAST(40 * i AS BIGINT) AS pts_ms,
+        |  CAST(1 + (('0x' || substring(m, 4*i+5, 2))::INT % 64) AS BIGINT) AS width,
+        |  CAST(1 + (('0x' || substring(m, 4*i+7, 2))::INT % 64) AS BIGINT) AS height,
+        |  CAST((1 + (('0x' || substring(m, 4*i+5, 2))::INT % 64))
+        |     * (1 + (('0x' || substring(m, 4*i+7, 2))::INT % 64)) * 3 AS BIGINT) AS n_pixels,
+        |  true AS decoded
+        |FROM f ORDER BY media_id, frame_idx""".stripMargin,
     // decoded features are pure md5 functions (renderWavs' contract); the
     // square wave's RMS is exactly amp/32768, amp odd so no round tie
     "mm_audio_decode" ->
