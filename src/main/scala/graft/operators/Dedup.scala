@@ -246,7 +246,15 @@ object Dedup {
     */
   def clusterIds(docs: DataFrame, idCol: String, pairs: DataFrame,
       aCol: String = "doc_a", bCol: String = "doc_b",
-      maxIters: Int = 20): DataFrame = {
+      maxIters: Int = 20): DataFrame =
+    clusterIdsCounted(docs, idCol, pairs, aCol, bCol, maxIters)._1
+
+  /** [[clusterIds]] plus the number of label-propagation rounds executed
+    * (spec instrumentation for the rounds-vs-diameter claim).
+    */
+  private[graft] def clusterIdsCounted(docs: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
+      maxIters: Int = 20): (DataFrame, Int) = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .persist()
@@ -269,7 +277,99 @@ object Dedup {
       labels = next
     }
     edges.unpersist()
-    labels.select(col("id").as(idCol), col("label").as("cluster_id"))
+    (labels.select(col("id").as(idCol), col("label").as("cluster_id")), iter)
+  }
+
+  /** Connected components by alternating large-star/small-star contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — same output contract as [[clusterIds]] (cluster_id = the
+    * component's minimum member id, isolated documents their own cluster)
+    * but convergence in O(log n) rounds instead of O(diameter):
+    *
+    *  - large-star: every node's strictly-LARGER neighbors re-point to the
+    *    minimum of its closed neighborhood — long chains fold toward local
+    *    minima without ever breaking connectivity;
+    *  - small-star: edges are oriented large→small and each node's
+    *    smaller-or-equal neighbors (plus itself) re-point to that minimum —
+    *    flattening the partial trees into stars.
+    *
+    * At the fixpoint every component is a star rooted at its minimum id
+    * and the edge set is exactly (member → root). Each half-round is one
+    * groupBy + one join over (long, long) edges, with `distinct` keeping
+    * the edge multiset from growing; lineage truncated per round.
+    * Convergence detection: the edge set's (count, hash-sum) signature is
+    * invariant exactly at the fixpoint (edges only re-point downward, so
+    * an unchanged signature proves an unchanged set).
+    *
+    * [[clusterIds]] (min-label propagation, rounds = diameter) remains as
+    * the oracle twin: on the shallow components real near-dup graphs
+    * produce, its single shuffle per round is cheaper; prefer this variant
+    * when components may be deep (adversarial chains, transitive-text
+    * corpora). `DedupSpec` pins the two equal on a planted 50-deep chain.
+    */
+  def clusterIdsStar(docs: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String = "doc_a", bCol: String = "doc_b",
+      maxIters: Int = 25): DataFrame =
+    clusterIdsStarCounted(docs, idCol, pairs, aCol, bCol, maxIters)._1
+
+  private[graft] def clusterIdsStarCounted(docs: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
+      maxIters: Int = 25): (DataFrame, Int) = {
+    // self-loop-free undirected edge set over the paired nodes
+    var edges = pairs
+      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(true)
+
+    // m(u) = min(N(u) ∪ {u}) over the given (u = src, v = dst) adjacency
+    def closedMin(nbr: DataFrame): DataFrame =
+      nbr.groupBy(col("src")).agg(least(min(col("dst")), col("src")).as("_m"))
+
+    def signature(e: DataFrame): (Long, Long) = {
+      // (count, xor-of-hashes): order-independent, overflow-free set
+      // signature — e is distinct, so equal signatures ⇔ equal sets up to
+      // hash collision
+      val r = e.agg(count(lit(1)), coalesce(bit_xor(xxhash64(col("src"), col("dst"))), lit(0L)))
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var sig = signature(edges)
+    var iter = 0
+    var converged = edges.isEmpty
+    while (!converged && iter < maxIters) {
+      iter += 1
+      // large-star: (v, m(u)) for every neighbor v > u
+      val nbr = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      val large = nbr.join(closedMin(nbr), "src")
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("_m").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      // small-star on large→small orientation: every smaller-or-equal
+      // neighbor (and u itself) points to m(u)
+      val oriented = large
+        .select(greatest(col("src"), col("dst")).as("src"),
+          least(col("src"), col("dst")).as("dst"))
+      val m = closedMin(oriented)
+      val small = oriented.join(m, "src")
+        .select(col("dst").as("src"), col("_m").as("dst"))
+        .union(m.select(col("src"), col("_m").as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+        .localCheckpoint(true)
+      val nextSig = signature(small)
+      converged = nextSig == sig
+      sig = nextSig
+      edges = small
+    }
+    // fixpoint edges are (member → component-min root); roots and isolated
+    // docs label themselves
+    val labels = docs.select(col(idCol).cast("long").as("id"))
+      .join(edges.select(col("src").as("id"), col("dst").as("_root")), Seq("id"), "left")
+      .select(col("id").as(idCol), coalesce(col("_root"), col("id")).as("cluster_id"))
+    (labels, iter)
   }
 
   // ------------------------------------------------- embedding near-dup

@@ -44,6 +44,45 @@ class DedupSpec extends SparkTestBase {
     assert(out.values.toSet == Set(1L), "whole chain collapses to min id 1")
   }
 
+  test("clusterIdsStar equals min-label on a planted 50-deep chain, in far fewer rounds") {
+    // worst case for propagation: a 51-node chain (diameter 50), plus a
+    // separate triangle component and two isolates
+    val n = 51
+    val universe = ((1 to n).map(_.toLong) ++ Seq(100L, 101L, 102L, 200L, 201L))
+      .toDF("doc_id")
+    val pairs = ((1 until n).map(i => (i.toLong, (i + 1).toLong)) ++
+      Seq((100L, 101L), (101L, 102L), (100L, 102L))).toDF("doc_a", "doc_b")
+    val (minLabel, minRounds) =
+      Dedup.clusterIdsCounted(universe, "doc_id", pairs, maxIters = 60)
+    val (star, starRounds) =
+      Dedup.clusterIdsStarCounted(universe, "doc_id", pairs)
+    val expected = ((1 to n).map(i => i.toLong -> 1L) ++
+      Seq(100L -> 100L, 101L -> 100L, 102L -> 100L, 200L -> 200L, 201L -> 201L)).toMap
+    assert(minLabel.as[(Long, Long)].collect().toMap == expected)
+    assert(star.as[(Long, Long)].collect().toMap == expected)
+    // min-label needs ~diameter rounds; star contraction collapses the
+    // same chain logarithmically
+    assert(minRounds >= 50, s"min-label should take ~diameter rounds, took $minRounds")
+    assert(starRounds <= 10, s"star contraction should be O(log n), took $starRounds")
+  }
+
+  test("clusterIdsStar matches clusterIds on the small mixed graph") {
+    val universe = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val out = Dedup.clusterIdsStar(universe, "doc_id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
+  test("clusterIdsStar handles an empty pair set (all isolates)") {
+    val universe = Seq(1L, 2L, 3L).toDF("doc_id")
+    val pairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val (out, rounds) = Dedup.clusterIdsStarCounted(universe, "doc_id", pairs)
+    assert(out.as[(Long, Long)].collect().toMap == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+    assert(rounds == 0)
+  }
+
   test("ngramJaccardPairs finds exactly the planted near-dup pair") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.7)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
