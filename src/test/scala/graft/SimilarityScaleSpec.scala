@@ -1,0 +1,46 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+import org.scalatest.Tag
+
+/** Marks tests that read the larger sf0.1 test data (seconds, not ms).
+  * Exclude with `testOnly -- -l graft.Slow` when iterating.
+  */
+object Slow extends Tag("graft.Slow")
+
+/** The sf0.01 recall gates in [[SimilaritySpec]] re-asserted at the bench
+  * scale factor (sf0.1, 4× the corpus): LSH table/bit and IVF nlist/nprobe
+  * parameters that hold recall only on a small corpus would rot silently
+  * as data grows — banding selectivity and centroid coverage both shift
+  * with corpus size, so the floors must be pinned where the driver
+  * actually benches.
+  */
+class SimilarityScaleSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val SfDir = "/root/testdata/sf0.1"
+
+  private def annPairs(df: org.apache.spark.sql.DataFrame) =
+    df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+
+  test("lshTopK recall@5 >= 0.5 vs brute force at sf0.1", Slow) {
+    val emb = Tables.embeddings(spark, SfDir)
+    val queries = emb.filter($"vec_id" < 10)
+    val brute = annPairs(Similarity.bruteTopK(queries, emb, "vec_id", "embedding", 5))
+    val lsh = annPairs(Similarity.lshTopK(queries, emb, "vec_id", "embedding", 5, 64))
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall@5 = $recall below the sf0.01 floor at sf0.1 — " +
+      "L=8 b=4 banding no longer covers the grown corpus; retune tables/bits")
+  }
+
+  test("ivfTopK recall@5 >= 0.3 vs brute force at sf0.1", Slow) {
+    val emb = Tables.embeddings(spark, SfDir)
+    val queries = emb.filter($"vec_id" < 10)
+    val brute = annPairs(Similarity.bruteTopK(queries, emb, "vec_id", "embedding", 5))
+    val ivf = annPairs(Similarity.ivfTopK(queries, emb, "vec_id", "embedding", 5))
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.3, s"recall@5 = $recall below the sf0.01 floor at sf0.1 — " +
+      "nprobe/nlist coverage shrank with the grown corpus; retune")
+  }
+}
