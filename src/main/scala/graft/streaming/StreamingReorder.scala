@@ -195,15 +195,17 @@ object StreamingReorder extends Serializable {
     *  - the flush is an explicit event-time TIMER (registered at
     *    `oldest + grace`, lowered when an older record arrives, cleared
     *    on flush) rather than a timeout timestamp rewritten each batch.
-    * Measured honestly (`StreamBench`, MemoryStream, 100k records, 150
-    * keys): v1 and v2 are throughput-equivalent at this harness's scale
-    * even at 20× buffer depth — micro-batch fixed overhead dominates,
-    * not serde. The O(buffer) → O(inserts) serde asymmetry matters when
-    * per-key buffers are large relative to per-batch inserts AND rows
-    * are wide (a real grace window over high-rate keys), which a
-    * single-process MemoryStream cannot reach. Requires the RocksDB
-    * state store provider (the v2 API's native store); [[faithful]]
-    * remains for memory-provider deployments.
+    * Measured honestly (`StreamBench`: shallow 100k records / 150 keys —
+    * equivalent, micro-batch overhead dominates; deep mode 4 keys ×
+    * 200k records on RocksDB, 200 batches — v2 is 24% faster end-to-end
+    * and the whole gap is serde, see SCALE.md's deep-buffer table). The
+    * O(buffer) → O(inserts) asymmetry matters when per-key buffers are
+    * deep relative to per-batch inserts (a real grace window over
+    * high-rate keys); v1 additionally holds each key's buffer as ONE
+    * state row, which is what stalls when a single key buffers a whole
+    * grace window. Requires the RocksDB state store provider (the v2
+    * API's native store); [[faithful]] remains for memory-provider
+    * deployments.
     */
   def faithfulV2(orders: Dataset[ElectronicOrder], graceMs: Long,
       emitStoreKey: Boolean = true): Dataset[Reordered] = {

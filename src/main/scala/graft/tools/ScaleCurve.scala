@@ -1,0 +1,96 @@
+package graft.tools
+
+import graft.SparkEntry
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Time-vs-n evidence for the dedup/ANN stack's linearity claims
+  * (SCALE.md): runs the sub-quadratic candidate-generation queries at
+  * n/2, n, and 2n documents derived from one base scale factor, and
+  * prints per-query times plus the observed growth exponent
+  * log(t_2n / t_n/2) / log 4.
+  *
+  * Corpus construction keeps the near-dup STRUCTURE linear in n so the
+  * exponent measures algorithmic cost, not output blow-up:
+  *  - n/2: deterministic subsample (`doc_id % 2 = 0`) — same length and
+  *    similarity distribution;
+  *  - 2n: originals ∪ token-REVERSED copies under offset ids — reversed
+  *    word order shares no 3-gram shingles with any original, so no
+  *    cross-copy candidates appear and true pairs grow exactly 2×
+  *    (embeddings: negated copies — cosine relations preserved within
+  *    the copy, anti-correlated across, so near-pair counts double).
+  *
+  * Not part of the driver contract. Run:
+  * `runMain graft.tools.ScaleCurve [baseSfDir] [reps]`.
+  */
+object ScaleCurve {
+
+  private val Queries = Seq("dedup_minhash", "dedup_ngram_jaccard",
+    "dedup_simhash", "dedup_near_keep", "dedup_clusters", "ann_topk_lsh")
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val reps = args.drop(1).headOption.map(_.toInt).getOrElse(3)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val root = java.nio.file.Files.createTempDirectory("graft_scale").toString
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+    val emb = spark.read.parquet(s"$base/embeddings.parquet")
+    val n = docs.count()
+
+    def writeDir(dir: String, d: DataFrame, e: DataFrame): String = {
+      d.coalesce(4).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      e.coalesce(4).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      dir
+    }
+
+    val half = writeDir(s"$root/half",
+      docs.filter(col("doc_id") % 2 === 0),
+      emb.filter(col("vec_id") % 2 === 0))
+    val reversedCopy = docs
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      .withColumn("text", array_join(reverse(split(col("text"), " ")), " "))
+    val negatedCopy = emb
+      .withColumn("vec_id", col("vec_id") + lit(1000000L))
+      .withColumn("embedding", transform(col("embedding"), x => -x))
+    val double = writeDir(s"$root/double",
+      docs.unionByName(reversedCopy), emb.unionByName(negatedCopy))
+
+    val sizes = Seq(n / 2 -> half, n -> base, 2 * n -> double)
+
+    def runOnce(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+
+    runOnce(Queries.head, half) // warmup: JIT + codegen + parquet footers
+
+    // the shingle cache is keyed by canonical plan, so each corpus gets
+    // its own entry; rep 1 of the first query per size pays the build and
+    // the median reports the warm steady state — the same discipline as
+    // Bench's within-family sharing
+    val results = Queries.map { q =>
+      q -> sizes.map { case (sz, dir) =>
+        sz -> median((0 until reps).map(_ => runOnce(q, dir)))
+      }
+    }
+    results.foreach { case (q, ts) =>
+      val t = ts.map(_._2)
+      val expo = math.log(t.last / t.head) / math.log(ts.last._1.toDouble / ts.head._1)
+      println(f"""{"metric":"scale_curve","query":"$q","sizes":[${ts.map(_._1).mkString(",")}],""" +
+        f""""secs":[${t.map(x => f"$x%.2f").mkString(",")}],"observed_exponent":$expo%.2f}""")
+    }
+    spark.stop()
+  }
+}

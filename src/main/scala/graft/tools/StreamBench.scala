@@ -15,6 +15,68 @@ import org.apache.spark.sql.streaming.OutputMode
   * Run: SPARK_GRAFT_SF_DIR=... runMain graft.tools.StreamBench
   */
 object StreamBench {
+
+  /** Deep-buffer state benchmark: FEW keys × MANY records per grace
+    * window, all on the RocksDB provider, so per-batch state serde — not
+    * micro-batch overhead — is what's measured. This is the regime where
+    * the v1/v2 asymmetry shows: `flatMapGroupsWithState` re-serializes
+    * each key's ENTIRE buffer Map on every `GroupState.update`
+    * (O(buffer) per batch, O(N²/batch) total), while `transformWithState`
+    * does one RocksDB put per NEW entry (O(inserts) total). Event times
+    * ascend, grace exceeds the span, so buffers only grow until a
+    * far-future sentinel record advances the watermark and flushes
+    * everything — max state size is read from the streaming progress's
+    * state-operator metrics.
+    *
+    * Run: SPARK_GRAFT_DEEP=1 runMain graft.tools.StreamBench
+    * (SPARK_GRAFT_KEYS, SPARK_GRAFT_RECORDS, batch-size arg as usual).
+    */
+  private def deepBench(spark: SparkSession, batchSize: Int): Unit = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val keys = sys.env.getOrElse("SPARK_GRAFT_KEYS", "4").toInt
+    val n = sys.env.getOrElse("SPARK_GRAFT_RECORDS", "200000").toInt
+    val base = 1600000000000L
+    val graceMs = n.toLong + 10000L
+    val orders = (0 until n).map(i => ElectronicOrder(
+      i.toString, (i % keys).toString, "u", 1.0, base + i))
+    // one sentinel per key, far enough that watermark (= max event time −
+    // grace) passes every buffer's oldest + grace flush mark
+    val sentinels = (0 until keys).map(k => ElectronicOrder(
+      s"s$k", k.toString, "u", 0.0, base + 3 * graceMs))
+
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
+    def run(name: String, mk: org.apache.spark.sql.Dataset[ElectronicOrder] =>
+        org.apache.spark.sql.DataFrame): Unit = {
+      val input = MemoryStream[ElectronicOrder]
+      val q = mk(input.toDS())
+        .writeStream.format("memory").queryName(s"deep_$name")
+        .outputMode(OutputMode.Append).start()
+      val t0 = System.nanoTime()
+      orders.grouped(batchSize).foreach { b => input.addData(b); q.processAllAvailable() }
+      // sentinel advances the watermark; one more empty-ish batch lets the
+      // event-time timers/timeouts fire
+      input.addData(sentinels); q.processAllAvailable()
+      input.addData(Seq(ElectronicOrder("tail", "0", "u", 0.0, base + 3 * graceMs + 1)))
+      q.processAllAvailable()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val emitted = spark.table(s"deep_$name").count()
+      val (maxRows, maxBytes) = q.recentProgress.toSeq
+        .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+        .map(so => (so.numRowsTotal, so.memoryUsedBytes))
+        .foldLeft((0L, 0L)) { case ((r, b), (r2, b2)) => (r max r2, b max b2) }
+      q.stop()
+      println(f"""{"metric":"deep_state_bench","variant":"$name","keys":$keys,""" +
+        f""""records":$n,"batch":$batchSize,"sec":$secs%.2f,"records_out":$emitted,""" +
+        f""""max_state_rows":$maxRows,"max_state_bytes":$maxBytes}""")
+    }
+
+    run("faithful_v1", ds => StreamingReorder.faithful(ds, graceMs).toDF())
+    run("faithful_v2", ds => StreamingReorder.faithfulV2(ds, graceMs).toDF())
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -30,6 +92,12 @@ object StreamBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
+
+    if (sys.env.get("SPARK_GRAFT_DEEP").contains("1")) {
+      deepBench(spark, args.headOption.map(_.toInt).getOrElse(5000))
+      spark.stop()
+      return
+    }
 
     // events -> ElectronicOrder shape (ts -> epoch millis event time)
     val orders = graft.Tables.events(spark, sfDir)
