@@ -14,11 +14,14 @@ import org.apache.spark.sql.functions._
   * exponent measures algorithmic cost, not output blow-up:
   *  - n/2: deterministic subsample (`doc_id % 2 = 0`) — same length and
   *    similarity distribution;
-  *  - 2n: originals ∪ token-REVERSED copies under offset ids — reversed
-  *    word order shares no 3-gram shingles with any original, so no
-  *    cross-copy candidates appear and true pairs grow exactly 2×
-  *    (embeddings: negated copies — cosine relations preserved within
-  *    the copy, anti-correlated across, so near-pair counts double).
+  *  - 2n: originals ∪ copies with every token suffixed (`t → tq`) under
+  *    offset ids — the copy's token set and 3-gram shingle set are
+  *    disjoint from every original's (same lengths, bijective shingle
+  *    map), so no cross-copy candidates appear anywhere — including
+  *    SimHash, whose distinct-token fingerprint is order-invariant and
+  *    would be IDENTICAL for a merely reversed copy — and true pairs
+  *    grow exactly 2× (embeddings: negated copies — cosine relations
+  *    preserved within the copy, anti-correlated across).
   *
   * Not part of the driver contract. Run:
   * `runMain graft.tools.ScaleCurve [baseSfDir] [reps]`.
@@ -55,14 +58,15 @@ object ScaleCurve {
     val half = writeDir(s"$root/half",
       docs.filter(col("doc_id") % 2 === 0),
       emb.filter(col("vec_id") % 2 === 0))
-    val reversedCopy = docs
+    val mangledCopy = docs
       .withColumn("doc_id", col("doc_id") + lit(1000000L))
-      .withColumn("text", array_join(reverse(split(col("text"), " ")), " "))
+      .withColumn("text", array_join(
+        transform(split(col("text"), " "), t => concat(t, lit("q"))), " "))
     val negatedCopy = emb
       .withColumn("vec_id", col("vec_id") + lit(1000000L))
       .withColumn("embedding", transform(col("embedding"), x => -x))
     val double = writeDir(s"$root/double",
-      docs.unionByName(reversedCopy), emb.unionByName(negatedCopy))
+      docs.unionByName(mangledCopy), emb.unionByName(negatedCopy))
 
     val sizes = Seq(n / 2 -> half, n -> base, 2 * n -> double)
 
