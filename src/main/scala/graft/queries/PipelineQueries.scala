@@ -198,6 +198,18 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Same component structure via the O(log n) star-contraction variant
+    * ([[Dedup.clusterIdsStar]]) — registered as its own query so the
+    * deep-chain algorithm is oracle-checked against the identical
+    * recursive-CTE components every round, not just spec-pinned.
+    */
+  def dedupClustersStar(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, Tau, ordered = false)
+    Dedup.clusterIdsStar(docs, "doc_id", pairs)
+      .orderBy(col("doc_id"))
+  }
+
   /** Top-3 salient terms per document (tf × N / df, exact-arithmetic
     * TF-IDF variant — see [[TextAnalysis.termSalience]]).
     */
@@ -289,6 +301,7 @@ object PipelineQueries {
     "sample_split" -> (sampleSplit _),
     "sample_stratified" -> (sampleStratified _),
     "dedup_clusters" -> (dedupClusters _),
+    "dedup_clusters_star" -> (dedupClustersStar _),
     "text_salient_terms" -> (textSalientTerms _),
     "pipeline_curate" -> (pipelineCurate _),
     "pack_sequences" -> (packSequences _),
@@ -340,6 +353,28 @@ object PipelineQueries {
        |WHERE jaccard >= $Tau
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // connected components of the exact-Jaccard pair graph via recursive
+  // reachability; cluster_id = min reachable id (incl. self). Shared by
+  // the min-label and star-contraction queries, which must agree.
+  private lazy val clustersOracle: String =
+    shingleCte.replace("WITH t AS", "WITH RECURSIVE t AS") +
+      s""",
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM s a, s b WHERE a.doc_id < b.doc_id AND
+        |    round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+        |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) >= $Tau),
+        |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+        |      UNION ALL SELECT doc_b, doc_a FROM p),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src)
+        |SELECT d.doc_id,
+        |  least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS cluster_id
+        |FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "sample_split" ->
       """SELECT CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80
@@ -352,26 +387,9 @@ object PipelineQueries {
         |WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
         |      < (CASE WHEN lang = 'en' THEN 25 ELSE 75 END)
         |GROUP BY lang ORDER BY lang""".stripMargin,
-    // connected components of the exact-Jaccard pair graph via recursive
-    // reachability; cluster_id = min reachable id (incl. self)
-    "dedup_clusters" ->
-      (shingleCte.replace("WITH t AS", "WITH RECURSIVE t AS") +
-        s""",
-          |p AS (
-          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-          |  FROM s a, s b WHERE a.doc_id < b.doc_id AND
-          |    round(len(list_intersect(a.sh, b.sh)) * 1.0 /
-          |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) >= $Tau),
-          |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
-          |      UNION ALL SELECT doc_b, doc_a FROM p),
-          |reach(src, dst) AS (
-          |  SELECT src, dst FROM e
-          |  UNION
-          |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src)
-          |SELECT d.doc_id,
-          |  least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS cluster_id
-          |FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
-          |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin),
+    "dedup_clusters" -> clustersOracle,
+    // the star-contraction variant must produce IDENTICAL components
+    "dedup_clusters_star" -> clustersOracle,
     // rule thresholds compare the text_stats oracle's ROUNDED ratios
     "text_quality_rules" ->
       """WITH t AS (

@@ -47,6 +47,24 @@ object Relational {
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
+  /** Skew-resistant salted aggregation registered as a first-class query:
+    * [[graft.operators.SkewAgg.saltedSumCount]] splits each group key
+    * into 16 content-salted sub-keys, partially aggregates, then combines
+    * — the plan a 100 TB job needs when one hot key would stall the
+    * post-partial reducer (collect-heavy or high-cardinality-input aggs,
+    * where map-side combine can't shrink the hot key). The oracle is the
+    * PLAIN single-phase GROUP BY: for decomposable aggregates the salted
+    * two-phase result is exactly equal, and quantities are integer-valued
+    * so the BIGINT sums are order-independent.
+    */
+  def qSkewAgg(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SkewAgg.saltedSumCount(
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_quantity").cast("long").as("qty"),
+          col("l_orderkey")),
+      "l_returnflag", "qty", "l_orderkey", buckets = 16)
+      .orderBy(col("l_returnflag"))
+
   /** TPC-H Q3-style join + top-k. Customer is filtered then broadcast;
     * orders↔lineitem is the one real shuffle join (AQE may still convert
     * it when the filtered side is small). Top-k orders by ROUNDED revenue
@@ -605,6 +623,7 @@ object Relational {
     "q_session_window" -> (qSessionWindow _),
     "q_approx_distinct" -> (qApproxDistinct _),
     "q1_agg" -> (q1Agg _),
+    "q_skew_agg" -> (qSkewAgg _),
     "q3_topk_join" -> (q3TopkJoin _),
     "q5_multi_join" -> (q5MultiJoin _),
     "q4_semi_join" -> (q4SemiJoin _),
@@ -850,6 +869,12 @@ object Relational {
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_skew_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_value,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "q3_topk_join" ->
       """SELECT o_orderkey, o_orderdate, o_orderpriority,
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
