@@ -151,12 +151,9 @@ object Multimodal {
         val img = new java.awt.image.BufferedImage(w, h,
           java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
         val rgb = (b(2) << 16) | (b(3) << 8) | b(4)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) { img.setRGB(x, y, rgb); x += 1 }
-          y += 1
-        }
+        val g = img.createGraphics()
+        try { g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, w, h) }
+        finally g.dispose()
         val out = new java.io.ByteArrayOutputStream(256)
         javax.imageio.ImageIO.write(img, "png", out)
         MediaRecord(m.media_id, "image/png", out.toByteArray, m.meta)
@@ -323,12 +320,9 @@ object Multimodal {
           val img = new java.awt.image.BufferedImage(w, h,
             java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
           val rgb = (b(2 * i + 2) << 16) | (b(2 * i + 3) << 8) | b(i)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
-            y += 1
-          }
+          val g = img.createGraphics()
+          try { g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, w, h) }
+          finally g.dispose()
           val out = new java.io.ByteArrayOutputStream(256)
           javax.imageio.ImageIO.write(img, "png", out)
           out.toByteArray

@@ -52,6 +52,22 @@ object PipelineQueries {
   def dedupEmbedCosine(s: SparkSession, dir: String): DataFrame =
     Similarity.blockedCosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding", CosTau)
 
+  /** Per-group embedding centroids — the IVF-training building block
+    * (grouped vector mean) as an oracle-checked query: posexplode to
+    * (group, dim, value), one hash aggregation with map-side partials.
+    * Floats are widened to double before averaging on BOTH engines and
+    * the centroid is rounded so summation-order differences cannot flip
+    * the hash (random Gaussian data sits nowhere near rounding ties).
+    */
+  def embCentroids(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(pmod(col("vec_id"), lit(8L)).as("grp"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("grp"), col("dim").cast("long").as("dim"))
+      .agg(round(avg(col("x").cast("double")), 4).as("centroid"),
+        count(lit(1)).as("n"))
+      .orderBy(col("grp"), col("dim"))
+
   private val AnnK = 5
   private val AnnDim = 64
 
@@ -301,6 +317,7 @@ object PipelineQueries {
     "sample_split" -> (sampleSplit _),
     "sample_stratified" -> (sampleStratified _),
     "dedup_clusters" -> (dedupClusters _),
+    "emb_centroids" -> (embCentroids _),
     "dedup_clusters_star" -> (dedupClustersStar _),
     "text_salient_terms" -> (textSalientTerms _),
     "pipeline_curate" -> (pipelineCurate _),
@@ -661,6 +678,12 @@ object PipelineQueries {
         |  CAST(h AS BIGINT) AS height, CAST(3 AS BIGINT) AS channels,
         |  CAST(w * h * 3 AS BIGINT) AS n_pixels, true AS decoded
         |FROM d ORDER BY media_id""".stripMargin,
+    "emb_centroids" ->
+      """WITH d AS (SELECT vec_id % 8 AS grp, embedding AS e FROM embeddings),
+        |x AS (SELECT grp, unnest(range(1, len(e) + 1)) AS i, e FROM d)
+        |SELECT grp, CAST(i - 1 AS BIGINT) AS dim,
+        |  round(avg(CAST(e[i] AS DOUBLE)), 4) AS centroid, count(*) AS n
+        |FROM x GROUP BY grp, dim ORDER BY grp, dim""".stripMargin,
     // frame count + per-frame dims are pure md5 functions (renderVideos'
     // contract); byte j of the digest is hex chars (2j+1, 2j+2)
     "mm_video_decode" ->

@@ -506,6 +506,21 @@ object Relational {
         approx_count_distinct(col("l_suppkey")).as("approx_supps"))
       .orderBy(col("l_returnflag"))
 
+  /** Sketch percentiles (`percentile_approx`, GK-style): the single-pass
+    * percentile that scales to 100 TB — the bounded-memory exact
+    * [[graft.operators.Percentiles]] costs 3–4 scans, the sketch one.
+    * Engine-specific sketch ⇒ rows-only driver check; the hard accuracy
+    * gate vs the exact per-group percentiles lives in
+    * `DriverContractSpec` (same pattern as `q_approx_distinct`).
+    */
+  def qApproxPercentile(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50"),
+        percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("p95"))
+      .orderBy(col("l_returnflag"))
+
   /** JSON scalar functions over the events.props JSON column. */
   def qJson(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -622,6 +637,7 @@ object Relational {
     "q_window_tumbling" -> (qWindowTumbling _),
     "q_session_window" -> (qSessionWindow _),
     "q_approx_distinct" -> (qApproxDistinct _),
+    "q_approx_percentile" -> (qApproxPercentile _),
     "q1_agg" -> (q1Agg _),
     "q_skew_agg" -> (qSkewAgg _),
     "q3_topk_join" -> (q3TopkJoin _),

@@ -29,6 +29,28 @@ class DriverContractSpec extends SparkTestBase {
     }
   }
 
+  test("q_approx_percentile stays within GK sketch error of exact percentiles") {
+    // engine-specific sketch (no SQL oracle, like q_approx_distinct): gate
+    // vs Spark's exact percentile. accuracy=10000 bounds rank error by
+    // n/10000 (~2 ranks per group at sf0.01); 2% relative value error is
+    // a generous envelope over that
+    val dir = "/root/testdata/sf0.01"
+    import org.apache.spark.sql.functions.{col, expr}
+    val approx = SparkEntry.queries("q_approx_percentile")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("p50"),
+        expr("percentile(l_extendedprice, 0.95)").as("p95"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (g, (e50, e95)) =>
+      val (a50, a95) = approx(g)
+      assert(math.abs(a50 - e50) / e50 <= 0.02, s"$g p50: $a50 vs $e50")
+      assert(math.abs(a95 - e95) / e95 <= 0.02, s"$g p95: $a95 vs $e95")
+    }
+  }
+
   test("every oracle key has a query; no accidental orphans") {
     val qs = SparkEntry.queries.keySet
     val os = SparkEntry.oracleSql.keySet
@@ -40,7 +62,7 @@ class DriverContractSpec extends SparkTestBase {
     // dedup_simhash left this list in round 3: its token hash moved from
     // xxhash64 to md5 halves precisely so the oracle can recompute it.
     assert(rowsOnly == Set("ann_topk_lsh", "ann_topk_ivf",
-      "q_approx_distinct"),
+      "q_approx_distinct", "q_approx_percentile"),
       s"unexpected rows-only queries: $rowsOnly")
   }
 
