@@ -33,3 +33,35 @@ object SkewAgg {
       .groupBy(col(keyCol))
       .agg(sum(col("_psum")).as("sum_value"), sum(col("_pcnt")).as("n"))
 }
+
+/** Skew-resistant salted equi-join.
+  *
+  * AQE's skew-join handling splits oversized SORT-MERGE partitions at
+  * runtime, which covers most cases — but not all join shapes AQE can
+  * rewrite (and a pre-partitioned/bucketed join deliberately avoids the
+  * exchange AQE would need). The explicit technique: salt the SKEWED
+  * probe side into `buckets` deterministic sub-keys and replicate the
+  * build side once per salt, so a hot key's rows spread over `buckets`
+  * tasks instead of hammering one. Build-side cost: ×`buckets` rows
+  * through the exchange — use only when the build side is small relative
+  * to the hot key's row count.
+  *
+  * Each probe row joins the single replica carrying its salt, so the
+  * output is EXACTLY the plain inner join (oracle-checked by
+  * `q_skew_join`).
+  */
+object SkewJoin {
+
+  /** Inner equi-join of `probe` and `build` on the shared `keyCol`;
+    * `saltSource` is any probe column (set) whose content spreads rows —
+    * deterministic, so retries and reruns agree.
+    */
+  def saltedInnerJoin(probe: DataFrame, build: DataFrame, keyCol: String,
+      saltSource: String, buckets: Int = 16): DataFrame = {
+    val salted = probe.withColumn("_salt",
+      pmod(xxhash64(col(saltSource)), lit(buckets.toLong)))
+    val replicated = build.withColumn("_salt",
+      explode(array((0 until buckets).map(i => lit(i.toLong)): _*)))
+    salted.join(replicated, Seq(keyCol, "_salt")).drop("_salt")
+  }
+}

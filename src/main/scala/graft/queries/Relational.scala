@@ -65,6 +65,40 @@ object Relational {
       "l_returnflag", "qty", "l_orderkey", buckets = 16)
       .orderBy(col("l_returnflag"))
 
+  /** Salted skewed join as a first-class query: lineitem (probe, salted
+    * 16 ways on its unique line id) joins orders (build, replicated per
+    * salt) on the order key, then aggregates — checked exactly equal to
+    * the plain-join oracle. See [[graft.operators.SkewJoin]] for when
+    * this beats AQE's runtime skew splitting.
+    */
+  def qSkewJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("okey"),
+        col("l_quantity").cast("long").as("qty"), col("l_linenumber"))
+    val ord = Tables.orders(s, dir)
+      .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+    graft.operators.SkewJoin.saltedInnerJoin(li, ord, "okey", "l_linenumber")
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("qty")).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Ranking-distribution window functions (ntile / percent_rank /
+    * cume_dist) per brand in (retailprice desc, partkey) order — the
+    * tie-broken ordering plus exact small-integer divisions make the
+    * doubles bit-identical cross-engine (rounded anyway for safety).
+    */
+  def qWindowNtile(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    Tables.part(s, dir)
+      .select(col("p_brand"), col("p_partkey"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy(col("p_brand"), col("p_partkey"))
+  }
+
   /** TPC-H Q3-style join + top-k. Customer is filtered then broadcast;
     * orders↔lineitem is the one real shuffle join (AQE may still convert
     * it when the filtered side is small). Top-k orders by ROUNDED revenue
@@ -640,6 +674,8 @@ object Relational {
     "q_approx_percentile" -> (qApproxPercentile _),
     "q1_agg" -> (q1Agg _),
     "q_skew_agg" -> (qSkewAgg _),
+    "q_skew_join" -> (qSkewJoin _),
+    "q_window_ntile" -> (qWindowNtile _),
     "q3_topk_join" -> (q3TopkJoin _),
     "q5_multi_join" -> (q5MultiJoin _),
     "q4_semi_join" -> (q4SemiJoin _),
@@ -885,6 +921,21 @@ object Relational {
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_skew_join" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q_window_ntile" ->
+      """SELECT p_brand, p_partkey,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume
+        |FROM part
+        |WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey)
+        |ORDER BY p_brand, p_partkey""".stripMargin,
     "q_skew_agg" ->
       """SELECT l_returnflag,
         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_value,

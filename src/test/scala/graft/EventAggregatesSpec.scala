@@ -141,4 +141,19 @@ class EventAggregatesSpec extends SparkTestBase {
       assert(math.abs(d.getAs[Double]("sum_value") - s.getAs[Double]("sum_value")) < 1e-6)
     }
   }
+
+  test("salted join equals the plain join on a planted hot key") {
+    import spark.implicits._
+    // 900 of 1000 probe rows share key 7 — the hot-key shape
+    val probe = (0 until 1000).map(i =>
+      (if (i < 900) 7L else i.toLong % 50, i.toLong)).toDF("k", "row_id")
+    val build = (0L until 50L).map(k => (k, s"v$k")).toDF("k", "payload")
+    val plain = probe.join(build, Seq("k"))
+      .select("k", "row_id", "payload").as[(Long, Long, String)].collect().toSet
+    val salted = graft.operators.SkewJoin
+      .saltedInnerJoin(probe, build, "k", "row_id", buckets = 8)
+      .select("k", "row_id", "payload").as[(Long, Long, String)].collect().toSet
+    assert(salted == plain)
+    assert(plain.size == 1000, "every probe row must match exactly once")
+  }
 }
