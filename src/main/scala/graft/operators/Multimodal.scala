@@ -84,7 +84,11 @@ object Multimodal {
         Some((0 until n).map { _ =>
           val len = in.readInt()
           if (len < 0 || len > bytes.length) throw new java.io.IOException("bad frame length")
-          in.readNBytes(len)
+          val buf = in.readNBytes(len)
+          // readNBytes returns short on EOF instead of throwing — a
+          // truncated frame must reject the container, not pass through
+          if (buf.length != len) throw new java.io.IOException("truncated frame")
+          buf
         })
       } catch { case _: java.io.IOException => None }
     }
