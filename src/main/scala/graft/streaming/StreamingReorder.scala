@@ -216,13 +216,50 @@ object StreamingReorder extends Serializable {
       .withWatermark("event_time", s"$graceMs milliseconds")
       .as[ElectronicOrder]
       .groupByKey(_.electronic_id)
-      .transformWithState(new ReorderProcessor(graceMs, emitStoreKey),
+      .transformWithState(new ReorderProcessor(graceMs, emitStoreKey, identity),
         TimeMode.EventTime(), OutputMode.Append)
   }
 
-  /** The stateful processor behind [[faithfulV2]]. */
-  private class ReorderProcessor(graceMs: Long, emitStoreKey: Boolean)
-    extends StatefulProcessor[String, ElectronicOrder, Reordered] {
+  /** [[Reordered]] plus a real TIMESTAMP event-time column, for chaining. */
+  final case class ReorderedEt(key: String, order_id: String, electronic_id: String,
+      user_id: String, price: Double, time: Long, flush_time: Long,
+      event_time: java.sql.Timestamp)
+
+  /** [[faithfulV2]] variant that DECLARES an output event-time column
+    * (`transformWithState`'s `eventTimeColumnName` overload), so further
+    * STATEFUL operators — windowed aggregations, stream-stream joins,
+    * dedup — can run downstream of the reorder in the SAME streaming
+    * query, with the engine re-deriving the downstream watermark from the
+    * emitted column instead of rejecting the chain (the long-standing
+    * multiple-stateful-operators restriction on the v1 API). The emitted
+    * `event_time` is the record's own event time, so a downstream
+    * `window(col("event_time"), ...)` groups exactly as the batch twin
+    * does; `StreamingComposeSpec` pins reorder → tumbling count
+    * end-to-end against the batch result.
+    */
+  def faithfulV2Chained(orders: Dataset[ElectronicOrder], graceMs: Long,
+      emitStoreKey: Boolean = true): Dataset[ReorderedEt] = {
+    val spark = orders.sparkSession
+    import spark.implicits._
+    orders
+      .withColumn("event_time", timestamp_millis(col("time")))
+      .withWatermark("event_time", s"$graceMs milliseconds")
+      .as[ElectronicOrder]
+      .groupByKey(_.electronic_id)
+      .transformWithState(
+        new ReorderProcessor[ReorderedEt](graceMs, emitStoreKey,
+          r => ReorderedEt(r.key, r.order_id, r.electronic_id, r.user_id,
+            r.price, r.time, r.flush_time,
+            new java.sql.Timestamp(r.time))),
+        "event_time", OutputMode.Append)
+  }
+
+  /** The stateful processor behind [[faithfulV2]]/[[faithfulV2Chained]];
+    * `wrap` adapts the flush rows to the variant's output type.
+    */
+  private class ReorderProcessor[T](graceMs: Long, emitStoreKey: Boolean,
+      wrap: Reordered => T)
+    extends StatefulProcessor[String, ElectronicOrder, T] {
 
     @transient private var buffer: MapState[Long, ElectronicOrder] = _
     @transient private var flushAt: ValueState[Long] = _
@@ -235,7 +272,7 @@ object StreamingReorder extends Serializable {
     }
 
     override def handleInputRows(key: String, rows: Iterator[ElectronicOrder],
-        timers: TimerValues): Iterator[Reordered] = {
+        timers: TimerValues): Iterator[T] = {
       var minNew = Long.MaxValue
       rows.foreach { o =>
         // S3: first-wins per event time — a per-entry containsKey probe,
@@ -260,14 +297,14 @@ object StreamingReorder extends Serializable {
     }
 
     override def handleExpiredTimer(key: String, timers: TimerValues,
-        info: ExpiredTimerInfo): Iterator[Reordered] = {
+        info: ExpiredTimerInfo): Iterator[T] = {
       // punctuation analog: whole-store ordered flush (S1/S2), stamped
       // with the engine's stream-time clock (S5); state fully cleared so
       // idle keys hold no store space
       val buf = buffer.iterator().map { case (t, o) => t -> o }.toMap
       buffer.clear()
       flushAt.clear()
-      flushBuffer(buf, emitStoreKey, timers.getCurrentWatermarkInMs())
+      flushBuffer(buf, emitStoreKey, timers.getCurrentWatermarkInMs()).map(wrap)
     }
   }
 
