@@ -45,6 +45,23 @@ class SourcesSpec extends SparkTestBase {
         .filter(year(col("o_orderdate")) === 1996).count())
   }
 
+  test("schema evolution: mergeSchema unifies batches written with added columns") {
+    // the 100 TB reality: a table written over months gains columns; old
+    // files must keep reading with nulls, new columns must surface
+    val dir = tmp("graft-evolve")
+    Seq((1L, "a")).toDF("id", "v1")
+      .write.mode("overwrite").parquet(s"$dir/batch=1")
+    Seq((2L, "b", 99L)).toDF("id", "v1", "v2")
+      .write.mode("overwrite").parquet(s"$dir/batch=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("id", "v1", "v2", "batch"))
+    val rows = merged.select("id", "v1", "v2")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    assert(rows.toSeq == Seq((1L, "a", None), (2L, "b", Some(99L))),
+      "old files read with null for the added column, new files carry it")
+  }
+
   test("bucketed tables join without a shuffle on the bucket key") {
     spark.sql("DROP TABLE IF EXISTS li_b")
     spark.sql("DROP TABLE IF EXISTS ord_b")

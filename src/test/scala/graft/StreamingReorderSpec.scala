@@ -92,6 +92,49 @@ class StreamingReorderSpec extends SparkTestBase {
     assert(collected.toSeq == goldenOrder)
   }
 
+  test("reorder state survives a query stop/restart from the checkpoint") {
+    // the exactly-once story at production scale: buffer records, kill
+    // the query BEFORE any flush, restart from the checkpoint, then
+    // advance the watermark — every record must emit exactly once, in
+    // order, from the RESTORED state
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val input = MemoryStream[ElectronicOrder]
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[String]
+    // foreachBatch, not the memory sink: only fault-tolerant sinks may
+    // recover from a checkpoint
+    def start() = StreamingReorder.faithful(input.toDS(), GraceMs)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[StreamingReorder.Reordered], _: Long) =>
+          emitted.synchronized {
+            emitted ++= batch.orderBy(col("time")).select("order_id")
+              .as[String](org.apache.spark.sql.Encoders.STRING).collect()
+          }
+          ()
+      }.start()
+
+    val q1 = start()
+    try {
+      input.addData(fixture.take(8)) // all within grace — nothing flushes
+      q1.processAllAvailable()
+      assert(emitted.isEmpty, "no flush before the watermark moves")
+    } finally q1.stop()
+
+    val q2 = start()
+    try {
+      input.addData(fixture.drop(8)) // includes order 12, a day later -> flush
+      q2.processAllAvailable()
+      q2.processAllAvailable() // extra pass fires the event-time timeout
+      // the full golden output, exactly once, in order — identical to the
+      // never-restarted run (the extra pass fires 12's epoch too)
+      assert(emitted.toSeq == goldenOrder,
+        s"restored buffer must flush the golden output, got ${emitted.toSeq}")
+    } finally q2.stop()
+  }
+
   test("README demo fixture (B2) reorders to the documented consumer output") {
     // README.md:45-56 input order; key HDTV-2333; expected = ascending time
     // (README.md:77-88). FIXTURES.md §B2.
