@@ -117,13 +117,20 @@ object KafkaAvroIO {
 
   /** Streaming sink: reordered rows → Kafka. */
   def sink(reordered: Dataset[graft.streaming.StreamingReorder.Reordered],
-      conf: KafkaConf): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      conf: KafkaConf): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    if (conf.confluentFramed && conf.schemaId == 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        "Confluent framing is on but schema.id is unset (0): registry ids " +
+          "start at 1, so SpecificAvroSerde consumers will fail to resolve " +
+          "these frames — set schema.id to the registry's id for " +
+          "electronic_order.avsc")
     encodeValues(reordered, conf.confluentFramed, conf.schemaId)
       .writeStream
       .format("kafka")
       .option("kafka.bootstrap.servers", conf.bootstrap)
       .option("topic", conf.outputTopic)
       .option("checkpointLocation", conf.checkpoint)
+  }
 }
 
 /** Avro binary serde for `ElectronicOrder` built on avro-core. */
