@@ -138,4 +138,30 @@ object TextAnalysis {
       MinGramMd5.minGramMd5(text, 8).as("fp_min8"),
       md5(text).as("fp_full"))
   }
+
+  /** Benchmark decontamination: flag corpus documents that share any word
+    * n-gram with a benchmark/eval set, with the count of distinct shared
+    * shingles — the standard guard against test-set leakage in training
+    * data. Inverted-index shape, not all-pairs: both sides shingle to
+    * 64-bit hashes (raw text never shuffles), the benchmark's distinct
+    * shingle set is BROADCAST (eval suites are tiny next to a 100 TB
+    * corpus), and the corpus side reduces to one (doc, hash) stream with
+    * a map-side-combined count. Production decontamination uses n of
+    * 8–13; the registered query uses n = 3 because this synthetic
+    * word-salad corpus has virtually no honest 8-gram collisions.
+    * Output: (idCol, n_overlap) for contaminated documents only.
+    */
+  def contaminationFlags(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    def shingled(df: DataFrame): DataFrame = df
+      .select(col(idCol), Text.tokens(col(textCol)).as("_toks"))
+      .select(col(idCol), explode(Text.shinglesOfTokens(col("_toks"), n)).as("_sh"))
+      .select(col(idCol), xxhash64(col("_sh")).as("_h"))
+    val benchShingles = shingled(benchmark).select(col("_h")).distinct()
+    shingled(corpus)
+      .join(broadcast(benchShingles), Seq("_h"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_overlap"))
+      .orderBy(col(idCol))
+  }
 }

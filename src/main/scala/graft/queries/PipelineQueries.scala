@@ -98,6 +98,19 @@ object PipelineQueries {
     TextAnalysis.fingerprints(Tables.documents(s, dir), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** Benchmark decontamination over the documents table: docs whose id is
+    * divisible by 97 stand in for the benchmark/eval set; every other doc
+    * sharing a word 3-gram with it is flagged with its distinct-overlap
+    * count. See [[TextAnalysis.contaminationFlags]] for the scale shape.
+    */
+  def textDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    TextAnalysis.contaminationFlags(
+      docs.filter(col("doc_id") % 97 =!= 0),
+      docs.filter(col("doc_id") % 97 === 0),
+      "doc_id", "text", 3)
+  }
+
   def mmBinaryStats(s: SparkSession, dir: String): DataFrame =
     Multimodal.binaryStats(Tables.documents(s, dir), "doc_id", "text")
 
@@ -322,6 +335,7 @@ object PipelineQueries {
     "emb_centroids" -> (embCentroids _),
     "dedup_clusters_star" -> (dedupClustersStar _),
     "text_salient_terms" -> (textSalientTerms _),
+    "text_decontaminate" -> (textDecontaminate _),
     "pipeline_curate" -> (pipelineCurate _),
     "pack_sequences" -> (packSequences _),
     "sample_mix" -> (sampleMix _),
@@ -680,6 +694,26 @@ object PipelineQueries {
         |  CAST(h AS BIGINT) AS height, CAST(3 AS BIGINT) AS channels,
         |  CAST(w * h * 3 AS BIGINT) AS n_pixels, true AS decoded
         |FROM d ORDER BY media_id""".stripMargin,
+    // same 3-gram shingle construction as the dedup oracles; overlap is
+    // counted on distinct per-doc shingles, so string-vs-hash join parity
+    // holds exactly (collision-free at these set sizes)
+    "text_decontaminate" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(toks) >= 3
+        |      THEN list_transform(range(1, len(toks) - 1),
+        |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |      ELSE [array_to_string(toks, ' ')] END) AS sh
+        |  FROM t),
+        |b AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 97 = 0),
+        |c AS (SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % 97 <> 0)
+        |SELECT c.doc_id, count(*) AS n_overlap
+        |FROM c JOIN b ON c.g = b.g
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
     "emb_centroids" ->
       """WITH d AS (SELECT vec_id % 8 AS grp, embedding AS e FROM embeddings),
         |x AS (SELECT grp, unnest(range(1, len(e) + 1)) AS i, e FROM d)

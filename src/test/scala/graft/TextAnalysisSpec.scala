@@ -75,4 +75,21 @@ class TextAnalysisSpec extends SparkTestBase {
       "min 8-gram fingerprint should match for texts differing only at the tail " +
         "(if this fails the min gram happened to cover the edit; pick different texts)")
   }
+
+  test("contaminationFlags flags exactly the doc sharing an n-gram with the benchmark") {
+    val bench = Seq((100L, "the secret benchmark question about spark internals today"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // shares the 8-gram (whole benchmark sentence) verbatim mid-document
+      (1L, "intro words then the secret benchmark question about spark internals today and more"),
+      // shares words but never 8 consecutive ones
+      (2L, "spark internals question about the benchmark but scrambled secret today"),
+      (3L, "completely unrelated content with nothing shared at all here"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis
+      .contaminationFlags(corpus, bench, "doc_id", "text", 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set(1L), s"only doc 1 shares an 8-gram, got $out")
+    assert(out(1L) >= 1L)
+  }
 }
