@@ -164,4 +164,35 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_overlap"))
       .orderBy(col(idCol))
   }
+
+  /** Repetition signals (Gopher-style repetition filters): the fraction
+    * of tokens taken by the single most frequent token, and by the most
+    * frequent token 2-gram — high values mark boilerplate/spam that
+    * length and stopword rules miss. Two hash aggregations over exploded
+    * (doc, gram) longs with map-side combine, one rounded exact division
+    * each; no shuffle carries text wider than a gram.
+    * Output: (idCol, n_tokens, top_token_ratio, top_bigram_ratio).
+    */
+  def repetitionSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = docs.select(col(idCol), Text.tokens(col(textCol)).as("_toks"))
+    val n = base.select(col(idCol), size(col("_toks")).cast("long").as("n_tokens"))
+    val topTok = base.select(col(idCol), explode(col("_toks")).as("_g"))
+      .groupBy(col(idCol), col("_g")).agg(count(lit(1)).as("_c"))
+      .groupBy(col(idCol)).agg(max(col("_c")).as("_mt"))
+    val topBi = base.filter(size(col("_toks")) >= 2)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), size(col("_toks")) - 1),
+        i => concat_ws(" ", element_at(col("_toks"), i), element_at(col("_toks"), i + 1))))
+        .as("_g"))
+      .groupBy(col(idCol), col("_g")).agg(count(lit(1)).as("_c"))
+      .groupBy(col(idCol)).agg(max(col("_c")).as("_mb"))
+    n.join(topTok, Seq(idCol), "left")
+      .join(topBi, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        round(coalesce(col("_mt"), lit(0L)) * lit(1.0) /
+          greatest(col("n_tokens"), lit(1L)), 6).as("top_token_ratio"),
+        round(coalesce(col("_mb"), lit(0L)) * lit(1.0) /
+          greatest(col("n_tokens") - 1, lit(1L)), 6).as("top_bigram_ratio"))
+      .orderBy(col(idCol))
+  }
 }

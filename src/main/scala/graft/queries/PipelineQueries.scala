@@ -111,6 +111,9 @@ object PipelineQueries {
       "doc_id", "text", 3)
   }
 
+  def textRepetition(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionSignals(Tables.documents(s, dir), "doc_id", "text")
+
   def mmBinaryStats(s: SparkSession, dir: String): DataFrame =
     Multimodal.binaryStats(Tables.documents(s, dir), "doc_id", "text")
 
@@ -336,6 +339,7 @@ object PipelineQueries {
     "dedup_clusters_star" -> (dedupClustersStar _),
     "text_salient_terms" -> (textSalientTerms _),
     "text_decontaminate" -> (textDecontaminate _),
+    "text_repetition" -> (textRepetition _),
     "pipeline_curate" -> (pipelineCurate _),
     "pack_sequences" -> (packSequences _),
     "sample_mix" -> (sampleMix _),
@@ -694,6 +698,26 @@ object PipelineQueries {
         |  CAST(h AS BIGINT) AS height, CAST(3 AS BIGINT) AS channels,
         |  CAST(w * h * 3 AS BIGINT) AS n_pixels, true AS decoded
         |FROM d ORDER BY media_id""".stripMargin,
+    "text_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS toks
+        |  FROM documents),
+        |tc AS (SELECT doc_id, g, count(*) AS c
+        |       FROM (SELECT doc_id, unnest(toks) AS g FROM t) GROUP BY doc_id, g),
+        |tm AS (SELECT doc_id, max(c) AS mt FROM tc GROUP BY doc_id),
+        |bc AS (SELECT doc_id, g, count(*) AS c
+        |       FROM (SELECT doc_id,
+        |               unnest(list_transform(range(1, len(toks)),
+        |                 i -> toks[i] || ' ' || toks[i+1])) AS g
+        |             FROM t WHERE len(toks) >= 2) GROUP BY doc_id, g),
+        |bm AS (SELECT doc_id, max(c) AS mb FROM bc GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  round(coalesce(mt, 0) * 1.0 / greatest(len(toks), 1), 6) AS top_token_ratio,
+        |  round(coalesce(mb, 0) * 1.0 / greatest(len(toks) - 1, 1), 6) AS top_bigram_ratio
+        |FROM t LEFT JOIN tm ON t.doc_id = tm.doc_id
+        |       LEFT JOIN bm ON t.doc_id = bm.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
     // same 3-gram shingle construction as the dedup oracles; overlap is
     // counted on distinct per-doc shingles, so string-vs-hash join parity
     // holds exactly (collision-free at these set sizes)

@@ -92,4 +92,19 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out.keySet == Set(1L), s"only doc 1 shares an 8-gram, got $out")
     assert(out(1L) >= 1L)
   }
+
+  test("repetitionSignals: uniform doc scores 1.0, diverse doc scores low") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one")).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis
+      .repetitionSignals(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((6L, 1.0, 1.0)), "all-same doc: every token and bigram repeats")
+    assert(out(2L)._2 == math.rint(1.0 / 6 * 1e6) / 1e6 || out(2L)._2 == 0.166667)
+    assert(out(2L)._3 == 0.2, "5 distinct bigrams of 5: max 1 -> 1/5")
+    assert(out(3L) == ((1L, 1.0, 0.0)), "single-token doc has no bigrams")
+  }
 }
