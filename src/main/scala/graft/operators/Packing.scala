@@ -74,4 +74,31 @@ object Packing {
       .select(col("mix_rank"), col(idCol), col(sourceCol), col("pos"))
       .orderBy(col("mix_rank"))
   }
+
+  /** Overlapping token-window chunking: split each document's token
+    * stream into windows of `chunkLen` tokens advancing by
+    * `chunkLen - overlap` — the context-window preparation step of every
+    * training/RAG pipeline (long docs become multiple training rows,
+    * overlap preserves cross-boundary context). Pure projection +
+    * explode: no shuffle at all, output rows carry positions and the
+    * window head token, never the window text, so a 100 TB chunking pass
+    * is one linear scan.
+    * Output: (idCol, chunk_idx, start_tok 1-based, n_tok, chunk_head).
+    */
+  def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
+      chunkLen: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < chunkLen, "need 0 <= overlap < chunkLen")
+    val step = chunkLen - overlap
+    docs.select(col(idCol), graft.functions.Text.tokens(col(textCol)).as("_toks"))
+      .filter(size(col("_toks")) >= 1)
+      .select(col(idCol), col("_toks"),
+        explode(sequence(lit(1), size(col("_toks")), lit(step))).as("start_tok"))
+      .select(col(idCol),
+        (((col("start_tok") - 1) / step)).cast("long").as("chunk_idx"),
+        col("start_tok").cast("long").as("start_tok"),
+        least(lit(chunkLen),
+          size(col("_toks")) - col("start_tok") + 1).cast("long").as("n_tok"),
+        element_at(col("_toks"), col("start_tok")).as("chunk_head"))
+      .orderBy(col(idCol), col("chunk_idx"))
+  }
 }

@@ -114,6 +114,10 @@ object PipelineQueries {
   def textRepetition(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetitionSignals(Tables.documents(s, dir), "doc_id", "text")
 
+  /** 32-token windows advancing by 24 (8-token overlap) over every doc. */
+  def chunkDocuments(s: SparkSession, dir: String): DataFrame =
+    Packing.chunkTokens(Tables.documents(s, dir), "doc_id", "text", 32, 8)
+
   def mmBinaryStats(s: SparkSession, dir: String): DataFrame =
     Multimodal.binaryStats(Tables.documents(s, dir), "doc_id", "text")
 
@@ -340,6 +344,7 @@ object PipelineQueries {
     "text_salient_terms" -> (textSalientTerms _),
     "text_decontaminate" -> (textDecontaminate _),
     "text_repetition" -> (textRepetition _),
+    "chunk_documents" -> (chunkDocuments _),
     "pipeline_curate" -> (pipelineCurate _),
     "pack_sequences" -> (packSequences _),
     "sample_mix" -> (sampleMix _),
@@ -698,6 +703,20 @@ object PipelineQueries {
         |  CAST(h AS BIGINT) AS height, CAST(3 AS BIGINT) AS channels,
         |  CAST(w * h * 3 AS BIGINT) AS n_pixels, true AS decoded
         |FROM d ORDER BY media_id""".stripMargin,
+    "chunk_documents" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS toks
+        |  FROM documents),
+        |c AS (SELECT doc_id, toks,
+        |        unnest(range(1, len(toks) + 1, 24)) AS start_tok
+        |      FROM t WHERE len(toks) >= 1)
+        |SELECT doc_id,
+        |  CAST((start_tok - 1) // 24 AS BIGINT) AS chunk_idx,
+        |  CAST(start_tok AS BIGINT) AS start_tok,
+        |  CAST(least(32, len(toks) - start_tok + 1) AS BIGINT) AS n_tok,
+        |  toks[start_tok] AS chunk_head
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     "text_repetition" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -38,4 +38,24 @@ class PackingSpec extends SparkTestBase {
     // 4 merged entries before light's first (pos 1.0, ties to heavy)
     assert(out.take(4).forall(_._2 == "heavy"))
   }
+
+  test("chunkTokens windows cover every token with the declared overlap") {
+    val docs = Seq(
+      (1L, (1 to 70).map(i => s"t$i").mkString(" ")), // 70 tokens: 3 chunks at 32/8
+      (2L, "a b c"),                                  // shorter than one chunk
+      (3L, "solo")).toDF("doc_id", "text")
+    val out = graft.operators.Packing
+      .chunkTokens(docs, "doc_id", "text", 32, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    val d1 = out.filter(_._1 == 1L).toSeq
+    assert(d1.map(c => (c._2, c._3, c._4)) ==
+      Seq((0L, 1L, 32L), (1L, 25L, 32L), (2L, 49L, 22L)),
+      s"chunk grid must advance by 24 with a 22-token tail, got $d1")
+    assert(d1.map(_._5) == Seq("t1", "t25", "t49"))
+    // consecutive chunks overlap by exactly 8 tokens
+    assert(d1(0)._3 + 32 - 8 == d1(1)._3)
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 1L, 3L, "a")))
+    assert(out.filter(_._1 == 3L).toSeq == Seq((3L, 0L, 1L, 1L, "solo")))
+  }
 }
