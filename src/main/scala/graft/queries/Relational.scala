@@ -555,6 +555,25 @@ object Relational {
         percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("p95"))
       .orderBy(col("l_returnflag"))
 
+  /** Column profiling — the stats-collection pass every pipeline runs
+    * before planning (pruning bounds, join-size estimates, partition
+    * sizing): per column min/max/null count/exact NDV in ONE scan via
+    * conditional aggregates (NDV is the only shuffle-bearing term; the
+    * rest map-side combine). Exact NDV here because the profile IS the
+    * oracle surface; at 100 TB swap count(DISTINCT) for
+    * approx_count_distinct and keep the plan shape.
+    */
+  def qTableProfile(s: SparkSession, dir: String): DataFrame = {
+    def prof(c: String) = Seq(
+      min(col(c)).cast("long").as(s"${c}_min"),
+      max(col(c)).cast("long").as(s"${c}_max"),
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+      countDistinct(col(c)).as(s"${c}_ndv"))
+    val cols = Seq("l_orderkey", "l_partkey", "l_quantity", "l_linenumber")
+      .flatMap(prof)
+    Tables.lineitem(s, dir).agg(cols.head, cols.tail: _*)
+  }
+
   /** JSON scalar functions over the events.props JSON column. */
   def qJson(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -672,6 +691,7 @@ object Relational {
     "q_session_window" -> (qSessionWindow _),
     "q_approx_distinct" -> (qApproxDistinct _),
     "q_approx_percentile" -> (qApproxPercentile _),
+    "q_table_profile" -> (qTableProfile _),
     "q1_agg" -> (q1Agg _),
     "q_skew_agg" -> (qSkewAgg _),
     "q_skew_join" -> (qSkewJoin _),
@@ -928,6 +948,25 @@ object Relational {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "q_table_profile" ->
+      """SELECT
+        |  CAST(min(l_orderkey) AS BIGINT) AS l_orderkey_min,
+        |  CAST(max(l_orderkey) AS BIGINT) AS l_orderkey_max,
+        |  CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS l_orderkey_nulls,
+        |  count(DISTINCT l_orderkey) AS l_orderkey_ndv,
+        |  CAST(min(l_partkey) AS BIGINT) AS l_partkey_min,
+        |  CAST(max(l_partkey) AS BIGINT) AS l_partkey_max,
+        |  CAST(sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS l_partkey_nulls,
+        |  count(DISTINCT l_partkey) AS l_partkey_ndv,
+        |  CAST(min(l_quantity) AS BIGINT) AS l_quantity_min,
+        |  CAST(max(l_quantity) AS BIGINT) AS l_quantity_max,
+        |  CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS l_quantity_nulls,
+        |  count(DISTINCT l_quantity) AS l_quantity_ndv,
+        |  CAST(min(l_linenumber) AS BIGINT) AS l_linenumber_min,
+        |  CAST(max(l_linenumber) AS BIGINT) AS l_linenumber_max,
+        |  CAST(sum(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS l_linenumber_nulls,
+        |  count(DISTINCT l_linenumber) AS l_linenumber_ndv
+        |FROM lineitem""".stripMargin,
     "q_window_ntile" ->
       """SELECT p_brand, p_partkey,
         |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,

@@ -29,7 +29,8 @@ import org.apache.spark.sql.functions._
 object ScaleCurve {
 
   private val Queries = Seq("dedup_minhash", "dedup_ngram_jaccard",
-    "dedup_simhash", "dedup_near_keep", "dedup_clusters", "ann_topk_lsh")
+    "dedup_simhash", "dedup_near_keep", "dedup_clusters", "ann_topk_lsh",
+    "text_decontaminate", "text_repetition", "chunk_documents")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
