@@ -24,13 +24,24 @@ import org.apache.spark.sql.SparkSession
   *    median, so a single GC pause or JIT deopt cannot move a number 10×.
   *    The first dedup-family run still pays the cache build; the median
   *    reports the warm steady state.
+  *  - **Raw reps recorded**: rounds 2 and 4 both saw a regression claim
+  *    die in noise-vs-real ambiguity, so the per-rep triples are kept —
+  *    on the second stdout/stderr line and in the file artifact — making
+  *    one-glance noise diagnosis possible.
   *
-  * Output hand-off: the bare JSON line is the FIRST line this main writes
-  * to stdout (preceded by a newline so log interleaving cannot glue it to
-  * another line), duplicated to stderr, and written to
-  * `$TMPDIR/graft_bench_out.json` (path override: SPARK_GRAFT_BENCH_OUT) —
-  * three chances for the driver's parser, none of them littering the repo
-  * working tree.
+  * Output hand-off, built so driver tail-capture truncation can never
+  * hide a number (round 4's artifact lost the first ~11 queries of an
+  * unrounded ~3 KB line):
+  *  - stdout line 1 (the contract line): the compact summary JSON —
+  *    per-query MEDIANS rounded to 3 decimals (~40% shorter than
+  *    full-precision doubles), alphabetical.
+  *  - stdout line 2: raw per-rep triples, HEAVIEST QUERY FIRST, so a
+  *    truncation from either end keeps the interesting numbers legible.
+  *  - both lines duplicated to stderr.
+  *  - full JSON (summary + raw) written to `$TMPDIR/graft_bench_out.json`
+  *    (override: SPARK_GRAFT_BENCH_OUT) AND to the legacy `./bench_out
+  *    .json` cwd path (gitignored) for drivers that rely on the old
+  *    file fallback.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -59,6 +70,12 @@ object Bench {
       if (ok.isEmpty) -1.0 else ok.sorted.apply(ok.size / 2)
     }
 
+    // 3-decimal fixed-point rendering (no scientific notation, no
+    // Double.toString tail like 12.394829384293847 — the tail is what
+    // pushed round 4's line past the driver's capture window)
+    def f3(x: Double): String =
+      if (x < 0) "-1" else java.lang.String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
+
     runOnce("q1_agg") // warmup: JIT, codegen cache, parquet footers
 
     // family = everything before the last name segment ("dedup_minhash" →
@@ -70,26 +87,39 @@ object Bench {
       // previous family's retained memory doesn't tax this one
       spark.catalog.clearCache()
       System.gc()
-      names.map(n => n -> median((0 until reps).map(_ => runOnce(n))))
+      names.map(n => n -> (0 until reps).map(_ => runOnce(n)))
     }.sortBy(_._1)
+    val medians = results.map { case (k, raw) => k -> median(raw) }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = medians.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = medians.map(_._2).filter(_ >= 0).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val rawHeaviestFirst = results.sortBy { case (k, raw) => -median(raw) }
+      .map { case (k, raw) => "\"" + k + "\":" + raw.map(f3).mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    val rawJson =
+      s"""{"metric":"raw_reps","unit":"sec","order":"heaviest_first","raw":$rawHeaviestFirst}"""
     // the bare line on its own stdout line, duplicated to stderr and to a
     // file — sbt's [info] decoration broke the stdout parse in rounds 1-2
     println()
     println(json)
+    println(rawJson)
     Console.err.println(json)
-    // default OUTSIDE the repo cwd (tmpdir) so repeated runs don't strew
-    // untracked artifacts in the working tree; SPARK_GRAFT_BENCH_OUT pins
-    // an explicit path
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      new java.io.File(System.getProperty("java.io.tmpdir"), "graft_bench_out.json").getPath)
-    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Console.err.println(rawJson)
+    // full artifact (summary + raw triples) to tmpdir (override via
+    // SPARK_GRAFT_BENCH_OUT) and to the legacy cwd path `bench_out.json`
+    // (gitignored) — four chances for the driver's parser
+    val full = json.dropRight(1) + s""","raw":$rawHeaviestFirst}"""
+    for (outPath <- Seq(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+          new java.io.File(System.getProperty("java.io.tmpdir"), "graft_bench_out.json").getPath),
+        "bench_out.json")) {
+      try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case _: java.io.IOException => () }
+    }
     spark.stop()
   }
 }

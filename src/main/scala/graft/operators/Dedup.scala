@@ -365,9 +365,20 @@ object Dedup {
       edges = small
     }
     // fixpoint edges are (member → component-min root); roots and isolated
-    // docs label themselves
+    // docs label themselves. The min-aggregate is a no-op at the fixpoint
+    // (one dst per src) but REQUIRED if the loop exited via maxIters: a
+    // pre-fixpoint edge set can still hold several (src → dst) edges per
+    // node, and a bare left join would then emit duplicate rows per
+    // document with non-minimal roots.
+    if (!converged && iter >= maxIters)
+      Console.err.println(
+        s"[graft] clusterIdsStar: maxIters=$maxIters exhausted before the " +
+        "signature fixpoint; labels below are min-aggregated per doc and " +
+        "correct per edge set, but roots may not yet be component minima " +
+        "- raise maxIters for adversarially deep graphs")
+    val roots = edges.groupBy(col("src").as("id")).agg(min(col("dst")).as("_root"))
     val labels = docs.select(col(idCol).cast("long").as("id"))
-      .join(edges.select(col("src").as("id"), col("dst").as("_root")), Seq("id"), "left")
+      .join(roots, Seq("id"), "left")
       .select(col("id").as(idCol), coalesce(col("_root"), col("id")).as("cluster_id"))
     (labels, iter)
   }

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
+import scala.util.control.NonFatal
+
 /** Multimodal (image/audio/video) column support.
   *
   * Design: media payloads are opaque `binary` columns travelling next to
@@ -124,7 +126,10 @@ object Multimodal {
       batch.map { m =>
         val img =
           try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.content))
-          catch { case _: java.io.IOException => null }
+          // NonFatal, not just IOException: codec internals throw
+          // IllegalArgumentException / CMMException on malformed payloads,
+          // and the poison-row contract must hold for those too
+          catch { case NonFatal(_) => null }
         if (img == null) DecodedImage(m.media_id, 0, 0, 0, 0L, decoded = false)
         else {
           val c = img.getRaster.getNumBands
@@ -176,7 +181,10 @@ object Multimodal {
       batch.map { m =>
         val img =
           try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.content))
-          catch { case _: java.io.IOException => null }
+          // NonFatal, not just IOException: codec internals throw
+          // IllegalArgumentException / CMMException on malformed payloads,
+          // and the poison-row contract must hold for those too
+          catch { case NonFatal(_) => null }
         if (img == null) m
         else {
           val dst = new java.awt.image.BufferedImage(w, h,
@@ -293,8 +301,10 @@ object Multimodal {
             DecodedAudio(m.media_id, fmt.getSampleRate.toInt, n, rms, decoded = true)
           } finally ais.close()
         } catch {
-          case _: javax.sound.sampled.UnsupportedAudioFileException |
-               _: java.io.IOException =>
+          // NonFatal (not just UnsupportedAudioFileException/IOException):
+          // codec internals can throw RuntimeExceptions on malformed
+          // payloads, and those must also become poison rows
+          case NonFatal(_) =>
             DecodedAudio(m.media_id, 0, 0L, 0.0, decoded = false)
         }
       }
@@ -356,8 +366,11 @@ object Multimodal {
           case Some(frames) =>
             frames.zipWithIndex.map { case (png, i) =>
               val img =
+                // NonFatal, not just IOException: codec internals throw
+                // IllegalArgumentException / CMMException on malformed
+                // payloads, and the poison-row contract must hold for those
                 try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
-                catch { case _: java.io.IOException => null }
+                catch { case NonFatal(_) => null }
               if (img == null)
                 DecodedVideoFrame(m.media_id, i, i * Gvid.FrameMs, 0, 0, 0L, decoded = false)
               else {
@@ -386,8 +399,11 @@ object Multimodal {
       Gvid.read(m.content).toSeq.flatMap { frames =>
         frames.zipWithIndex.collect { case (png, i) if i % stride == 0 =>
           val img =
+            // NonFatal, not just IOException: codec internals throw
+            // IllegalArgumentException / CMMException on malformed
+            // payloads, and the poison-row contract must hold for those
             try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
-            catch { case _: java.io.IOException => null }
+            catch { case NonFatal(_) => null }
           Option(img).map { im =>
             val fp = (im.getWidth.toLong << 48) | (im.getHeight.toLong << 32) |
               (im.getRGB(0, 0) & 0xFFFFFFL)

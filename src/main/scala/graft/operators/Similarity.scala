@@ -80,17 +80,32 @@ object Similarity {
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, dim: Int, tables: Int = 8, bits: Int = 4): DataFrame = {
-    val cB = corpus.select(col(idCol).as("_cid"), col(vecCol).as("_cv"),
+    // Candidate generation and dedup carry IDS ONLY — up to L bucket
+    // collisions per (query, corpus) pair would otherwise drag two full
+    // embedding vectors each through the dedup exchange (same discipline
+    // as lshCosinePairs / Dedup.verifyPairs). Vectors are re-attached
+    // after the dedup via broadcast joins: the candidate-id set is
+    // ≤ |queries| × per-query bucket occupancy and two longs per row, so
+    // it is broadcastable whenever the query set itself is (this
+    // operator's standing precondition) — the corpus still never
+    // shuffles.
+    val cB = corpus.select(col(idCol).as("_cid"),
         posexplode(bucketIds(col(vecCol), dim, tables, bits)).as(Seq("_t", "_b")))
-    val qB = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
+    val qB = queries.select(col(idCol).as("query_id"),
         posexplode(bucketIds(col(vecCol), dim, tables, bits)).as(Seq("_t", "_b")))
-    val cands = cB.join(broadcast(qB), Seq("_t", "_b"))
+    val candIds = cB.join(broadcast(qB), Seq("_t", "_b"))
       .filter(col("_cid") =!= col("query_id"))
-      .select(col("query_id"), col("_qv"), col("_cid"), col("_cv"))
+      .select(col("query_id"), col("_cid"))
       .dropDuplicates("query_id", "_cid")
-    val scored = cands.select(col("query_id"), col("_cid"),
-      round(VectorOps.dot(col("_qv"), col("_cv")) /
-        (VectorOps.norm(col("_qv")) * VectorOps.norm(col("_cv"))), 6).as("_score"))
+    val qVecs = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
+      VectorOps.norm(col(vecCol)).as("_qn"))
+    val cVecs = corpus.select(col(idCol).as("_cid"), col(vecCol).as("_cv"),
+      VectorOps.norm(col(vecCol)).as("_cn"))
+    val scored = cVecs.join(broadcast(candIds), Seq("_cid"))
+      .join(broadcast(qVecs), Seq("query_id"))
+      .select(col("query_id"), col("_cid"),
+        round(VectorOps.dot(col("_qv"), col("_cv")) / (col("_qn") * col("_cn")), 6)
+          .as("_score"))
     rankTopK(scored, k)
   }
 
@@ -206,9 +221,14 @@ object Similarity {
   // --------------------------------------------------------- IVF path
 
   /** Spherical k-means centroids trained on a BOUNDED deterministic
-    * sample (first nlist*8 rows by id) — the standard IVF practice: the
-    * training set stays driver-sized no matter the corpus size, while
-    * assignment below remains a single distributed pass.
+    * sample (nlist*8 rows in `xxhash64(id)` order) — the standard IVF
+    * practice: the training set stays driver-sized no matter the corpus
+    * size, while assignment below remains a single distributed pass.
+    * Ordering by the id HASH rather than the id itself keeps the sample
+    * deterministic while avoiding prefix bias: raw ids frequently encode
+    * source or ingestion time, so a first-N-by-id sample would train
+    * centroids on one corner of the corpus (id as tiebreak for the
+    * astronomically-unlikely hash collision).
     */
   private def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int): Seq[Seq[Double]] = {
@@ -218,7 +238,7 @@ object Similarity {
       val n = math.sqrt(v.map(x => x * x).sum)
       if (n == 0) v else v.map(_ / n)
     }
-    val sample = corpus.orderBy(col(idCol)).limit(nlist * 8)
+    val sample = corpus.orderBy(xxhash64(col(idCol)), col(idCol)).limit(nlist * 8)
       .select(col(vecCol)).as[Array[Float]].collect()
       .map(v => normalize(v.map(_.toDouble)))
     var cents = sample.take(nlist)
