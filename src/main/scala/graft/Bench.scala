@@ -20,24 +20,30 @@ import org.apache.spark.sql.SparkSession
   *    round trips, banding joins) cannot bleed into later families'
   *    numbers. Within a family the cache is intentionally shared — that is
   *    the plan's real shape.
-  *  - **Median-of-3**: every query runs three times and reports the
-  *    median, so a single GC pause or JIT deopt cannot move a number 10×.
-  *    The first dedup-family run still pays the cache build; the median
-  *    reports the warm steady state.
+  *  - **Untimed warm-up, then median-of-3**: every query runs ONCE
+  *    untimed before its timed reps — round 5's raw triples proved the
+  *    first rep pays family cache build + JIT and contaminated the
+  *    medians 2-4× on the heavy families (dedup_ngram_jaccard
+  *    [28.7,10.1,4.6]). With the warm-up absorbed, the three timed reps
+  *    are steady-state and the median is trustworthy; a single GC pause
+  *    or JIT deopt still cannot move a number 10×.
   *  - **Raw reps recorded**: rounds 2 and 4 both saw a regression claim
   *    die in noise-vs-real ambiguity, so the per-rep triples are kept —
   *    on the second stdout/stderr line and in the file artifact — making
   *    one-glance noise diagnosis possible.
   *
   * Output hand-off, built so driver tail-capture truncation can never
-  * hide a number (round 4's artifact lost the first ~11 queries of an
-  * unrounded ~3 KB line):
-  *  - stdout line 1 (the contract line): the compact summary JSON —
-  *    per-query MEDIANS rounded to 3 decimals (~40% shorter than
-  *    full-precision doubles), alphabetical.
-  *  - stdout line 2: raw per-rep triples, HEAVIEST QUERY FIRST, so a
-  *    truncation from either end keeps the interesting numbers legible.
-  *  - both lines duplicated to stderr.
+  * hide a number. The driver keeps the TAIL of stdout (rounds 3-5 each
+  * lost the artifact when the parseable line scrolled out of the capture
+  * window), so:
+  *  - the LAST stdout line is the contract line: the compact summary
+  *    JSON — per-query MEDIANS rounded to 3 decimals (~40% shorter than
+  *    full-precision doubles), alphabetical. Tail-capture always keeps
+  *    the final line.
+  *  - the line above it: raw per-rep triples, heaviest query first, so
+  *    a head-truncation keeps the interesting numbers legible.
+  *  - both lines duplicated to stderr (raw first, summary last there
+  *    too).
   *  - full JSON (summary + raw) written to `$TMPDIR/graft_bench_out.json`
   *    (override: SPARK_GRAFT_BENCH_OUT) AND to the legacy `./bench_out
   *    .json` cwd path (gitignored) for drivers that rely on the old
@@ -87,7 +93,10 @@ object Bench {
       // previous family's retained memory doesn't tax this one
       spark.catalog.clearCache()
       System.gc()
-      names.map(n => n -> (0 until reps).map(_ => runOnce(n)))
+      names.map { n =>
+        runOnce(n) // untimed warm-up: absorbs family cache build + JIT
+        n -> (0 until reps).map(_ => runOnce(n))
+      }
     }.sortBy(_._1)
     val medians = results.map { case (k, raw) => k -> median(raw) }
 
@@ -101,13 +110,17 @@ object Bench {
       .mkString("{", ",", "}")
     val rawJson =
       s"""{"metric":"raw_reps","unit":"sec","order":"heaviest_first","raw":$rawHeaviestFirst}"""
-    // the bare line on its own stdout line, duplicated to stderr and to a
-    // file — sbt's [info] decoration broke the stdout parse in rounds 1-2
+    // the bare contract line must be the FINAL stdout line — the driver
+    // keeps the tail of stdout, so anything printed after it risks
+    // pushing it out of the capture window (this exact failure ate the
+    // round 3-5 artifacts); raw triples go above it. Duplicated to
+    // stderr (same order) and to files. sbt's [info] decoration broke
+    // the stdout parse in rounds 1-2, hence the bare blank-line lead-in.
     println()
-    println(json)
     println(rawJson)
-    Console.err.println(json)
+    println(json)
     Console.err.println(rawJson)
+    Console.err.println(json)
     // full artifact (summary + raw triples) to tmpdir (override via
     // SPARK_GRAFT_BENCH_OUT) and to the legacy cwd path `bench_out.json`
     // (gitignored) — four chances for the driver's parser
