@@ -66,6 +66,30 @@ class DedupSpec extends SparkTestBase {
     assert(starRounds <= 10, s"star contraction should be O(log n), took $starRounds")
   }
 
+  test("clusterIdsStar maxIters exhaustion still yields one min-aggregated row per doc") {
+    // same 51-node chain as above; 2 rounds cannot reach the star fixpoint,
+    // so the loop must exit via maxIters, warn on stderr, and min-aggregate
+    // the pre-fixpoint edge multiset — a bare left join here would emit
+    // duplicate rows per doc with non-minimal roots (the round-5 fix at
+    // Dedup.scala:379)
+    val n = 51
+    val universe = (1 to n).map(_.toLong).toDF("doc_id")
+    val pairs = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("doc_a", "doc_b")
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val (out, rounds) = Console.withErr(new java.io.PrintStream(errBuf, true, "UTF-8")) {
+      Dedup.clusterIdsStarCounted(universe, "doc_id", pairs, maxIters = 2)
+    }
+    val rows = out.as[(Long, Long)].collect()
+    assert(rounds == 2, s"loop must exit via maxIters, ran $rounds rounds")
+    assert(rows.length == n, "exactly one row per document even pre-fixpoint")
+    assert(rows.map(_._1).toSet == (1 to n).map(_.toLong).toSet)
+    // pre-fixpoint labels are still valid downward contractions: every
+    // doc's label is its SMALLEST candidate root, never above its own id
+    assert(rows.forall { case (id, root) => root <= id })
+    assert(errBuf.toString.contains("maxIters=2 exhausted"),
+      s"expected the exhaustion warning on stderr, got: ${errBuf.toString.take(200)}")
+  }
+
   test("clusterIdsStar matches clusterIds on the small mixed graph") {
     val universe = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")

@@ -68,6 +68,38 @@ class SimilaritySpec extends SparkTestBase {
       "0.5 is the honest floor for L=8 b=4 at ~60-degree neighbor angles)")
   }
 
+  test("lshTopK shuffles ids only: no embedding array crosses a shuffle exchange") {
+    // guards the round-5 fix (Similarity.scala:83-108): candidate dedup
+    // must shuffle (query_id, _cid) longs only; vectors travel exclusively
+    // via broadcast. Walk the EXECUTED (post-AQE) plan and assert it.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter($"vec_id" < 5)
+    val df = Similarity.lshTopK(queries, emb, "vec_id", "embedding", 5, 64)
+    df.collect() // materialize so AQE settles on the final plan
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val inner = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _ => p.children
+      }
+      p +: inner.flatMap(flatten)
+    }
+    val shuffles = flatten(df.queryExecution.executedPlan)
+      .collect { case s: ShuffleExchangeLike => s }.distinct
+    assert(shuffles.nonEmpty, "expected at least the candidate-dedup exchange")
+    val vectorCarrying = shuffles.filter(_.output.exists(_.dataType.isInstanceOf[ArrayType]))
+    assert(vectorCarrying.isEmpty,
+      s"embedding arrays crossed a shuffle: ${vectorCarrying.map(_.output.map(_.name).mkString("(", ",", ")"))}")
+    assert(shuffles.exists(s =>
+        s.output.size == 2 && s.output.forall(_.dataType == LongType)),
+      s"no two-long-column dedup exchange found; shuffle schemas were: " +
+        shuffles.map(_.output.map(a => s"${a.name}:${a.dataType.simpleString}").mkString("(", ",", ")")).mkString("; "))
+  }
+
   test("blockedCosinePairs equals the all-pairs baseline at sf0.01, any block count") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
     def rows(df: org.apache.spark.sql.DataFrame) =
