@@ -115,6 +115,85 @@ object KafkaAvroIO {
     else base.select(col("key"), col("value"))
   }
 
+  /** Minimal producer SPI for [[sinkWithTimestamp]]: one instance per
+    * partition per micro-batch, opened on the executor, closed after the
+    * partition drains. Exists because Spark's `format("kafka")` sink
+    * cannot honor a per-record timestamp (see [[encodeValues]]) and
+    * because kafka-clients is a cluster-classpath dependency this build
+    * does not compile against — the default factory
+    * ([[reflectiveKafkaProducer]]) binds to it reflectively at runtime,
+    * and tests inject a recording implementation.
+    */
+  trait RecordProducer {
+    def send(topic: String, key: String, value: Array[Byte], timestampMs: Long): Unit
+    def close(): Unit
+  }
+
+  /** Default [[RecordProducer]] factory: reflective
+    * `org.apache.kafka.clients.producer.KafkaProducer` using the 5-arg
+    * `ProducerRecord(topic, partition = null, timestamp, key, value)`
+    * constructor — the only producer API that stamps an explicit record
+    * timestamp (CreateTime) instead of letting the broker use append
+    * time. Reflection keeps this module compilable without kafka-clients
+    * (same split as the `format("kafka")` paths above); on a real cluster
+    * the connector bundles the client and this resolves.
+    */
+  object reflectiveKafkaProducer extends (KafkaConf => RecordProducer) with Serializable {
+    def apply(conf: KafkaConf): RecordProducer = new RecordProducer {
+      private val producerCls = Class.forName("org.apache.kafka.clients.producer.KafkaProducer")
+      private val recordCls = Class.forName("org.apache.kafka.clients.producer.ProducerRecord")
+      private val props = new java.util.Properties()
+      props.put("bootstrap.servers", conf.bootstrap)
+      props.put("key.serializer", "org.apache.kafka.common.serialization.StringSerializer")
+      props.put("value.serializer", "org.apache.kafka.common.serialization.ByteArraySerializer")
+      private val producer =
+        producerCls.getConstructor(classOf[java.util.Properties]).newInstance(props)
+      private val sendM = producerCls.getMethod("send", recordCls)
+      private val recordCtor = recordCls.getConstructor(classOf[String],
+        classOf[java.lang.Integer], classOf[java.lang.Long],
+        classOf[Object], classOf[Object])
+      def send(topic: String, key: String, value: Array[Byte], timestampMs: Long): Unit =
+        sendM.invoke(producer, recordCtor.newInstance(topic, null,
+          Long.box(timestampMs), key, value).asInstanceOf[Object])
+      def close(): Unit = producerCls.getMethod("close").invoke(producer)
+    }
+  }
+
+  /** S5-to-broker sink: like [[sink]] but the produced record's timestamp
+    * IS the flush's punctuation stream time, matching the reference's
+    * `context.forward(..., To.all().withTimestamp(context.currentStreamTimeMs))`
+    * (Application.java:75-78) — consumers of the output topic observe
+    * flush time, not event time or broker append time. `format("kafka")`
+    * cannot express this (it drops any timestamp column), so each
+    * micro-batch is produced explicitly: encode → per-partition producer
+    * → send(key, value, flush-time). Exactly-once is NOT claimed — like
+    * the reference's at-least-once producer, a retried batch re-sends
+    * (idempotence is a broker-side producer config, `enable.idempotence`
+    * in dev.properties).
+    */
+  def sinkWithTimestamp(reordered: Dataset[graft.streaming.StreamingReorder.Reordered],
+      conf: KafkaConf,
+      producerFactory: KafkaConf => RecordProducer = reflectiveKafkaProducer)
+      : org.apache.spark.sql.streaming.DataStreamWriter[graft.streaming.StreamingReorder.Reordered] = {
+    val framed = conf.confluentFramed
+    val schemaId = conf.schemaId
+    val topic = conf.outputTopic
+    reordered.writeStream
+      .option("checkpointLocation", conf.checkpoint)
+      .foreachBatch { (batch: Dataset[graft.streaming.StreamingReorder.Reordered], _: Long) =>
+        encodeValues(batch, framed, schemaId, withTimestamp = true)
+          .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+            if (rows.nonEmpty) {
+              val p = producerFactory(conf)
+              try rows.foreach { r =>
+                p.send(topic, r.getString(0), r.getAs[Array[Byte]](1),
+                  r.getTimestamp(2).getTime)
+              } finally p.close()
+            }
+          }
+      }
+  }
+
   /** Streaming sink: reordered rows → Kafka. */
   def sink(reordered: Dataset[graft.streaming.StreamingReorder.Reordered],
       conf: KafkaConf): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {

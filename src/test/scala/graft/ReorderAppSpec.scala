@@ -13,6 +13,24 @@ import org.apache.spark.sql.streaming.OutputMode
   */
 final case class WireRecord(value: Array[Byte])
 
+/** Recording [[KafkaAvroIO.RecordProducer]] factory for the
+  * `sinkWithTimestamp` spec. A top-level object: local-mode executors run
+  * in this JVM, so the static queue observes executor-side sends; the
+  * factory itself captures no state and serializes as a module ref.
+  */
+object RecordingProducerFactory
+    extends (KafkaAvroIO.KafkaConf => KafkaAvroIO.RecordProducer) with Serializable {
+  val sent = new java.util.concurrent.ConcurrentLinkedQueue[(String, String, Array[Byte], Long)]
+  val closes = new java.util.concurrent.atomic.AtomicInteger
+  def apply(conf: KafkaAvroIO.KafkaConf): KafkaAvroIO.RecordProducer =
+    new KafkaAvroIO.RecordProducer {
+      def send(topic: String, key: String, value: Array[Byte], timestampMs: Long): Unit = {
+        sent.add((topic, key, value, timestampMs)); ()
+      }
+      def close(): Unit = { closes.incrementAndGet(); () }
+    }
+}
+
 /** The production entry point ([[ReorderApp]]) minus the broker: property
   * parsing parity with the reference's loader (StreamsUtils.java:16-27)
   * and the full wire-in → reorder → wire-out assembly on MemoryStream.
@@ -116,6 +134,40 @@ class ReorderAppSpec extends SparkTestBase {
     val ts = out.select(col("timestamp")).head().getTimestamp(0)
     assert(ts.toInstant.toEpochMilli == 5000L,
       "timestamp = punctuation stream time (Application.java:77)")
+  }
+
+  test("sinkWithTimestamp produces (key, value, flush-time) triples to the broker SPI") {
+    // the S5 observable format("kafka") cannot express: the produced
+    // record's timestamp is the punctuation stream time
+    // (Application.java:75-78), not broker append time
+    implicit val sqlCtx = spark.sqlContext
+    RecordingProducerFactory.sent.clear()
+    RecordingProducerFactory.closes.set(0)
+    val conf = KafkaAvroIO.KafkaConf("unused:9092", "in", "orders-out",
+      Files.createTempDirectory("graft-s5-ckpt").toString,
+      confluentFramed = true, schemaId = 7)
+    val input = MemoryStream[graft.streaming.StreamingReorder.Reordered]
+    val q = KafkaAvroIO.sinkWithTimestamp(input.toDS(), conf, RecordingProducerFactory)
+      .start()
+    try {
+      input.addData(
+        graft.streaming.StreamingReorder.Reordered("key-1000", "1", "HDTV", "u1", 9.99, 1000L, 5000L),
+        graft.streaming.StreamingReorder.Reordered("key-2000", "2", "SPEAKER", "u2", 19.99, 2000L, 7000L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = scala.jdk.CollectionConverters.CollectionHasAsScala(
+      RecordingProducerFactory.sent).asScala.toSeq.sortBy(_._2)
+    assert(got.map(t => (t._1, t._2, t._4)) == Seq(
+      ("orders-out", "key-1000", 5000L), ("orders-out", "key-2000", 7000L)),
+      "record timestamp must be flush_time, topic from conf, key the S4 store key")
+    assert(AvroCodec.decode(got(0)._3, confluentFramed = true) ==
+      ElectronicOrder("1", "HDTV", "u1", 9.99, 1000L))
+    assert(AvroCodec.decode(got(1)._3, confluentFramed = true) ==
+      ElectronicOrder("2", "SPEAKER", "u2", 19.99, 2000L))
+    assert(got(0)._3(0) == 0 && got(0)._3(4) == 7,
+      "value carries the Confluent frame with the configured schema id")
+    assert(RecordingProducerFactory.closes.get >= 1,
+      "every opened producer must be closed after its partition drains")
   }
 
   test("corrupt payloads decode to null and are filtered, not fatal (poison rows)") {
