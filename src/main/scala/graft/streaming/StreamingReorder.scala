@@ -142,14 +142,33 @@ object StreamingReorder extends Serializable {
     * row forever — the same lifecycle as the reference's persistent store.
     * Use [[faithful]] when bounded-disorder drops are acceptable and
     * watermark-driven state cleanup matters more.
+    *
+    * `idleStateTtlMs` (0 = off, the faithful default) bounds that state
+    * growth for 100 TB keyspaces: a key that receives no records for the
+    * TTL (processing time) has its state row dropped — but ONLY when its
+    * reorder buffer is empty, so nothing buffered is ever lost (a
+    * buffered tail idles armed until data returns, per S6). What expiry
+    * forgets is the key's punctuation anchor: a record arriving after
+    * expiry re-anchors at first-observed stream time + grace, exactly as
+    * a never-seen key — so output is unchanged for any key active within
+    * the TTL, and a revived key's flushes may only shift to a later
+    * punctuation epoch, never drop or reorder differently within one.
     */
   def withLateOutput(orders: Dataset[ElectronicOrder], graceMs: Long,
-      emitStoreKey: Boolean = true): Dataset[Reordered] = {
+      emitStoreKey: Boolean = true, idleStateTtlMs: Long = 0L): Dataset[Reordered] = {
     val spark = orders.sparkSession
     import spark.implicits._
+    val ttlOn = idleStateTtlMs > 0
 
     def fn(key: String, rows: Iterator[ElectronicOrder],
         state: GroupState[LateState]): Iterator[Reordered] = {
+      if (ttlOn && state.hasTimedOut) {
+        // idle past TTL: drop the state row only if nothing is buffered;
+        // a buffered tail must keep waiting for successor data (S6)
+        if (state.get.buffer.isEmpty) state.remove()
+        else state.setTimeoutDuration(idleStateTtlMs)
+        return Iterator.empty
+      }
       val st = state.getOption.getOrElse(LateState(Map.empty, Long.MinValue, Long.MinValue))
       var buf = st.buffer
       var streamTime = st.streamTime
@@ -173,16 +192,20 @@ object StreamingReorder extends Serializable {
           if (armed + graceMs > streamTime) armed + graceMs
           else streamTime + graceMs
         state.update(LateState(Map.empty, streamTime, next))
+        if (ttlOn) state.setTimeoutDuration(idleStateTtlMs)
         flushBuffer(buf, emitStoreKey, streamTime)
       } else {
         state.update(LateState(buf, streamTime, armed))
+        if (ttlOn) state.setTimeoutDuration(idleStateTtlMs)
         Iterator.empty
       }
     }
 
     orders
       .groupByKey(_.electronic_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+      .flatMapGroupsWithState(OutputMode.Append,
+        if (ttlOn) GroupStateTimeout.ProcessingTimeTimeout
+        else GroupStateTimeout.NoTimeout)(fn)
   }
 
   /** [[faithful]] on Spark 4's `transformWithState` arbitrary-state v2

@@ -250,6 +250,51 @@ class StreamingReorderSpec extends SparkTestBase {
     assert(out.isEmpty, "no flush before stream time passes oldest + grace")
   }
 
+  test("withLateOutput idle-key TTL drops empty state rows, keeps buffered tails, output unchanged") {
+    // NOTE: with ProcessingTimeTimeout, FlatMapGroupsWithStateExec reports
+    // shouldRunAnotherBatch = true on every trigger, so the engine runs
+    // timeout-sweep batches continuously and processAllAvailable() never
+    // sees the noNewData latch — this test must POLL sink/state metrics,
+    // never call processAllAvailable (learned the hard way: it hangs).
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[ElectronicOrder]
+    val ttlMs = 1000L
+    val q = StreamingReorder.withLateOutput(input.toDS(), GraceMs, idleStateTtlMs = ttlMs)
+      .writeStream.format("memory").queryName("late_ttl")
+      .outputMode(OutputMode.Append).start()
+    try {
+      def stateRows: Long = q.recentProgress.reverse.iterator
+        .flatMap(_.stateOperators.headOption).map(_.numRowsTotal)
+        .nextOption().getOrElse(-1L)
+      def waitFor(cond: => Boolean, what: String): Unit = {
+        val deadline = System.currentTimeMillis() + 30000
+        while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(100)
+        assert(cond, s"timed out waiting for: $what (stateRows=$stateRows)")
+      }
+      // three keys: "idle" and "one" flush fully (empty buffers) then go
+      // quiet; "hold" keeps a sub-grace buffered tail and goes quiet
+      // (S6: must NOT flush, and the TTL must NOT expire it)
+      val idleKey = fixture.map(o => o.copy(order_id = "i" + o.order_id, electronic_id = "idle"))
+      val holdKey = fixture.take(4).map(o => o.copy(order_id = "h" + o.order_id, electronic_id = "hold"))
+      input.addData(fixture ++ idleKey ++ holdKey)
+      waitFor(spark.table("late_ttl").count() == 24, "both flushed keys emit the golden 12")
+      // TTL sweep: both empty-buffer keys expire; the buffered tail survives
+      waitFor(stateRows == 1, "'one' and 'idle' expire; 'hold' (buffered tail) survives")
+      // a record for the expired "one" revives it as a brand-new key: it
+      // re-anchors at its own time + grace, so it buffers without flushing
+      input.addData(ElectronicOrder("13", "one", "quiet", 1.0, t("2021-11-05T01:00:00Z")))
+      waitFor(stateRows == 2, "revived 'one' holds fresh state next to surviving 'hold'")
+      // fidelity: the TTL changed nothing observable — both flushed keys
+      // emitted exactly the golden sequence, the buffered tail emitted
+      // nothing (S6), the post-TTL record is still buffered
+      val out = spark.table("late_ttl").as[StreamingReorder.Reordered].collect().toSeq
+      val byKey = out.groupBy(_.electronic_id)
+      assert(byKey("one").map(_.order_id) == goldenOrder)
+      assert(byKey("idle").map(_.order_id) == goldenOrder.map("i" + _))
+      assert(!byKey.contains("hold"), "sub-grace tail must stay buffered through the TTL sweep")
+    } finally q.stop()
+  }
+
   test("randomized streams: faithful output equals batch reorder+dedup per key") {
     // seeded random multi-key streams with disorder bounded by grace,
     // random batch splits — streaming must agree with the batch operator
