@@ -87,7 +87,15 @@ object Bench {
     // family = everything before the last name segment ("dedup_minhash" →
     // "dedup"); single-segment names are their own family
     def family(name: String): String = name.split('_').head
-    val byFamily = SparkEntry.queries.keys.toSeq.sorted.groupBy(family)
+    // SPARK_GRAFT_BENCH_ONLY: comma-separated name or family-prefix filter
+    // for local isolated measurement (e.g. "dedup" or "dedup_near_keep,
+    // pipeline_curate"); unset in the driver -> full suite
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    def selected(name: String): Boolean =
+      only.forall(f => f.contains(name) || f.contains(family(name)))
+    val byFamily = SparkEntry.queries.keys.toSeq.filter(selected)
+      .sorted.groupBy(family)
     val results = byFamily.toSeq.sortBy(_._1).flatMap { case (_, names) =>
       // isolation barrier: drop cached plans + request a GC so the
       // previous family's retained memory doesn't tax this one

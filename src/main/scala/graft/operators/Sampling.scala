@@ -28,6 +28,28 @@ object Sampling {
   def sampled(df: DataFrame, idCol: String, pct: Int): DataFrame =
     df.filter(hashBucket(col(idCol), 100) < pct)
 
+  /** Deterministic global training shuffle, sharded: every row gets a
+    * `shard` in [0, nShards) (content-hash bucket of its id) and a `pos` —
+    * its rank within the shard under (md5(id), id) order. This is the
+    * layout training jobs actually consume — N output files, each
+    * internally in a fixed pseudo-random order — and the scalable way to
+    * "shuffle 100 TB": there is NO global sort / single-partition
+    * row_number; the ranking is a hash-partitioned window, so the work is
+    * nShards independent sorts (raise nShards to O(cluster cores) and
+    * per-shard cost stays flat — the TeraSort shape). Same md5 contract as
+    * [[withSplit]]/[[sampled]]: stable across partitioning, reruns, and
+    * engines, and a doc keeps its (shard, pos-order) forever under
+    * appends-with-new-ids.
+    */
+  def shardedShuffle(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("_mdkey"), col(idCol))
+    df.withColumn("_mdkey", md5(col(idCol).cast("string")))
+      .withColumn("shard", hashBucket(col(idCol), nShards))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("_mdkey")
+  }
+
   /** Deterministic STRATIFIED sample: a per-stratum keep percentage
     * (downsample over-represented strata, keep the tail intact — the
     * standard rebalancing move for training corpora), decided by the same

@@ -165,6 +165,37 @@ object TextAnalysis {
       .orderBy(col(idCol))
   }
 
+  // RE2-safe patterns (no lookaround, no backreferences) so Java regex
+  // (Spark) and RE2 (DuckDB oracle) agree match-for-match. `\b` is the
+  // ASCII word boundary in both.
+  private val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val PhonePattern = "\\+?\\d{1,3}[ -]?\\(?\\d{2,4}\\)?[ -]?\\d{3,4}[ -]?\\d{4}"
+
+  /** PII redaction: replaces email addresses, IPv4 addresses, and
+    * phone-number shapes with `<EMAIL>`/`<IP>`/`<PHONE>` placeholder
+    * tokens and reports per-document match counts (counted on the
+    * ORIGINAL text) — the scrub every shared training corpus runs before
+    * anything else. Pure projection, zero shuffles, linear in bytes;
+    * codegen'd `regexp_replace`/`regexp_count`, no UDF. Redaction order
+    * matters and is fixed: emails, then IPs, then phones (IPs first would
+    * be fine; phones first could consume an IP's digit runs).
+    * Output: (idCol, redacted, n_emails, n_ips, n_phones).
+    */
+  def piiRedact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val text = col(textCol)
+    docs.select(
+      col(idCol),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, EmailPattern, "<EMAIL>"),
+          Ipv4Pattern, "<IP>"),
+        PhonePattern, "<PHONE>").as("redacted"),
+      regexp_count(text, lit(EmailPattern)).cast("long").as("n_emails"),
+      regexp_count(text, lit(Ipv4Pattern)).cast("long").as("n_ips"),
+      regexp_count(text, lit(PhonePattern)).cast("long").as("n_phones"))
+  }
+
   /** Repetition signals (Gopher-style repetition filters): the fraction
     * of tokens taken by the single most frequent token, and by the most
     * frequent token 2-gram — high values mark boilerplate/spam that

@@ -114,6 +114,40 @@ object PipelineQueries {
   def textRepetition(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetitionSignals(Tables.documents(s, dir), "doc_id", "text")
 
+  /** Three synthetic PII carriers planted IN-QUERY (the corpus itself is
+    * PII-free word salad), so the oracle comparison exercises real
+    * redactions, not just both engines agreeing on zero matches — the
+    * same in-query-construction trick as [[textDecontaminate]]'s
+    * benchmark split. No apostrophes (they'd need SQL escaping).
+    */
+  private val PlantedPii = Seq(
+    (9000001L, "reach me at jane.doe@example.com or +1 415-555-0134 today"),
+    (9000002L, "server 10.0.0.1 and backup 192.168.10.20 hold the logs"),
+    (9000003L, "mail root@host.org or call +44 20 7946 0958"))
+
+  def textPiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val planted = {
+      import s.implicits._
+      PlantedPii.toDF("doc_id", "text")
+    }
+    TextAnalysis.piiRedact(
+      Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        .unionByName(planted),
+      "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic sharded training shuffle over documents: 16 shards,
+    * within-shard md5 rank — the "N shuffled output files" layout
+    * training jobs consume (see [[Sampling.shardedShuffle]] for why this
+    * shape, not a global row_number, is the 100 TB-safe one).
+    */
+  def sampleShuffle(s: SparkSession, dir: String): DataFrame =
+    Sampling.shardedShuffle(
+      Tables.documents(s, dir).select(col("doc_id")), "doc_id", 16)
+      .select(col("shard"), col("doc_id"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+
   /** 32-token windows advancing by 24 (8-token overlap) over every doc. */
   def chunkDocuments(s: SparkSession, dir: String): DataFrame =
     Packing.chunkTokens(Tables.documents(s, dir), "doc_id", "text", 32, 8)
@@ -338,6 +372,8 @@ object PipelineQueries {
   val queries: Map[String, Relational.Q] = Map(
     "sample_split" -> (sampleSplit _),
     "sample_stratified" -> (sampleStratified _),
+    "sample_shuffle" -> (sampleShuffle _),
+    "text_pii_redact" -> (textPiiRedact _),
     "dedup_clusters" -> (dedupClusters _),
     "emb_centroids" -> (embCentroids _),
     "dedup_clusters_star" -> (dedupClustersStar _),
@@ -429,6 +465,39 @@ object PipelineQueries {
         |WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
         |      < (CASE WHEN lang = 'en' THEN 25 ELSE 75 END)
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "sample_shuffle" ->
+      """WITH keyed AS (
+        |  SELECT doc_id,
+        |    md5(CAST(doc_id AS VARCHAR)) AS mdkey,
+        |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 16 AS shard
+        |  FROM documents)
+        |SELECT shard, doc_id,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY mdkey, doc_id) AS BIGINT) AS pos
+        |FROM keyed ORDER BY shard, pos""".stripMargin,
+    // DuckDB regexp_* is RE2; the patterns avoid every construct the two
+    // engines disagree on (lookaround, backrefs). 'g' flag = Spark's
+    // always-global regexp_replace.
+    "text_pii_redact" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    (9000001, 'reach me at jane.doe@example.com or +1 415-555-0134 today'),
+        |    (9000002, 'server 10.0.0.1 and backup 192.168.10.20 hold the logs'),
+        |    (9000003, 'mail root@host.org or call +44 20 7946 0958')) AS t(doc_id, text))
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |      '\+?\d{1,3}[ -]?\(?\d{2,4}\)?[ -]?\d{3,4}[ -]?\d{4}', '<PHONE>', 'g')
+        |    AS redacted,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\+?\d{1,3}[ -]?\(?\d{2,4}\)?[ -]?\d{3,4}[ -]?\d{4}')) AS BIGINT) AS n_phones
+        |FROM all_docs ORDER BY doc_id""".stripMargin,
     "dedup_clusters" -> clustersOracle,
     // the star-contraction variant must produce IDENTICAL components
     "dedup_clusters_star" -> clustersOracle,

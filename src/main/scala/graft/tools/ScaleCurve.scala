@@ -30,7 +30,15 @@ object ScaleCurve {
 
   private val Queries = Seq("dedup_minhash", "dedup_ngram_jaccard",
     "dedup_simhash", "dedup_near_keep", "dedup_clusters", "ann_topk_lsh",
-    "text_decontaminate", "text_repetition", "chunk_documents")
+    "text_decontaminate", "text_repetition", "chunk_documents",
+    "mm_video_decode", "q_skew_join", "q_table_profile")
+
+  /** Queries whose cost is driven by lineitem/orders rather than the
+    * document corpus — reported against lineitem's row count. Both table
+    * families scale by the same ×1/2 / ×2, so the exponent's size RATIO
+    * is identical either way; this only keeps the printed n honest.
+    */
+  private val LineitemDriven = Set("q_skew_join", "q_table_profile")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -48,17 +56,25 @@ object ScaleCurve {
     val root = java.nio.file.Files.createTempDirectory("graft_scale").toString
     val docs = spark.read.parquet(s"$base/documents.parquet")
     val emb = spark.read.parquet(s"$base/embeddings.parquet")
+    val li = spark.read.parquet(s"$base/lineitem.parquet")
+    val ord = spark.read.parquet(s"$base/orders.parquet")
     val n = docs.count()
+    val nLi = li.count()
 
-    def writeDir(dir: String, d: DataFrame, e: DataFrame): String = {
-      d.coalesce(4).write.mode("overwrite").parquet(s"$dir/documents.parquet")
-      e.coalesce(4).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    def writeDir(dir: String, tables: (String, DataFrame)*): String = {
+      tables.foreach { case (name, t) =>
+        t.coalesce(4).write.mode("overwrite").parquet(s"$dir/$name.parquet")
+      }
       dir
     }
 
+    // half: subsample by key parity — lineitem filtered on ORDER key so
+    // referential integrity and per-order fan-out (the skew shape) survive
     val half = writeDir(s"$root/half",
-      docs.filter(col("doc_id") % 2 === 0),
-      emb.filter(col("vec_id") % 2 === 0))
+      "documents" -> docs.filter(col("doc_id") % 2 === 0),
+      "embeddings" -> emb.filter(col("vec_id") % 2 === 0),
+      "lineitem" -> li.filter(col("l_orderkey") % 2 === 0),
+      "orders" -> ord.filter(col("o_orderkey") % 2 === 0))
     val mangledCopy = docs
       .withColumn("doc_id", col("doc_id") + lit(1000000L))
       .withColumn("text", array_join(
@@ -66,10 +82,22 @@ object ScaleCurve {
     val negatedCopy = emb
       .withColumn("vec_id", col("vec_id") + lit(1000000L))
       .withColumn("embedding", transform(col("embedding"), x => -x))
+    // double: a second disjoint key universe — every order (and its exact
+    // lineitem fan-out, hot keys included) appears twice under offset
+    // keys, so join selectivity per row and skew are preserved at 2n
+    val keyOff = lit(1000000000L)
     val double = writeDir(s"$root/double",
-      docs.unionByName(mangledCopy), emb.unionByName(negatedCopy))
+      "documents" -> docs.unionByName(mangledCopy),
+      "embeddings" -> emb.unionByName(negatedCopy),
+      "lineitem" -> li.unionByName(
+        li.withColumn("l_orderkey", col("l_orderkey") + keyOff)),
+      "orders" -> ord.unionByName(
+        ord.withColumn("o_orderkey", col("o_orderkey") + keyOff)))
 
     val sizes = Seq(n / 2 -> half, n -> base, 2 * n -> double)
+    val liSizes = Seq(half, base, double).map { dir =>
+      dir -> spark.read.parquet(s"$dir/lineitem.parquet").count()
+    }.toMap
 
     def runOnce(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
@@ -87,7 +115,8 @@ object ScaleCurve {
     // Bench's within-family sharing
     val results = Queries.map { q =>
       q -> sizes.map { case (sz, dir) =>
-        sz -> median((0 until reps).map(_ => runOnce(q, dir)))
+        val label = if (LineitemDriven(q)) liSizes(dir) else sz
+        label -> median((0 until reps).map(_ => runOnce(q, dir)))
       }
     }
     results.foreach { case (q, ts) =>

@@ -26,6 +26,25 @@ class SamplingSpec extends SparkTestBase {
     assert(strat == uniform25)
   }
 
+  test("shardedShuffle: in-range shards, contiguous per-shard ranks, stable, permuting") {
+    val out = Sampling.shardedShuffle(docs, "doc_id", 16)
+      .select("doc_id", "shard", "pos").as[(Long, Long, Long)].collect()
+    assert(out.length == 400)
+    assert(out.forall { case (_, sh, _) => sh >= 0 && sh < 16 })
+    out.groupBy(_._2).foreach { case (sh, g) =>
+      assert(g.map(_._3).sorted.toSeq == (1L to g.length).toSeq,
+        s"shard $sh ranks must be exactly 1..n")
+    }
+    // deterministic under repartitioning (the property Dataset.sample lacks)
+    val b = Sampling.shardedShuffle(docs.repartition(17), "doc_id", 16)
+      .select("doc_id", "shard", "pos").as[(Long, Long, Long)].collect()
+    assert(out.sortBy(_._1).toSeq == b.sortBy(_._1).toSeq)
+    // and it actually shuffles: within-shard order is not id order
+    val biggest = out.groupBy(_._2).maxBy(_._2.length)._2
+    val inPosOrder = biggest.sortBy(_._3).map(_._1).toSeq
+    assert(inPosOrder != inPosOrder.sorted, "md5 rank must permute ids")
+  }
+
   test("stratified membership is partitioning-independent") {
     val a = Sampling.stratifiedSampled(docs.repartition(17), "doc_id", "lang",
       Map("en" -> 25), 75).select("doc_id").as[Long].collect().sorted.toSeq

@@ -93,6 +93,19 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out(1L) >= 1L)
   }
 
+  test("piiRedact replaces emails, IPs, phones; counts are from the original text") {
+    val docs = Seq(
+      (1L, "reach jane.doe@example.com or +1 415-555-0134 now"),
+      (2L, "hosts 10.0.0.1 and 192.168.10.20 plus root@host.org"),
+      (3L, "no pii here at all")).toDF("doc_id", "text")
+    val out = TextAnalysis.piiRedact(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) == (("reach <EMAIL> or <PHONE> now", 1L, 0L, 1L)))
+    assert(out(2L) == (("hosts <IP> and <IP> plus <EMAIL>", 1L, 2L, 0L)))
+    assert(out(3L) == (("no pii here at all", 0L, 0L, 0L)))
+  }
+
   test("repetitionSignals: uniform doc scores 1.0, diverse doc scores low") {
     val docs = Seq(
       (1L, "spam spam spam spam spam spam"),
