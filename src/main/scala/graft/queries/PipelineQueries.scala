@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Dedup, Multimodal, Packing, Sampling, Similarity, TemporalJoins, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Packing, Quantize, Sampling, Similarity, TemporalJoins, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -136,6 +136,15 @@ object PipelineQueries {
       "doc_id", "text")
       .orderBy(col("doc_id"))
   }
+
+  /** Int8 absmax quantization of the embedding store ([[Quantize]] — the
+    * 4× storage cut every 100 TB vector deployment applies), exploded to
+    * oracle-hashable scalars; the packed tinyint[] form is the production
+    * output, spec-pinned to these exact numbers in `QuantizeSpec`.
+    */
+  def embQuantize(s: SparkSession, dir: String): DataFrame =
+    Quantize.int8Rows(Tables.embeddings(s, dir), "vec_id", "embedding")
+      .orderBy(col("vec_id"), col("dim_idx"))
 
   /** Deterministic sharded training shuffle over documents: 16 shards,
     * within-shard md5 rank — the "N shuffled output files" layout
@@ -374,6 +383,7 @@ object PipelineQueries {
     "sample_stratified" -> (sampleStratified _),
     "sample_shuffle" -> (sampleShuffle _),
     "text_pii_redact" -> (textPiiRedact _),
+    "emb_quantize" -> (embQuantize _),
     "dedup_clusters" -> (dedupClusters _),
     "emb_centroids" -> (embCentroids _),
     "dedup_clusters_star" -> (dedupClustersStar _),
@@ -465,6 +475,25 @@ object PipelineQueries {
         |WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
         |      < (CASE WHEN lang = 'en' THEN 25 ELSE 75 END)
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    // floor(v + 0.5e0) on both sides: floor and IEEE *,/,+ are bit-exact
+    // cross-engine, round()'s half-tie behavior is not; 0.5e0 because
+    // DuckDB parses bare 0.5 as DECIMAL
+    "emb_quantize" ->
+      """WITH sc AS (
+        |  SELECT vec_id, embedding,
+        |    list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max')
+        |      AS scale
+        |  FROM embeddings),
+        |ex AS (
+        |  SELECT vec_id, scale,
+        |    unnest(range(len(embedding))) AS dim_idx,
+        |    unnest(embedding) AS x
+        |  FROM sc)
+        |SELECT vec_id, CAST(dim_idx AS BIGINT) AS dim_idx, scale,
+        |  CASE WHEN scale = 0 THEN 0
+        |       ELSE CAST(floor(CAST(x AS DOUBLE) * 127 / scale + 0.5e0) AS BIGINT)
+        |  END AS q
+        |FROM ex ORDER BY vec_id, dim_idx""".stripMargin,
     "sample_shuffle" ->
       """WITH keyed AS (
         |  SELECT doc_id,
