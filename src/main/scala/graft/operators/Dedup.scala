@@ -130,11 +130,11 @@ object Dedup {
     * more, narrower bands (e.g. 64×2) at the cost of more candidates.
     * Output: (doc_a, doc_b, jaccard).
     */
-  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, tau: Double, ordered: Boolean = true): DataFrame = {
-    val sh = shingleHashes(docs, idCol, textCol, n)
-    // single-buffer MinHash aggregate: one array column instead of 128
-    // wide agg columns (see graft.functions.MinHashAgg)
+  /** (_id, _band, _bh): 32 constant-size band rows per document from the
+    * single-buffer 128-perm MinHash signature (one array column instead
+    * of 128 wide agg columns — see [[graft.functions.MinHashAgg]]).
+    */
+  private def bandRows(sh: DataFrame): DataFrame = {
     val sigs = sh.groupBy(col("_id"))
       .agg(graft.functions.MinHashAgg.minhash(col("_h"), NumPerm, MinHashSeed).as("_sig"))
     val rowsPerBand = NumPerm / Bands
@@ -142,14 +142,65 @@ object Dedup {
       xxhash64(concat_ws(",",
         (0 until rowsPerBand).map(r => element_at(col("_sig"), j * rowsPerBand + r + 1)): _*))
     }
-    val banded = sigs
-      .select(col("_id"), posexplode(array(bandCols: _*)).as(Seq("_band", "_bh")))
+    sigs.select(col("_id"), posexplode(array(bandCols: _*)).as(Seq("_band", "_bh")))
+  }
+
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, tau: Double, ordered: Boolean = true): DataFrame = {
+    val sh = shingleHashes(docs, idCol, textCol, n)
+    val banded = bandRows(sh)
     val cands = banded.alias("x")
       .join(banded.alias("y"), Seq("_band", "_bh"))
       .filter(col("x._id") < col("y._id"))
       .select(col("x._id").as("_ida"), col("y._id").as("_idb"))
       .distinct()
     verifyPairs(cands, sh, tau, ordered)
+  }
+
+  /** Incremental near-dedup: gate a NEW BATCH of documents against an
+    * EXISTING corpus — the production shape: pipelines never re-dedup
+    * the whole corpus, they filter each incoming increment against what
+    * is already kept. A batch doc is dropped iff
+    *  (a) its exact content MD5 already exists in the corpus, or
+    *  (b) it has word-n-gram Jaccard ≥ tau with ANY corpus doc
+    *      (MinHash-banding candidates, exact verification — the same
+    *      recall argument as [[minhashLshPairs]]).
+    * Batch-INTERNAL duplicates are deliberately kept (run a within-batch
+    * [[nearDedupKeepFirst]] pass for those); ids must be disjoint from
+    * the corpus's. Output: the surviving batch rows, all columns.
+    *
+    * Scale shape (corpus = the 100 TB side, batch = an increment, orders
+    * of magnitude smaller): the corpus only ever streams hashes — its
+    * digest column for (a), 32 (id, band-hash) rows/doc into a join
+    * whose OTHER side (the batch's bands) is BROADCAST, and (id,
+    * shingle-hash) rows for verification, SEMI-JOINED down to candidate
+    * ids before the collect_set aggregation, so set-building touches
+    * only docs that banded with the batch, not the whole corpus.
+    */
+  def nearDedupIncremental(corpus: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, n: Int, tau: Double): DataFrame = {
+    val exactLosers = batch.select(col(idCol), md5(col(textCol)).as("_d"))
+      .join(corpus.select(md5(col(textCol)).as("_d")), Seq("_d"), "left_semi")
+      .select(col(idCol))
+    val shC = shingleHashes(corpus, idCol, textCol, n)
+    val shB = shingleHashes(batch, idCol, textCol, n)
+    val cands = bandRows(shC).alias("c")
+      .join(broadcast(bandRows(shB).alias("b")), Seq("_band", "_bh"))
+      .select(col("c._id").as("_ida"), col("b._id").as("_idb"))
+      .distinct()
+    val setsC = shC
+      .join(cands.select(col("_ida").as("_id")).distinct(), Seq("_id"), "left_semi")
+      .groupBy(col("_id")).agg(collect_set(col("_h")).as("_set"))
+    val setsB = shB.groupBy(col("_id")).agg(collect_set(col("_h")).as("_set"))
+    val nearLosers = cands
+      .join(setsC.select(col("_id").as("_ida"), col("_set").as("_seta")), "_ida")
+      .join(setsB.select(col("_id").as("_idb"), col("_set").as("_setb")), "_idb")
+      .withColumn("_inter", size(array_intersect(col("_seta"), col("_setb"))))
+      // round(,4) to match verifyPairs / the SQL oracle exactly
+      .filter(round(col("_inter") /
+        (size(col("_seta")) + size(col("_setb")) - col("_inter")), 4) >= tau)
+      .select(col("_idb").as(idCol))
+    batch.join(exactLosers.union(nearLosers).distinct(), Seq(idCol), "left_anti")
   }
 
   // ------------------------------------------------------------- SimHash

@@ -165,6 +165,28 @@ object TextAnalysis {
       .orderBy(col(idCol))
   }
 
+  /** Vocabulary construction: global token counts with rank (count desc,
+    * token asc — a total order, no rank ties) and cumulative coverage
+    * count, top-k — the tokenizer-training precursor ("how many token
+    * types cover 95% of the corpus"). One map-side-combined hash
+    * aggregation corpus-side; the ranking window then runs over the
+    * DISTINCT-TOKEN table, which is vocabulary-scale (millions of rows
+    * even for a 100 TB corpus), not corpus-scale, so its single-ordering
+    * sort is cheap. All-integer output — no division, nothing to round.
+    */
+  def vocabulary(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs.select(explode(Text.tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("n").desc, col("token").asc)
+    counts
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum_n", sum(col("n"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("rank") <= k)
+      .orderBy(col("rank"))
+  }
+
   // RE2-safe patterns (no lookaround, no backreferences) so Java regex
   // (Spark) and RE2 (DuckDB oracle) agree match-for-match. `\b` is the
   // ASCII word boundary in both.

@@ -137,6 +137,26 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Incremental near-dedup: documents with doc_id % 10 == 0 play the
+    * incoming increment, the rest the existing corpus; survivors of the
+    * exact-md5 + Jaccard-vs-corpus gate ([[Dedup.nearDedupIncremental]]).
+    */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Dedup.nearDedupIncremental(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0),
+      "doc_id", "text", 3, Tau)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Top-200 corpus vocabulary with cumulative coverage counts
+    * ([[TextAnalysis.vocabulary]]).
+    */
+  def textVocab(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabulary(Tables.documents(s, dir), "text", 200)
+
   /** Int8 absmax quantization of the embedding store ([[Quantize]] — the
     * 4× storage cut every 100 TB vector deployment applies), exploded to
     * oracle-hashable scalars; the packed tinyint[] form is the production
@@ -384,6 +404,8 @@ object PipelineQueries {
     "sample_shuffle" -> (sampleShuffle _),
     "text_pii_redact" -> (textPiiRedact _),
     "emb_quantize" -> (embQuantize _),
+    "dedup_incremental" -> (dedupIncremental _),
+    "text_vocab" -> (textVocab _),
     "dedup_clusters" -> (dedupClusters _),
     "emb_centroids" -> (embCentroids _),
     "dedup_clusters_star" -> (dedupClustersStar _),
@@ -706,6 +728,35 @@ object PipelineQueries {
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "dedup_ngram_jaccard" -> jaccardPairsSql,
     "dedup_minhash" -> jaccardPairsSql,
+    // batch = doc_id % 10 == 0; a batch doc survives unless an exact or
+    // near (Jaccard >= tau) twin exists on the CORPUS side only —
+    // batch-internal dups are deliberately kept (increment semantics)
+    "dedup_incremental" ->
+      s"""$shingleCte
+         |SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d
+         |WHERE d.doc_id % 10 = 0
+         |  AND NOT EXISTS (SELECT 1 FROM documents c
+         |    WHERE c.doc_id % 10 != 0 AND md5(c.text) = md5(d.text))
+         |  AND NOT EXISTS (
+         |    SELECT 1 FROM s a, s b
+         |    WHERE b.doc_id = d.doc_id AND a.doc_id % 10 != 0
+         |      AND round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+         |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4)
+         |        >= $Tau)
+         |ORDER BY d.doc_id""".stripMargin,
+    "text_vocab" ->
+      """WITH t AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')
+        |    AS toks
+        |  FROM documents),
+        |c AS (SELECT g AS token, count(*) AS n
+        |      FROM (SELECT unnest(toks) AS g FROM t) GROUP BY g),
+        |r AS (SELECT token, n,
+        |        CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS rank,
+        |        CAST(sum(n) OVER (ORDER BY n DESC, token
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n
+        |      FROM c)
+        |SELECT token, n, rank, cum_n FROM r WHERE rank <= 200 ORDER BY rank""".stripMargin,
     "dedup_near_keep" ->
       s"""$shingleCte
          |SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d

@@ -121,6 +121,24 @@ class DedupSpec extends SparkTestBase {
     assert(lsh == exact)
   }
 
+  test("nearDedupIncremental drops exact and near corpus twins, keeps batch-internal dups") {
+    val corpus = docs // ids 0-3
+    val batch = Seq(
+      // exact copy of corpus doc 0 -> dropped by the md5 gate
+      (10L, "the quick brown fox jumps over the lazy dog again and again today"),
+      // near-dup of corpus doc 1 (one word changed) -> dropped by Jaccard
+      (11L, "the quick brown fox jumps over the lazy dog again and again yesterday"),
+      // novel content -> survives
+      (12L, "fresh never before seen writing about streaming watermark semantics"),
+      // exact copy of 12 WITHIN the batch -> survives (increment semantics:
+      // batch-internal dups are a separate within-batch pass)
+      (13L, "fresh never before seen writing about streaming watermark semantics"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.nearDedupIncremental(corpus, batch, "doc_id", "text", 3, 0.7)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(12L, 13L), s"got ${kept.toSeq}")
+  }
+
   test("simhash of identical content is identical; near-dups are close") {
     val fps = Dedup.simhash(docs.union(
         Seq((10L, "the quick brown fox jumps over the lazy dog again and again today"))

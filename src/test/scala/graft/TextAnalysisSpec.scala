@@ -93,6 +93,14 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out(1L) >= 1L)
   }
 
+  test("vocabulary ranks by count then token, with cumulative coverage counts") {
+    val docs = Seq((1L, "a a a b b c"), (2L, "a b d")).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabulary(docs, "text", 3)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // counts: a=4 b=3 c=1 d=1; tie c-vs-d breaks by token asc; top-3 cuts d
+    assert(out == Seq(("a", 4L, 1L, 4L), ("b", 3L, 2L, 7L), ("c", 1L, 3L, 8L)))
+  }
+
   test("piiRedact replaces emails, IPs, phones; counts are from the original text") {
     val docs = Seq(
       (1L, "reach jane.doe@example.com or +1 415-555-0134 now"),
