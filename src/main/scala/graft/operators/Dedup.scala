@@ -200,7 +200,13 @@ object Dedup {
       .filter(round(col("_inter") /
         (size(col("_seta")) + size(col("_setb")) - col("_inter")), 4) >= tau)
       .select(col("_idb").as(idCol))
-    batch.join(exactLosers.union(nearLosers).distinct(), Seq(idCol), "left_anti")
+    // losers is an ids-only list bounded by the increment's duplicate
+    // count — broadcast it so the final anti join never shuffles the
+    // batch rows (text included). For pathological increments whose
+    // duplicate id list alone exceeds broadcast size, drop the hint and
+    // accept one batch-side shuffle.
+    batch.join(broadcast(exactLosers.union(nearLosers).distinct()),
+      Seq(idCol), "left_anti")
   }
 
   // ------------------------------------------------------------- SimHash

@@ -139,6 +139,40 @@ class DedupSpec extends SparkTestBase {
     assert(kept.toSeq == Seq(12L, 13L), s"got ${kept.toSeq}")
   }
 
+  test("nearDedupIncremental plan: batch bands broadcast, semi gates, no text in shuffles") {
+    // pins the scale shape documented on the operator: the corpus side
+    // must never shuffle document text (hashes only), the band join must
+    // be a broadcast (batch side), and both corpus gates are semi joins
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec, BroadcastHashJoinExec}
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val df = Dedup.nearDedupIncremental(
+      docs.filter($"doc_id" % 10 =!= 0), docs.filter($"doc_id" % 10 === 0),
+      "doc_id", "text", 3, 0.7)
+    df.collect() // materialize so AQE settles on the final plan
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val inner = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _ => p.children
+      }
+      p +: inner.flatMap(flatten)
+    }
+    val nodes = flatten(df.queryExecution.executedPlan).distinct
+    assert(nodes.collect { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      "the band join must broadcast the batch side")
+    val semis = nodes.collect { case j: BaseJoinExec
+      if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j }
+    assert(semis.size >= 2,
+      s"expected the md5 gate and the candidate-id semi join, got ${semis.size}")
+    val textShuffles = nodes.collect { case s: ShuffleExchangeLike
+      if s.output.exists(_.name == "text") => s }
+    assert(textShuffles.isEmpty,
+      "document text must never cross a shuffle — hashes only")
+  }
+
   test("simhash of identical content is identical; near-dups are close") {
     val fps = Dedup.simhash(docs.union(
         Seq((10L, "the quick brown fox jumps over the lazy dog again and again today"))
