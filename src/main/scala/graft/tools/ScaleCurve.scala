@@ -31,7 +31,8 @@ object ScaleCurve {
   private val Queries = Seq("dedup_minhash", "dedup_ngram_jaccard",
     "dedup_simhash", "dedup_near_keep", "dedup_clusters", "ann_topk_lsh",
     "text_decontaminate", "text_repetition", "chunk_documents",
-    "mm_video_decode", "q_skew_join", "q_table_profile")
+    "mm_video_decode", "q_skew_join", "q_table_profile",
+    "dedup_incremental")
 
   /** Queries whose cost is driven by lineitem/orders rather than the
     * document corpus — reported against lineitem's row count. Both table
