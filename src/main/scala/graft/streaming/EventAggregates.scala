@@ -56,6 +56,18 @@ object EventAggregates {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Stream-static dimension enrichment: left-join a (small) static
+    * dimension table onto the stream — the standard fact-stream × dim
+    * lookup (user profile, product catalog). Stateless: no watermark or
+    * state store involved; each micro-batch joins against the dim as-of
+    * that batch. The dim is BROADCAST, so the stream side never shuffles
+    * — at 100 TB/day of events the per-batch cost is a map-side hash
+    * lookup. Re-broadcast of a refreshed dim is a restart (or a Delta-
+    * style CDC join, out of scope here).
+    */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame, keyCol: String): DataFrame =
+    stream.join(broadcast(dim), Seq(keyCol), "left")
+
   /** Stream-stream inner join within a bounded event-time interval: left
     * rows match right rows with the same key whose timestamp lies in
     * [left.ts - before, left.ts + after]. Both sides carry watermarks so

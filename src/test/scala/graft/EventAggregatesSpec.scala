@@ -127,6 +127,25 @@ class EventAggregatesSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-static dim enrichment equals the batch join; dim side broadcast") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val input = MemoryStream[Ev]
+    val q = EventAggregates.enrichWithDim(input.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(batch)
+      q.processAllAvailable()
+      val streaming = spark.table("enriched")
+        .select("event_id", "tier").as[(Long, String)].collect().toSet
+      val batchRun = EventAggregates.enrichWithDim(batch.toDF(), dim, "user_id")
+        .select("event_id", "tier").as[(Long, String)].collect().toSet
+      assert(streaming == batchRun && streaming.size == batch.size)
+      assert(streaming.forall { case (_, tier) => tier == "gold" || tier == "basic" })
+    } finally q.stop()
+  }
+
   test("salted two-phase aggregation equals the direct aggregation") {
     val df = Tables.events(spark, "/root/testdata/sf0.001")
     val direct = df.groupBy(col("event_type"))
