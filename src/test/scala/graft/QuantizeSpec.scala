@@ -43,6 +43,24 @@ class QuantizeSpec extends SparkTestBase {
     assert(packed == rows)
   }
 
+  test("property: round-trip bound and range hold for generated finite vectors") {
+    import org.scalacheck.{Gen, rng}
+    val vecGen = Gen.chooseNum(1, 16).flatMap(d =>
+      Gen.listOfN(d, Gen.chooseNum(-1e6f, 1e6f)))
+    val vecs = (0 until 30).flatMap(i =>
+      vecGen.apply(Gen.Parameters.default, rng.Seed(i.toLong)))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) }
+    val df = vecs.toDF("vec_id", "embedding")
+    val byVec = vecs.toMap
+    Quantize.int8Rows(df, "vec_id", "embedding").collect().foreach { r =>
+      val (id, i, sc, q) = (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))
+      assert(q >= -127L && q <= 127L)
+      val x = byVec(id)(i.toInt).toDouble
+      assert(math.abs(x - q * sc / 127.0) <= sc / 254.0 + math.ulp(sc),
+        s"vec $id dim $i: x=$x q=$q scale=$sc")
+    }
+  }
+
   test("dequantization error is bounded by scale/254 per element") {
     val orig = emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
       .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getFloat(2).toDouble).toMap
