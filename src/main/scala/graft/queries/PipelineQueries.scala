@@ -730,19 +730,32 @@ object PipelineQueries {
     "dedup_minhash" -> jaccardPairsSql,
     // batch = doc_id % 10 == 0; a batch doc survives unless an exact or
     // near (Jaccard >= tau) twin exists on the CORPUS side only —
-    // batch-internal dups are deliberately kept (increment semantics)
+    // batch-internal dups are deliberately kept (increment semantics).
+    // Candidate-then-verify shape (J >= tau requires >= 1 shared shingle,
+    // so the inverted-index candidate set is complete) — the same
+    // structure as the engine, and feasible at any sf, where the naive
+    // correlated NOT EXISTS (batch x corpus list-intersects) is not
     "dedup_incremental" ->
-      s"""$shingleCte
+      s"""$shingleCte,
+         |cand AS (
+         |  SELECT DISTINCT ca.doc_id AS aid, cb.doc_id AS bid
+         |  FROM (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id % 10 != 0) ca
+         |  JOIN (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id % 10 = 0) cb
+         |    USING (g)),
+         |losers_near AS (
+         |  SELECT DISTINCT c.bid AS doc_id
+         |  FROM cand c JOIN s a ON a.doc_id = c.aid JOIN s b ON b.doc_id = c.bid
+         |  WHERE round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+         |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4)
+         |    >= $Tau),
+         |losers_exact AS (
+         |  SELECT DISTINCT d.doc_id FROM documents d
+         |  JOIN documents c ON c.doc_id % 10 != 0 AND md5(c.text) = md5(d.text)
+         |  WHERE d.doc_id % 10 = 0)
          |SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d
          |WHERE d.doc_id % 10 = 0
-         |  AND NOT EXISTS (SELECT 1 FROM documents c
-         |    WHERE c.doc_id % 10 != 0 AND md5(c.text) = md5(d.text))
-         |  AND NOT EXISTS (
-         |    SELECT 1 FROM s a, s b
-         |    WHERE b.doc_id = d.doc_id AND a.doc_id % 10 != 0
-         |      AND round(len(list_intersect(a.sh, b.sh)) * 1.0 /
-         |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4)
-         |        >= $Tau)
+         |  AND d.doc_id NOT IN (SELECT doc_id FROM losers_near)
+         |  AND d.doc_id NOT IN (SELECT doc_id FROM losers_exact)
          |ORDER BY d.doc_id""".stripMargin,
     "text_vocab" ->
       """WITH t AS (
