@@ -65,6 +65,16 @@ object Relational {
       "l_returnflag", "qty", "l_orderkey", buckets = 16)
       .orderBy(col("l_returnflag"))
 
+  /** Fuzzy (edit-distance) self-join over customer names at maxDist 1 —
+    * the entity-resolution primitive ([[graft.operators.FuzzyJoin]]):
+    * q-gram rare-prefix candidates + exact codegen levenshtein verify.
+    * The oracle is the all-pairs levenshtein (feasible at the sf0.01
+    * gate); the registered plan never goes all-pairs.
+    */
+  def qFuzzyJoin(s: SparkSession, dir: String): DataFrame =
+    graft.operators.FuzzyJoin.selfJoin(
+      Tables.customer(s, dir), "c_custkey", "c_name", maxDist = 1)
+
   /** Salted skewed join as a first-class query: lineitem (probe, salted
     * 16 ways on its unique line id) joins orders (build, replicated per
     * salt) on the order key, then aggregates — checked exactly equal to
@@ -695,6 +705,7 @@ object Relational {
     "q1_agg" -> (q1Agg _),
     "q_skew_agg" -> (qSkewAgg _),
     "q_skew_join" -> (qSkewJoin _),
+    "q_fuzzy_join" -> (qFuzzyJoin _),
     "q_window_ntile" -> (qWindowNtile _),
     "q3_topk_join" -> (q3TopkJoin _),
     "q5_multi_join" -> (q5MultiJoin _),
@@ -941,6 +952,14 @@ object Relational {
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_fuzzy_join" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM customer a, customer b
+        |WHERE a.c_custkey < b.c_custkey
+        |  AND levenshtein(a.c_name, b.c_name) <= 1
+        |  AND len(a.c_name) >= 6 AND len(b.c_name) >= 6
+        |ORDER BY id_a, id_b""".stripMargin,
     "q_skew_join" ->
       """SELECT o_orderpriority,
         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,

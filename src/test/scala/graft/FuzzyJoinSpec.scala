@@ -1,0 +1,45 @@
+package graft
+
+import graft.operators.FuzzyJoin
+import org.apache.spark.sql.functions._
+
+class FuzzyJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("selfJoin finds substitution, insertion, and deletion typos at d=1") {
+    val rows = Seq(
+      (1L, "jonathan smith"),
+      (2L, "jonathan smyth"),  // substitution of 1
+      (3L, "jonathan smiths"), // insertion on 1
+      (4L, "jonathan simth"),  // transposition = 2 edits: NOT a match at d=1
+      (5L, "jonatan smith"),   // deletion on 1
+      (6L, "completely other name")).toDF("id", "name")
+    val out = FuzzyJoin.selfJoin(rows, "id", "name", maxDist = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L, 1L), (1L, 3L, 1L), (1L, 5L, 1L)),
+      s"got $out")
+  }
+
+  test("selfJoin equals the all-pairs answer on customer names at sf0.001") {
+    val cust = Tables.customer(spark, "/root/testdata/sf0.001")
+    val fast = FuzzyJoin.selfJoin(cust, "c_custkey", "c_name", maxDist = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    val a = cust.select(col("c_custkey").as("ka"), col("c_name").as("na"))
+    val b = cust.select(col("c_custkey").as("kb"), col("c_name").as("nb"))
+    val brute = a.crossJoin(b)
+      .filter(col("ka") < col("kb") && levenshtein(col("na"), col("nb")) <= 1)
+      .select(col("ka"), col("kb"),
+        levenshtein(col("na"), col("nb")).cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(fast == brute, s"missing=${(brute -- fast).take(5)} extra=${(fast -- brute).take(5)}")
+    assert(fast.nonEmpty, "adjacent customer ids differ by one digit — pairs must exist")
+  }
+
+  test("strings below the q*(d+1) length floor are excluded by contract") {
+    val rows = Seq((1L, "ab"), (2L, "ac"), (3L, "abcdef"), (4L, "abcdeg"))
+      .toDF("id", "name")
+    val out = FuzzyJoin.selfJoin(rows, "id", "name", maxDist = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((3L, 4L, 1L)), "short strings must not appear at all")
+  }
+}
