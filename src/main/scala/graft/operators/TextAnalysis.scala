@@ -218,6 +218,78 @@ object TextAnalysis {
       regexp_count(text, lit(PhonePattern)).cast("long").as("n_phones"))
   }
 
+  /** Span-level duplication signal (the per-document counterpart of
+    * corpus dedup, after Lee et al.'s "Deduplicating Training Data Makes
+    * Language Models Better"): for each document, the fraction of its
+    * DISTINCT word n-gram shingles that occur in at least `minDocs`
+    * documents corpus-wide. Documents that survive document-level dedup
+    * can still be 80% boilerplate — this is the filter signal that
+    * catches them.
+    *
+    * Scale shape: shingles hash to 64 bits at the source (raw text never
+    * shuffles), document frequency is one map-side-combined aggregation
+    * over (hash) longs, and the flag-back join carries (hash, df) pairs.
+    * Both aggregations are corpus-linear; nothing is all-pairs.
+    * Output: (idCol, n_shingles, n_dup_shingles, dup_ratio).
+    */
+  def dupSpans(docs: DataFrame, idCol: String, textCol: String, n: Int,
+      minDocs: Int = 2): DataFrame = {
+    val sh = docs
+      .select(col(idCol), Text.tokens(col(textCol)).as("_toks"))
+      .select(col(idCol), explode(Text.shinglesOfTokens(col("_toks"), n)).as("_sh"))
+      .select(col(idCol), xxhash64(col("_sh")).as("_h"))
+    // shinglesOfTokens is per-doc distinct, so count(*) per hash = number
+    // of documents containing the shingle
+    val dfreq = sh.groupBy(col("_h")).agg(count(lit(1)).as("_df"))
+    sh.join(dfreq, "_h")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("_df") >= minDocs, 1L).otherwise(0L)).as("n_dup_shingles"))
+      .select(col(idCol), col("n_shingles"), col("n_dup_shingles"),
+        round(col("n_dup_shingles") * lit(1.0) /
+          greatest(col("n_shingles"), lit(1L)), 6).as("dup_ratio"))
+      .orderBy(col(idCol))
+  }
+
+  /** Word-trigram language-model counts: top-k trigrams corpus-wide with
+    * their conditional probability P(w3 | w1 w2) = c(w1w2w3) / c(w1w2·) —
+    * the n-gram-LM building block behind perplexity-style quality filters
+    * (CCNet trains exactly this object, at character scale, to score
+    * crawl text). The prefix count is the sum of trigram counts sharing
+    * the prefix, so the probability is one IEEE division of exact
+    * integers (bit-portable; no log).
+    *
+    * Two hash aggregations (trigram counts, prefix sums — both map-side
+    * combined) plus one vocabulary-scale ranking window; the corpus-scale
+    * stream carries gram strings once, everything after is counts.
+    * Output: (trigram, n, prefix_n, cond_p, rank), rank ≤ k.
+    */
+  def ngramLm(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = col("_toks")
+    val grams = docs
+      .select(Text.tokens(col(textCol)).as("_toks"))
+      .filter(size(toks) >= 3)
+      .select(explode(transform(
+        sequence(lit(1), size(toks) - 2),
+        i => struct(
+          concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+            element_at(toks, i + 2)).as("trigram"),
+          concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))
+            .as("_pre")))).as("_g"))
+      .select(col("_g.trigram").as("trigram"), col("_g._pre").as("_pre"))
+    val tc = grams.groupBy(col("trigram"), col("_pre"))
+      .agg(count(lit(1)).as("n"))
+    val pc = tc.groupBy(col("_pre")).agg(sum(col("n")).as("prefix_n"))
+    val w = Window.orderBy(col("n").desc, col("trigram").asc)
+    tc.join(pc, "_pre")
+      .withColumn("cond_p", round(col("n") * lit(1.0) / col("prefix_n"), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("trigram"), col("n"), col("prefix_n"), col("cond_p"), col("rank"))
+      .orderBy(col("rank"))
+  }
+
   /** Repetition signals (Gopher-style repetition filters): the fraction
     * of tokens taken by the single most frequent token, and by the most
     * frequent token 2-gram — high values mark boilerplate/spam that

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Dedup, Multimodal, Packing, Quantize, Sampling, Similarity, TemporalJoins, TextAnalysis}
+import graft.operators.{Dedup, Graph, Multimodal, Packing, Quantize, Sampling, Similarity, TemporalJoins, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -398,7 +398,79 @@ object PipelineQueries {
       .orderBy(col("lang"))
   }
 
+  /** Span-level duplication fraction per document (word 3-grams occurring
+    * in ≥ 2 documents — [[TextAnalysis.dupSpans]]).
+    */
+  def textDupSpans(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.dupSpans(Tables.documents(s, dir), "doc_id", "text", 3)
+
+  /** Top-50 corpus trigrams with conditional probability
+    * ([[TextAnalysis.ngramLm]]) — the n-gram-LM quality-filter precursor.
+    */
+  def textNgramLm(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.ngramLm(Tables.documents(s, dir), "text", 50)
+
+  /** Fixed-3-iteration PageRank over the part↔supplier bipartite graph
+    * from lineitem ([[Graph.pageRank]]) — domain-centrality ranking, the
+    * crawl-budget / corpus-mixing prioritization signal. Hash-green: the
+    * per-iteration rounding makes every rank a pure function of the edge
+    * set, and the oracle unrolls the same three supersteps in SQL.
+    */
+  def graphPagerank(s: SparkSession, dir: String): DataFrame =
+    Graph.pageRank(
+      Graph.bipartiteEdges(Tables.lineitem(s, dir), "l_partkey", "l_suppkey"),
+      iters = 3)
+      .orderBy(col("node_id"))
+
+  /** Per-dimension embedding statistics (mean / variance / min / max) —
+    * the normalization-and-sanity profile every vector store computes
+    * before indexing. Variance uses the explicit sum-of-squares formula
+    * on BOTH engines so the only cross-engine noise is summation order,
+    * buried by round(,4); min/max of float-widened doubles are exact.
+    */
+  def embDimStats(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim").cast("long").as("dim"), col("x").cast("double").as("x"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("x")), 4).as("mean"),
+        round((sum(col("x") * col("x")) - sum(col("x")) * sum(col("x")) / count(lit(1)))
+          / (count(lit(1)) - 1), 4).as("variance"),
+        min(col("x")).as("min_x"),
+        max(col("x")).as("max_x"))
+      .orderBy(col("dim"))
+
+  /** Latest-record-per-key compaction over the events stream — the CDC /
+    * upsert-view primitive (what Delta/Hudi call merge-on-read compaction).
+    * ONE hash aggregation with map-side-combined `max_by` over a
+    * (ts, event_id) struct — deliberately NOT a row_number window, which
+    * would sort every partition's full history; at 100 TB of events the
+    * partial aggregation reduces each map task to one candidate row per
+    * key before the shuffle.
+    */
+  def qLatestByKey(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        max_by(
+          struct(col("event_id"), col("ts"), col("event_type"), col("value")),
+          struct(col("ts"), col("event_id"))).as("_last"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("_last.event_id").as("last_event_id"),
+        col("_last.ts").as("last_ts"),
+        col("_last.event_type").as("last_type"),
+        col("_last.value").as("last_value"),
+        col("n_events"))
+      .orderBy(col("user_id"))
+
   val queries: Map[String, Relational.Q] = Map(
+    "text_dup_spans" -> (textDupSpans _),
+    "text_ngram_lm" -> (textNgramLm _),
+    "graph_pagerank" -> (graphPagerank _),
+    "emb_dim_stats" -> (embDimStats _),
+    "q_latest_by_key" -> (qLatestByKey _),
     "sample_split" -> (sampleSplit _),
     "sample_stratified" -> (sampleStratified _),
     "sample_shuffle" -> (sampleShuffle _),
@@ -486,6 +558,86 @@ object PipelineQueries {
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // distinct per-doc shingles (list_distinct matches shinglesOfTokens),
+    // df = docs containing the shingle; string-vs-hash parity as in
+    // text_decontaminate (xxhash64 collision-free at these set sizes)
+    "text_dup_spans" ->
+      s"""$shingleCte,
+         |x AS (SELECT doc_id, unnest(sh) AS g FROM s),
+         |dfq AS (SELECT g, count(*) AS df FROM x GROUP BY g)
+         |SELECT x.doc_id,
+         |  count(*) AS n_shingles,
+         |  CAST(sum(CASE WHEN dfq.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_shingles,
+         |  round(sum(CASE WHEN dfq.df >= 2 THEN 1 ELSE 0 END) * 1.0 /
+         |    greatest(count(*), 1), 6) AS dup_ratio
+         |FROM x JOIN dfq USING (g)
+         |GROUP BY x.doc_id ORDER BY x.doc_id""".stripMargin,
+    // trigram + its 2-token prefix built at the same positions; prefix
+    // count = sum of trigram counts sharing the prefix (NOT the raw
+    // bigram count — the final bigram of each doc heads no trigram)
+    "text_ngram_lm" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS toks
+        |  FROM documents),
+        |x AS (SELECT unnest(range(1, len(toks) - 1)) AS i, toks
+        |      FROM t WHERE len(toks) >= 3),
+        |g AS (SELECT toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS trigram,
+        |             toks[i] || ' ' || toks[i+1] AS pre FROM x),
+        |tc AS (SELECT trigram, pre, count(*) AS n FROM g GROUP BY trigram, pre),
+        |pc AS (SELECT pre, CAST(sum(n) AS BIGINT) AS prefix_n FROM tc GROUP BY pre),
+        |r AS (SELECT trigram, CAST(n AS BIGINT) AS n, prefix_n,
+        |        round(n * 1.0 / prefix_n, 6) AS cond_p,
+        |        CAST(row_number() OVER (ORDER BY n DESC, trigram) AS BIGINT) AS rank
+        |      FROM tc JOIN pc USING (pre))
+        |SELECT trigram, n, prefix_n, cond_p, rank FROM r
+        |WHERE rank <= 50 ORDER BY rank""".stripMargin,
+    // the same three supersteps unrolled; per-iteration round(,10) is the
+    // cross-engine contract (summation-order noise is ~1e-20, 10 orders
+    // below the rounding grid). Node ids: part -> 2k, supplier -> 2k+1.
+    "graph_pagerank" ->
+      """WITH e0 AS (SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |            FROM lineitem),
+        |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+        |deg AS (SELECT src AS id, count(*) AS deg FROM e GROUP BY src),
+        |nn AS (SELECT count(*) AS n FROM deg),
+        |p0 AS (SELECT id, deg, 1.0e0 / nn.n AS pr FROM deg CROSS JOIN nn),
+        |i1 AS (SELECT d.id, d.deg,
+        |         round(0.15e0 / nn.n + 0.85e0 * sum(p.pr / p.deg), 10) AS pr
+        |       FROM e JOIN p0 p ON p.id = e.src JOIN deg d ON d.id = e.dst
+        |       CROSS JOIN nn GROUP BY d.id, d.deg, nn.n),
+        |i2 AS (SELECT d.id, d.deg,
+        |         round(0.15e0 / nn.n + 0.85e0 * sum(p.pr / p.deg), 10) AS pr
+        |       FROM e JOIN i1 p ON p.id = e.src JOIN deg d ON d.id = e.dst
+        |       CROSS JOIN nn GROUP BY d.id, d.deg, nn.n),
+        |i3 AS (SELECT d.id, d.deg,
+        |         round(0.15e0 / nn.n + 0.85e0 * sum(p.pr / p.deg), 10) AS pr
+        |       FROM e JOIN i2 p ON p.id = e.src JOIN deg d ON d.id = e.dst
+        |       CROSS JOIN nn GROUP BY d.id, d.deg, nn.n)
+        |SELECT id AS node_id, pr AS pagerank FROM i3 ORDER BY node_id""".stripMargin,
+    // explicit sum-of-squares variance on both engines; float -> double
+    // widening is exact, so min/max are hash-equal unrounded
+    "emb_dim_stats" ->
+      """WITH x AS (
+        |  SELECT unnest(range(1, len(embedding) + 1)) AS i, embedding AS e
+        |  FROM embeddings),
+        |v AS (SELECT CAST(i - 1 AS BIGINT) AS dim, CAST(e[i] AS DOUBLE) AS x FROM x)
+        |SELECT dim, count(*) AS n,
+        |  round(avg(x), 4) AS mean,
+        |  round((sum(x * x) - sum(x) * sum(x) / count(*)) / (count(*) - 1), 4)
+        |    AS variance,
+        |  min(x) AS min_x, max(x) AS max_x
+        |FROM v GROUP BY dim ORDER BY dim""".stripMargin,
+    "q_latest_by_key" ->
+      """SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+        |  event_type AS last_type, value AS last_value,
+        |  CAST(n_events AS BIGINT) AS n_events
+        |FROM (SELECT *,
+        |        row_number() OVER (PARTITION BY user_id
+        |          ORDER BY ts DESC, event_id DESC) AS rn,
+        |        count(*) OVER (PARTITION BY user_id) AS n_events
+        |      FROM events) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "sample_split" ->
       """SELECT CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80
         |            THEN 'train' ELSE 'val' END AS split,

@@ -1,0 +1,92 @@
+package graft
+
+import graft.operators.{Graph, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Undirected path graph 1-2-3: node 2 has degree 2, ends degree 1.
+    * By symmetry pr(1) == pr(3) and pr(2) > pr(1); total mass stays 1
+    * (no dangling nodes in an undirected edge set).
+    */
+  test("pageRank on a 3-node path: symmetry, center dominance, unit mass") {
+    val e0 = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val edges = e0.unionByName(e0.select($"dst".as("src"), $"src".as("dst")))
+    val pr = Graph.pageRank(edges, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr.keySet == Set(1L, 2L, 3L))
+    assert(pr(1L) == pr(3L), "symmetric ends must tie exactly")
+    assert(pr(2L) > pr(1L), "the center must outrank the ends")
+    assert(math.abs(pr.values.sum - 1.0) < 1e-6, s"mass ${pr.values.sum} != 1")
+  }
+
+  test("pageRank matches the hand-unrolled iteration on a star graph") {
+    // star: center 0 connected to 1,2,3 (undirected). deg(0)=3, deg(i)=1.
+    // With teleport t=(1-d)/4: leaf' = t + d*pr0/3; center' = t + d*(3*leaf)
+    val e0 = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    val edges = e0.unionByName(e0.select($"dst".as("src"), $"src".as("dst")))
+    val got = Graph.pageRank(edges, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def rnd(x: Double): Double = BigDecimal(x)
+      .setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val t = 0.15 / 4
+    var center = 0.25; var leaf = 0.25
+    for (_ <- 1 to 3) {
+      val c2 = rnd(t + 0.85 * 3 * (leaf / 1))
+      val l2 = rnd(t + 0.85 * (center / 3))
+      center = c2; leaf = l2
+    }
+    assert(got(0L) == center, s"center ${got(0L)} != $center")
+    assert(Seq(1L, 2L, 3L).forall(i => got(i) == leaf))
+  }
+
+  test("bipartiteEdges interleaves key spaces and emits both directions") {
+    val rel = Seq((10L, 1L), (10L, 2L), (20L, 1L), (10L, 1L)).toDF("pk", "sk")
+    val e = Graph.bipartiteEdges(rel, "pk", "sk")
+      .as[(Long, Long)].collect().toSet
+    val fwd = Set((20L, 3L), (20L, 5L), (40L, 3L))
+    assert(e == fwd ++ fwd.map(_.swap), "distinct, interleaved, symmetric")
+  }
+
+  test("dupSpans flags exactly the shingles shared across documents") {
+    // doc 1 and 2 share the single 3-gram "a b c"; doc 3 is disjoint
+    val docs = Seq(
+      (1L, "a b c x y z"),   // shingles: "a b c","b c x","c x y","x y z"
+      (2L, "q a b c"),       // shingles: "q a b","a b c"
+      (3L, "m n o p")).toDF("doc_id", "text")
+    val out = TextAnalysis.dupSpans(docs, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((1L, 4L, 1L), (2L, 2L, 1L), (3L, 2L, 0L)))
+  }
+
+  test("ngramLm conditional probabilities sum to 1 per prefix and match counts") {
+    val docs = Seq(
+      (1L, "a b c"), (2L, "a b c"), (3L, "a b d"), (4L, "x y z")).toDF("doc_id", "text")
+    val out = TextAnalysis.ngramLm(docs, "text", 50).collect()
+    val byTri = out.map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(byTri("a b c") == ((2L, 3L, 0.666667)))
+    assert(byTri("a b d") == ((1L, 3L, 0.333333)))
+    assert(byTri("x y z") == ((1L, 1L, 1.0)))
+    // rank is total-ordered: count desc then trigram asc
+    assert(out.sortBy(_.getLong(4)).map(_.getString(0)).toSeq ==
+      Seq("a b c", "a b d", "x y z"))
+  }
+
+  test("qLatestByKey max_by struct comparator breaks ts ties by event_id") {
+    val ev = Seq(
+      (1L, 100L, "click", 1.0, 7L),
+      (2L, 200L, "error", 2.0, 7L),   // same ts as event 3, lower id
+      (3L, 200L, "purchase", 3.0, 7L),
+      (4L, 50L, "click", 4.0, 8L)).toDF("event_id", "tsl", "event_type", "value", "user_id")
+      .withColumn("ts", expr("timestamp_micros(tsl * 1000)")).drop("tsl")
+    import org.apache.spark.sql.functions.{col, count, lit, max_by, struct}
+    val out = ev.groupBy(col("user_id"))
+      .agg(max_by(struct(col("event_id"), col("event_type")),
+        struct(col("ts"), col("event_id"))).as("last"),
+        count(lit(1)).as("n"))
+      .select(col("user_id"), col("last.event_id"), col("n"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((7L, 3L, 3L), (8L, 4L, 1L)))
+  }
+}
