@@ -50,6 +50,27 @@ object Sampling {
       .drop("_mdkey")
   }
 
+  /** Per-stratum QUOTA cap: keep at most `cap` rows per stratum, chosen
+    * by (md5(id), id) order — the "max N documents per domain/host" rule
+    * every crawl-derived corpus applies (a quota, not a rate: a 10M-page
+    * host and a 100-page host both land at ≤ cap). Hash order makes the
+    * kept set stable across partitioning/reruns and unbiased by id
+    * assignment order; ranking is a hash-partitioned window, so the work
+    * is one sort per stratum. Strata with pathological row counts at
+    * 100 TB (one host = billions of rows) should pre-thin with
+    * [[sampled]] before ranking — noted rather than built in, because
+    * pre-thinning changes the kept SET and the quota contract is exact.
+    */
+  def cappedPerStratum(df: DataFrame, idCol: String, strataCol: String,
+      cap: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(col("_mdkey"), col(idCol))
+    df.withColumn("_mdkey", md5(col(idCol).cast("string")))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= cap)
+      .drop("_mdkey", "_rn")
+  }
+
   /** Deterministic STRATIFIED sample: a per-stratum keep percentage
     * (downsample over-represented strata, keep the tail intact — the
     * standard rebalancing move for training corpora), decided by the same

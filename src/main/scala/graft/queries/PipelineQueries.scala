@@ -465,7 +465,40 @@ object PipelineQueries {
         col("n_events"))
       .orderBy(col("user_id"))
 
+  /** Per-source quota cap: at most 10 documents per source, hash-chosen
+    * ([[Sampling.cappedPerStratum]]) — the max-N-pages-per-host crawl
+    * rule. Cap 10 binds at every test scale factor (25 docs/source at
+    * sf0.01), so the oracle exercises real evictions, not a pass-through.
+    */
+  def sampleCapSource(s: SparkSession, dir: String): DataFrame =
+    Sampling.cappedPerStratum(Tables.documents(s, dir), "doc_id", "source", 10)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("source"), col("doc_id"))
+
+  /** Click→purchase conversion funnel: each user's first click and the
+    * first purchase within 30 minutes of it. ONE shuffle on user_id: the
+    * click side is pre-aggregated to a node-sized table before the join,
+    * and the conditional-min aggregation is map-side combined — no
+    * window over the raw event history.
+    */
+  def qFunnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val firstClick = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("first_click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("_pts"))
+    firstClick.join(purchases, Seq("user_id"), "left")
+      .groupBy(col("user_id"), col("first_click_ts"))
+      .agg(min(when(col("_pts") >= col("first_click_ts") &&
+          col("_pts") <= col("first_click_ts") + expr("INTERVAL 30 MINUTES"),
+        col("_pts"))).as("first_purchase_ts"))
+      .withColumn("converted", col("first_purchase_ts").isNotNull)
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
+    "sample_cap_source" -> (sampleCapSource _),
+    "q_funnel" -> (qFunnel _),
     "text_dup_spans" -> (textDupSpans _),
     "text_ngram_lm" -> (textNgramLm _),
     "graph_pagerank" -> (graphPagerank _),
@@ -558,6 +591,27 @@ object PipelineQueries {
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "sample_cap_source" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 10 ORDER BY source, doc_id""".stripMargin,
+    "q_funnel" ->
+      """WITH c AS (SELECT user_id, min(ts) AS first_click_ts
+        |           FROM events WHERE event_type = 'click' GROUP BY user_id),
+        |p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+        |j AS (
+        |  SELECT c.user_id, c.first_click_ts,
+        |    min(CASE WHEN p.ts >= c.first_click_ts
+        |             AND p.ts <= c.first_click_ts + INTERVAL 30 MINUTE
+        |        THEN p.ts END) AS first_purchase_ts
+        |  FROM c LEFT JOIN p USING (user_id)
+        |  GROUP BY c.user_id, c.first_click_ts)
+        |SELECT user_id, first_click_ts, first_purchase_ts,
+        |  first_purchase_ts IS NOT NULL AS converted
+        |FROM j ORDER BY user_id""".stripMargin,
     // distinct per-doc shingles (list_distinct matches shinglesOfTokens),
     // df = docs containing the shingle; string-vs-hash parity as in
     // text_decontaminate (xxhash64 collision-free at these set sizes)

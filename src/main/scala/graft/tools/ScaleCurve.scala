@@ -32,14 +32,16 @@ object ScaleCurve {
     "dedup_simhash", "dedup_near_keep", "dedup_clusters", "ann_topk_lsh",
     "text_decontaminate", "text_repetition", "chunk_documents",
     "mm_video_decode", "q_skew_join", "q_table_profile",
-    "dedup_incremental")
+    "dedup_incremental", "graph_pagerank", "text_dup_spans",
+    "text_ngram_lm")
 
   /** Queries whose cost is driven by lineitem/orders rather than the
     * document corpus — reported against lineitem's row count. Both table
     * families scale by the same ×1/2 / ×2, so the exponent's size RATIO
     * is identical either way; this only keeps the printed n honest.
     */
-  private val LineitemDriven = Set("q_skew_join", "q_table_profile")
+  private val LineitemDriven = Set("q_skew_join", "q_table_profile",
+    "graph_pagerank")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -90,8 +92,15 @@ object ScaleCurve {
     val double = writeDir(s"$root/double",
       "documents" -> docs.unionByName(mangledCopy),
       "embeddings" -> emb.unionByName(negatedCopy),
+      // the copy offsets part/supp keys too: pagerank's bipartite edge
+      // set is distinct (l_partkey, l_suppkey) pairs, which an
+      // orderkey-only copy would NOT grow — the doubled corpus must be a
+      // second disjoint graph component. Orderkey-joined queries
+      // (q_skew_join) and row-driven profiles are unaffected.
       "lineitem" -> li.unionByName(
-        li.withColumn("l_orderkey", col("l_orderkey") + keyOff)),
+        li.withColumn("l_orderkey", col("l_orderkey") + keyOff)
+          .withColumn("l_partkey", col("l_partkey") + keyOff)
+          .withColumn("l_suppkey", col("l_suppkey") + keyOff)),
       "orders" -> ord.unionByName(
         ord.withColumn("o_orderkey", col("o_orderkey") + keyOff)))
 

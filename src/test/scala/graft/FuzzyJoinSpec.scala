@@ -35,6 +35,29 @@ class FuzzyJoinSpec extends SparkTestBase {
     assert(fast.nonEmpty, "adjacent customer ids differ by one digit — pairs must exist")
   }
 
+  test("d=2 deletion path and d=3 q-gram path equal brute force on typo'd names") {
+    val rows = Seq(
+      (1L, "margaret atwood writer"),
+      (2L, "margaret atwod writers"),   // 1 del + 1 ins = 2
+      (3L, "margret atwood writer"),    // 1 deletion
+      (4L, "margarette atwoode writer"),// 3 edits
+      (5L, "unrelated entry here")).toDF("id", "name")
+    for (d <- Seq(2, 3)) {
+      val fast = FuzzyJoin.selfJoin(rows, "id", "name", maxDist = d)
+        .as[(Long, Long, Long)].collect().toSet
+      val a = rows.select(col("id").as("ka"), col("name").as("na"))
+      val b = rows.select(col("id").as("kb"), col("name").as("nb"))
+      val brute = a.crossJoin(b)
+        .filter(col("ka") < col("kb") &&
+          length(col("na")) >= 3 * (d + 1) && length(col("nb")) >= 3 * (d + 1) &&
+          levenshtein(col("na"), col("nb")) <= d)
+        .select(col("ka"), col("kb"), levenshtein(col("na"), col("nb")).cast("long"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(fast == brute, s"d=$d missing=${brute -- fast} extra=${fast -- brute}")
+      assert(brute.nonEmpty)
+    }
+  }
+
   test("strings below the q*(d+1) length floor are excluded by contract") {
     val rows = Seq((1L, "ab"), (2L, "ac"), (3L, "abcdef"), (4L, "abcdeg"))
       .toDF("id", "name")

@@ -45,6 +45,24 @@ class SamplingSpec extends SparkTestBase {
     assert(inPosOrder != inPosOrder.sorted, "md5 rank must permute ids")
   }
 
+  test("cappedPerStratum keeps exactly cap rows per stratum, hash-chosen, stable") {
+    val out = Sampling.cappedPerStratum(docs, "doc_id", "lang", 30)
+      .select("doc_id", "lang").as[(Long, String)].collect()
+    val byLang = out.groupBy(_._2)
+    assert(byLang("en").length == 30 && byLang("fr").length == 30)
+    // a stratum under the cap passes through whole
+    val small = docs.filter($"doc_id" <= 10)
+    assert(Sampling.cappedPerStratum(small, "doc_id", "lang", 30).count() == 10)
+    // kept set is partitioning-independent and NOT the lowest ids
+    val b = Sampling.cappedPerStratum(docs.repartition(17), "doc_id", "lang", 30)
+      .select("doc_id", "lang").as[(Long, String)].collect()
+    assert(out.sortBy(_._1).toSeq == b.sortBy(_._1).toSeq)
+    assert(byLang("en").map(_._1).sorted.toSeq !=
+      docs.filter($"lang" === "en").orderBy($"doc_id").limit(30)
+        .select("doc_id").as[Long].collect().toSeq,
+      "hash order must not degenerate to id order")
+  }
+
   test("stratified membership is partitioning-independent") {
     val a = Sampling.stratifiedSampled(docs.repartition(17), "doc_id", "lang",
       Map("en" -> 25), 75).select("doc_id").as[Long].collect().sorted.toSeq
