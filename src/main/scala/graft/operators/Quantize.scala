@@ -50,4 +50,41 @@ object Quantize {
         posexplode(col(vecCol)).as(Seq("dim_idx", "_x")))
       .select(col(idCol), col("dim_idx").cast("long").as("dim_idx"),
         col("scale"), quantElem(col("_x"), col("scale")).as("q"))
+
+  /** Per-dimension EXACT clip bounds for winsorization: the p01/p99 ORDER
+    * STATISTICS (actual data values at integer ranks — no interpolation,
+    * so no float arithmetic to diverge cross-engine) plus how many values
+    * each dimension would clip. Ranks use pure integer arithmetic:
+    * k_lo = ⌈n/100⌉, k_hi = ⌈99n/100⌉.
+    *
+    * The outlier-clipping profile every embedding store computes before
+    * int8 quantization ([[int8Packed]]): absmax scaling is destroyed by a
+    * single outlier dimension; clip to these bounds first and the int8
+    * grid covers the real mass. Shape: one ranking window per dimension
+    * (ndims independent sorts) over exploded (dim, x) pairs, then a
+    * broadcast-sized bounds join back. At 100 TB swap the exact ranks
+    * for [[Percentiles]]-style iterative refinement per dimension; the
+    * contract (values AT ranks) stays identical.
+    * Output: (dim, n, p01, p99, n_clipped).
+    */
+  def clipBounds(emb: DataFrame, vecCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val x = emb.select(posexplode(col(vecCol)).as(Seq("dim", "_xf")))
+      .select(col("dim").cast("long").as("dim"), col("_xf").cast("double").as("x"))
+    val w = Window.partitionBy(col("dim")).orderBy(col("x"))
+    val ranked = x
+      .withColumn("_rn", row_number().over(w).cast("long"))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("dim"))))
+    val bounds = ranked
+      .groupBy(col("dim"))
+      .agg(max(col("_n")).as("n"),
+        min(when(col("_rn") === expr("(_n + 99) div 100"), col("x"))).as("p01"),
+        min(when(col("_rn") === expr("(_n * 99 + 99) div 100"), col("x"))).as("p99"))
+    x.join(bounds, "dim")
+      .groupBy(col("dim"))
+      .agg(max(col("n")).as("n"), max(col("p01")).as("p01"), max(col("p99")).as("p99"),
+        sum(when(col("x") < col("p01") || col("x") > col("p99"), 1L)
+          .otherwise(0L)).as("n_clipped"))
+      .orderBy(col("dim"))
+  }
 }

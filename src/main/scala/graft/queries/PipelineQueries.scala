@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Dedup, Graph, Multimodal, Packing, Quantize, Sampling, Similarity, TemporalJoins, TextAnalysis}
+import graft.operators.{Dedup, Graph, Multimodal, Packing, Quantize, Sampling, Similarity, TemporalJoins, TextAnalysis, TimeSeries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -496,7 +496,45 @@ object PipelineQueries {
       .orderBy(col("user_id"))
   }
 
+  /** Hourly resample of the click stream with forward fill
+    * ([[TimeSeries.resampleFfill]]) — irregular events → dense per-user
+    * sequences.
+    */
+  def qResampleFfill(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.resampleFfill(
+      Tables.events(s, dir).filter(col("event_type") === "click"),
+      "user_id", "ts", "value", "hour")
+
+  /** Exact per-dimension p01/p99 winsorization bounds over the embedding
+    * store ([[Quantize.clipBounds]]) — the outlier profile computed
+    * before int8 quantization.
+    */
+  def embClipBounds(s: SparkSession, dir: String): DataFrame =
+    Quantize.clipBounds(Tables.embeddings(s, dir), "embedding")
+
+  /** Corpus Gram matrix X'X over the embedding store via the native
+    * [[graft.functions.GramMatrixAgg]] single-buffer aggregate (the
+    * PCA/covariance precursor); upper triangle unflattened to (i, j)
+    * rows in the same row-major order the buffer uses. round(,4) buries
+    * the partial-merge summation-order ulp.
+    */
+  def embGramMatrix(s: SparkSession, dir: String): DataFrame = {
+    val d = AnnDim
+    val pairs = flatten(transform(sequence(lit(0), lit(d - 1)),
+      i => transform(sequence(i, lit(d - 1)), j => struct(i.as("i"), j.as("j")))))
+    Tables.embeddings(s, dir)
+      .agg(graft.functions.GramMatrixAgg.gram(col("embedding"), d).as("_g"))
+      .select(explode(arrays_zip(pairs.as("p"), col("_g").as("g"))).as("_z"))
+      .select(col("_z.p.i").cast("long").as("i"),
+        col("_z.p.j").cast("long").as("j"),
+        round(col("_z.g"), 4).as("gram"))
+      .orderBy(col("i"), col("j"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
+    "emb_gram_matrix" -> (embGramMatrix _),
+    "q_resample_ffill" -> (qResampleFfill _),
+    "emb_clip_bounds" -> (embClipBounds _),
     "sample_cap_source" -> (sampleCapSource _),
     "q_funnel" -> (qFunnel _),
     "text_dup_spans" -> (textDupSpans _),
@@ -591,6 +629,53 @@ object PipelineQueries {
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "emb_gram_matrix" ->
+      """WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (SELECT a.i AS i, b.i AS j
+        |      FROM (SELECT unnest(range(64)) AS i) a,
+        |           (SELECT unnest(range(64)) AS i) b
+        |      WHERE a.i <= b.i)
+        |SELECT CAST(p.i AS BIGINT) AS i, CAST(p.j AS BIGINT) AS j,
+        |  round(sum(e.v[p.i + 1] * e.v[p.j + 1]), 4) AS gram
+        |FROM e CROSS JOIN p GROUP BY p.i, p.j ORDER BY i, j""".stripMargin,
+    // the first grid bucket per user carries a real observation, so
+    // last_value IGNORE NULLS never yields NULL; per-bucket means are
+    // rounded on both engines before the fill copies them around
+    "q_resample_ffill" ->
+      """WITH c AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS bucket,
+        |    round(avg(value), 6) AS v, count(*) AS n
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |s AS (SELECT user_id, min(bucket) AS b0, max(bucket) AS b1
+        |      FROM c GROUP BY user_id),
+        |g AS (SELECT user_id,
+        |        unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket
+        |      FROM s)
+        |SELECT g.user_id, g.bucket,
+        |  last_value(c.v IGNORE NULLS) OVER (PARTITION BY g.user_id
+        |    ORDER BY g.bucket ROWS UNBOUNDED PRECEDING) AS value_ffill,
+        |  CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
+        |FROM g LEFT JOIN c ON g.user_id = c.user_id AND g.bucket = c.bucket
+        |ORDER BY g.user_id, g.bucket""".stripMargin,
+    // order statistics at integer ranks — no interpolation, no rounding;
+    // k_lo = ceil(n/100), k_hi = ceil(99n/100) in pure integer math
+    "emb_clip_bounds" ->
+      """WITH x AS (
+        |  SELECT unnest(range(len(embedding))) AS d, unnest(embedding) AS xf
+        |  FROM embeddings),
+        |v AS (SELECT CAST(d AS BIGINT) AS dim, CAST(xf AS DOUBLE) AS x FROM x),
+        |r AS (SELECT dim, x,
+        |        row_number() OVER (PARTITION BY dim ORDER BY x) AS rn,
+        |        count(*) OVER (PARTITION BY dim) AS n
+        |      FROM v),
+        |b AS (SELECT dim, CAST(max(n) AS BIGINT) AS n,
+        |        min(CASE WHEN rn = (n + 99) // 100 THEN x END) AS p01,
+        |        min(CASE WHEN rn = (n * 99 + 99) // 100 THEN x END) AS p99
+        |      FROM r GROUP BY dim)
+        |SELECT v.dim, max(b.n) AS n, max(b.p01) AS p01, max(b.p99) AS p99,
+        |  CAST(sum(CASE WHEN v.x < b.p01 OR v.x > b.p99 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_clipped
+        |FROM v JOIN b USING (dim) GROUP BY v.dim ORDER BY v.dim""".stripMargin,
     "sample_cap_source" ->
       """SELECT doc_id, source FROM (
         |  SELECT doc_id, source,

@@ -70,4 +70,14 @@ class QuantizeSpec extends SparkTestBase {
       assert(err <= sc / 254.0 + 1e-12, s"vec $id dim $i err $err vs bound ${sc / 254.0}")
     }
   }
+
+  test("clipBounds returns exact order statistics at ceil-ranks and clip counts") {
+    // dim 0: values 1..200 -> n=200, k_lo=2, k_hi=198: p01=2, p99=198,
+    // clipped = {1, 199, 200} -> 3. dim 1: constant -> p01=p99, 0 clipped.
+    val vecs = (1 to 200).map(i => Seq(i.toFloat, 5f)).toDF("embedding")
+    val out = graft.operators.Quantize.clipBounds(vecs, "embedding")
+      .as[(Long, Long, Double, Double, Long)].collect().toSeq
+    assert(out == Seq((0L, 200L, 2.0, 198.0, 3L), (1L, 200L, 5.0, 5.0, 0L)),
+      s"got $out")
+  }
 }
