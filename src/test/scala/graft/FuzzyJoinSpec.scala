@@ -58,6 +58,33 @@ class FuzzyJoinSpec extends SparkTestBase {
     }
   }
 
+  test("deletion-signature candidates shuffle only longs; strings ride broadcasts") {
+    // the candidate join must move (id, xxhash64(variant)) longs — raw
+    // variant strings are hashed at the source and the verification
+    // strings attach via broadcast for dimension-sized inputs
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.types.StringType
+    val cust = Tables.customer(spark, "/root/testdata/sf0.001")
+    val df = FuzzyJoin.selfJoin(cust, "c_custkey", "c_name", maxDist = 1)
+    df.collect()
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val inner = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _ => p.children
+      }
+      p +: inner.flatMap(flatten)
+    }
+    val shuffles = flatten(df.queryExecution.executedPlan)
+      .collect { case s: ShuffleExchangeLike => s }.distinct
+    assert(shuffles.nonEmpty)
+    val stringCarrying = shuffles.filter(_.output.exists(_.dataType == StringType))
+    assert(stringCarrying.isEmpty,
+      s"strings crossed a shuffle: ${stringCarrying.map(_.output.map(_.name).mkString("(", ",", ")"))}")
+  }
+
   test("strings below the q*(d+1) length floor are excluded by contract") {
     val rows = Seq((1L, "ab"), (2L, "ac"), (3L, "abcdef"), (4L, "abcdeg"))
       .toDF("id", "name")

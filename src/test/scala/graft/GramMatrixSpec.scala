@@ -41,6 +41,40 @@ class GramMatrixSpec extends SparkTestBase {
     assert(out(1L) == Seq(0.0, 0.0, 4.0))
   }
 
+  test("gram aggregation is two-phase: vectors never cross the shuffle") {
+    // map-side partial ObjectHashAggregate reduces each task to ONE
+    // serialized buffer; the exchange carries binary buffers, not the
+    // input vectors — the property that makes X'X feasible at 100 TB
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    // 5-partition input WITHOUT an exchange (repartition would itself
+    // shuffle the vectors and trip the assertion)
+    val vecs = spark.range(0, 100, 1, 5)
+      .select(transform(sequence(lit(1), lit(4)),
+        j => (col("id") + j).cast("float")).as("v"))
+    val df = vecs.agg(GramMatrixAgg.gram(col("v"), 4).as("g"))
+    df.collect()
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val inner = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _ => p.children
+      }
+      p +: inner.flatMap(flatten)
+    }
+    val nodes = flatten(df.queryExecution.executedPlan)
+    val aggs = nodes.collect { case a: ObjectHashAggregateExec => a }
+    assert(aggs.size >= 2, s"expected partial+final ObjectHashAggregate, got ${aggs.size}")
+    val shuffles = nodes.collect { case s: ShuffleExchangeLike => s }.distinct
+    val vectorCarrying = shuffles.filter(_.output.exists(
+      _.dataType == ArrayType(FloatType, containsNull = false)))
+    assert(vectorCarrying.isEmpty,
+      s"input vectors crossed a shuffle: ${vectorCarrying.map(_.output.map(_.name))}")
+  }
+
   test("dimension mismatch fails loudly, not silently") {
     val vecs = Seq(Seq(1f, 2f)).toDF("v")
     val e = intercept[Exception] {
