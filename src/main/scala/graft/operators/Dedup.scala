@@ -262,6 +262,52 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Asymmetric CONTAINMENT pairs: (inner, outer) with
+    * |shingles(inner) ∩ shingles(outer)| / |shingles(inner)| ≥ tau —
+    * the dedup relation symmetric Jaccard misses: a short document
+    * wholly quoted inside a long one scores near-zero Jaccard (the union
+    * is dominated by the long side) but containment 1.0. Corpus curation
+    * runs this to strip quote-wrapped / boilerplate-embedded duplicates.
+    *
+    * Candidates use one-sided prefix filtering (the PPJoin argument
+    * applied to the INNER side only): if containment ≥ tau, then among
+    * the inner doc's ⌊(1−τ)·|inner|⌋+1 rarest shingles (global
+    * document-frequency order) at least one must appear in the outer doc
+    * — so the join is inner-PREFIX × outer-FULL-index, never full × full.
+    * Exact verification against the per-doc shingle sets follows. All
+    * shuffle keys are 64-bit hashes.
+    * Output: (doc_inner, doc_outer, containment), inner ≠ outer.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, tau: Double): DataFrame = {
+    val sh = shingleHashes(docs, idCol, textCol, n)
+    val sizes = sh.groupBy(col("_id")).agg(count(lit(1)).as("_n"))
+    val dfreq = sh.groupBy(col("_h")).agg(count(lit(1)).as("_df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_id")).orderBy(col("_df"), col("_h"))
+    val prefix = sh.join(dfreq, "_h")
+      .withColumn("_rn", row_number().over(w))
+      .join(sizes, "_id")
+      .filter(col("_rn") <= floor((lit(1.0) - tau) * col("_n")).cast("long") + 1)
+      .select(col("_id"), col("_h"))
+    val cands = prefix.select(col("_id").as("_ida"), col("_h"))
+      .join(sh.select(col("_id").as("_idb"), col("_h")), "_h")
+      .filter(col("_ida") =!= col("_idb"))
+      .select(col("_ida"), col("_idb"))
+      .distinct()
+    val sets = sh.groupBy(col("_id")).agg(collect_set(col("_h")).as("_set"))
+    cands
+      .join(sets.select(col("_id").as("_ida"), col("_set").as("_seta")), "_ida")
+      .join(sets.select(col("_id").as("_idb"), col("_set").as("_setb")), "_idb")
+      .withColumn("containment", round(
+        size(array_intersect(col("_seta"), col("_setb"))) * lit(1.0) /
+          size(col("_seta")), 4))
+      .filter(col("containment") >= tau)
+      .select(col("_ida").as("doc_inner"), col("_idb").as("doc_outer"),
+        col("containment"))
+      .orderBy(col("doc_inner"), col("doc_outer"))
+  }
+
   /** End-to-end near-dedup: returns the SURVIVING documents — a doc is
     * dropped iff it has a near-duplicate (word-n-gram Jaccard ≥ tau) with
     * a smaller id. This is the standard greedy keep-first policy (not

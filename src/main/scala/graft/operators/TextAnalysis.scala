@@ -290,6 +290,61 @@ object TextAnalysis {
       .orderBy(col("rank"))
   }
 
+  /** BM25 top-k document retrieval against a deterministic query-term
+    * set (the `nQueryTerms` most frequent non-stopword tokens — count
+    * desc, token asc — so the query is a pure function of the corpus and
+    * the whole operator stays oracle-checkable).
+    *
+    * Scoring is the LINEAR-IDF BM25 variant: the standard
+    * log((N−df+0.5)/(df+0.5)) idf is replaced by the raw ratio
+    * (N − df + 0.5)/(df + 0.5) — same reason as [[termSalience]]: `log`
+    * differs in the last ulp across engines, while this is a chain of
+    * IEEE +,*,/ both engines execute identically. The tf saturation term
+    * is standard BM25: tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)) with
+    * k1 = 1.2, b = 0.75; avgdl = Σdl / N over ALL documents. Per-doc
+    * scores sum over ≤ nQueryTerms terms and are rounded BEFORE ranking
+    * so the k-boundary cannot flip on summation order.
+    *
+    * Shuffles: (doc, term) tf and term-level df aggregations (map-side
+    * combined, gram strings hash-distributed once); query terms and the
+    * avgdl scalar broadcast; the final ranking window runs over only the
+    * docs containing a query term. Output: (doc_id, score, rank).
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      nQueryTerms: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = docs.count()
+    val terms = docs
+      .select(col(idCol).as("doc_id"), Text.tokens(col(textCol)).as("_toks"))
+      .select(col("doc_id"), explode(col("_toks")).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val avgdl = dl.agg((sum(col("dl")).cast("double") / lit(n)).as("avgdl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val qterms = terms
+      .filter(!array_contains(typedlit(Stopwords), col("term")))
+      .groupBy(col("term")).agg(count(lit(1)).as("_cnt"))
+      .orderBy(col("_cnt").desc, col("term").asc)
+      .limit(nQueryTerms)
+      .select(col("term"))
+    val scored = tf.join(broadcast(qterms), "term")
+      .join(dfreq, "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(avgdl))
+      .withColumn("_s",
+        ((lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") * lit(2.2) /
+            (col("tf") + lit(1.2) *
+              (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("_s")), 4).as("score"))
+    val w = Window.orderBy(col("score").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy(col("rank"))
+  }
+
   /** Repetition signals (Gopher-style repetition filters): the fraction
     * of tokens taken by the single most frequent token, and by the most
     * frequent token 2-gram — high values mark boilerplate/spam that

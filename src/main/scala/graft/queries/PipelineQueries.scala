@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Dedup, Graph, Multimodal, Packing, Quantize, Sampling, Similarity, TemporalJoins, TextAnalysis, TimeSeries}
+import graft.operators.{Dedup, Graph, Layout, Multimodal, Packing, Quantize, Sampling, Similarity, TemporalJoins, TextAnalysis, TimeSeries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -531,7 +531,30 @@ object PipelineQueries {
       .orderBy(col("i"), col("j"))
   }
 
+  /** Asymmetric containment pairs at tau = 0.7
+    * ([[Dedup.containmentPairs]]) — quote-wrapped duplicate detection.
+    */
+  def dedupContainment(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(Tables.documents(s, dir), "doc_id", "text", 3, Tau)
+
+  /** BM25 (linear-idf) top-50 against the corpus's 3 hottest
+    * non-stopword terms ([[TextAnalysis.bm25TopK]]).
+    */
+  def textBm25(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bm25TopK(Tables.documents(s, dir), "doc_id", "text", 3, 50)
+
+  /** Z-order clustering effectiveness over lineitem (part × supplier)
+    * ([[Layout.zOrderStats]], 16 interleaved bits; shift 14 gives real
+    * bucket structure at every test scale factor).
+    */
+  def qZorderLayout(s: SparkSession, dir: String): DataFrame =
+    Layout.zOrderStats(Tables.lineitem(s, dir), "l_partkey", "l_suppkey",
+      bits = 16, bucketShift = 14)
+
   val queries: Map[String, Relational.Q] = Map(
+    "dedup_containment" -> (dedupContainment _),
+    "text_bm25" -> (textBm25 _),
+    "q_zorder_layout" -> (qZorderLayout _),
     "emb_gram_matrix" -> (embGramMatrix _),
     "q_resample_ffill" -> (qResampleFfill _),
     "emb_clip_bounds" -> (embClipBounds _),
@@ -628,7 +651,59 @@ object PipelineQueries {
         |FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
 
+  private val zTerms = (0 until 16).map(i =>
+    s"((((l_partkey >> $i) & 1) << ${2 * i}) | (((l_suppkey >> $i) & 1) << ${2 * i + 1}))")
+    .mkString(" | ")
+
   val oracles: Map[String, String] = Map(
+    // containment = |inner ∩ outer| / |inner| on the same distinct
+    // 3-gram shingles as the Jaccard oracles; asymmetric, both orders
+    "dedup_containment" ->
+      s"""$shingleCte
+         |SELECT a.doc_id AS doc_inner, b.doc_id AS doc_outer,
+         |  round(len(list_intersect(a.sh, b.sh)) * 1.0 / len(a.sh), 4)
+         |    AS containment
+         |FROM s a, s b WHERE a.doc_id != b.doc_id
+         |  AND round(len(list_intersect(a.sh, b.sh)) * 1.0 / len(a.sh), 4) >= $Tau
+         |ORDER BY doc_inner, doc_outer""".stripMargin,
+    // linear-idf BM25 (log is not bit-portable); avgdl = sum(dl)/N over
+    // ALL docs; literals in e0 form; score rounded BEFORE ranking
+    "text_bm25" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS toks
+        |  FROM documents),
+        |x AS (SELECT doc_id, unnest(toks) AS term FROM t),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM x GROUP BY doc_id, term),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM x GROUP BY doc_id),
+        |nn AS (SELECT count(*) AS n FROM documents),
+        |ad AS (SELECT CAST(sum(dl) AS DOUBLE) / nn.n AS avgdl FROM dl CROSS JOIN nn GROUP BY nn.n),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |q AS (SELECT term FROM (
+        |        SELECT term, count(*) AS cnt FROM x
+        |        WHERE NOT list_contains(['the','a','and','of','to','in','is','on','for','with'], term)
+        |        GROUP BY term ORDER BY cnt DESC, term LIMIT 3)),
+        |sc AS (
+        |  SELECT tf.doc_id,
+        |    round(sum(
+        |      ((nn.n - dfreq.df + 0.5e0) / (dfreq.df + 0.5e0)) *
+        |      (tf.tf * 2.2e0 /
+        |        (tf.tf + 1.2e0 * (0.25e0 + 0.75e0 * dl.dl / ad.avgdl)))), 4) AS score
+        |  FROM tf JOIN q USING (term) JOIN dfreq USING (term)
+        |       JOIN dl USING (doc_id) CROSS JOIN nn CROSS JOIN ad
+        |  GROUP BY tf.doc_id),
+        |r AS (SELECT doc_id, score,
+        |        CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+        |      FROM sc)
+        |SELECT doc_id, score, rank FROM r WHERE rank <= 50 ORDER BY rank""".stripMargin,
+    "q_zorder_layout" ->
+      s"""WITH z AS (
+         |  SELECT ($zTerms) AS zv, l_partkey, l_suppkey FROM lineitem)
+         |SELECT zv >> 14 AS bucket, count(*) AS n_rows,
+         |  min(l_partkey) AS x_min, max(l_partkey) AS x_max,
+         |  CAST(min(l_suppkey) AS BIGINT) AS y_min,
+         |  CAST(max(l_suppkey) AS BIGINT) AS y_max
+         |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin,
     "emb_gram_matrix" ->
       """WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |p AS (SELECT a.i AS i, b.i AS j
