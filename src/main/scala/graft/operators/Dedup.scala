@@ -326,6 +326,22 @@ object Dedup {
 
   // ------------------------------------------------- cluster assignment
 
+  /** Release the pinned RDD behind a `localCheckpoint(eager = true)`
+    * DataFrame once its successor round is materialized. Without this,
+    * every propagation/contraction round leaks one checkpointed RDD into
+    * the block store for the session's lifetime; across repeated calls
+    * (benchmark reps, long-lived services) the accumulated blocks force
+    * eviction storms that showed up as 5-10× run-to-run swings on the
+    * iterative cluster queries. Safe because eager checkpointing fully
+    * materialized the successor — nothing re-reads the released blocks.
+    */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Connected-component cluster ids over a near-duplicate pair graph:
     * every document gets `cluster_id` = the MINIMUM doc id reachable
     * through the pair edges (its component's canonical representative) —
@@ -377,6 +393,7 @@ object Dedup {
       val nextSum = next.agg(sum(col("label"))).head().getLong(0)
       converged = nextSum == checksum
       checksum = nextSum
+      releaseCheckpoint(labels) // next is materialized; free the old round
       labels = next
     }
     edges.unpersist()
@@ -465,6 +482,7 @@ object Dedup {
       val nextSig = signature(small)
       converged = nextSig == sig
       sig = nextSig
+      releaseCheckpoint(edges) // small is materialized; free the old round
       edges = small
     }
     // fixpoint edges are (member → component-min root); roots and isolated
