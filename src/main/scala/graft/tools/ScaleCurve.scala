@@ -33,7 +33,7 @@ object ScaleCurve {
     "text_decontaminate", "text_repetition", "chunk_documents",
     "mm_video_decode", "q_skew_join", "q_table_profile",
     "dedup_incremental", "graph_pagerank", "text_dup_spans",
-    "text_ngram_lm")
+    "text_ngram_lm", "dedup_containment", "q_resample_ffill")
 
   /** Queries whose cost is driven by lineitem/orders rather than the
     * document corpus — reported against lineitem's row count. Both table
@@ -42,6 +42,9 @@ object ScaleCurve {
     */
   private val LineitemDriven = Set("q_skew_join", "q_table_profile",
     "graph_pagerank")
+
+  /** Queries driven by the events table — labeled by its row count. */
+  private val EventsDriven = Set("q_resample_ffill")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -61,6 +64,11 @@ object ScaleCurve {
     val emb = spark.read.parquet(s"$base/embeddings.parquet")
     val li = spark.read.parquet(s"$base/lineitem.parquet")
     val ord = spark.read.parquet(s"$base/orders.parquet")
+    // raw read (no ns->us rewrite): the copies must round-trip the exact
+    // on-disk timestamp physical type so Tables.events reads them the
+    // same way at every size
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$base/events.parquet")
     val n = docs.count()
     val nLi = li.count()
 
@@ -73,11 +81,14 @@ object ScaleCurve {
 
     // half: subsample by key parity — lineitem filtered on ORDER key so
     // referential integrity and per-order fan-out (the skew shape) survive
+    // events halved on USER so per-user span/density (the grid shape)
+    // survives; doubled under offset user ids -> twice the grid keys
     val half = writeDir(s"$root/half",
       "documents" -> docs.filter(col("doc_id") % 2 === 0),
       "embeddings" -> emb.filter(col("vec_id") % 2 === 0),
       "lineitem" -> li.filter(col("l_orderkey") % 2 === 0),
-      "orders" -> ord.filter(col("o_orderkey") % 2 === 0))
+      "orders" -> ord.filter(col("o_orderkey") % 2 === 0),
+      "events" -> ev.filter(col("user_id") % 2 === 0))
     val mangledCopy = docs
       .withColumn("doc_id", col("doc_id") + lit(1000000L))
       .withColumn("text", array_join(
@@ -102,11 +113,17 @@ object ScaleCurve {
           .withColumn("l_partkey", col("l_partkey") + keyOff)
           .withColumn("l_suppkey", col("l_suppkey") + keyOff)),
       "orders" -> ord.unionByName(
-        ord.withColumn("o_orderkey", col("o_orderkey") + keyOff)))
+        ord.withColumn("o_orderkey", col("o_orderkey") + keyOff)),
+      "events" -> ev.unionByName(
+        ev.withColumn("user_id", col("user_id") + keyOff)
+          .withColumn("event_id", col("event_id") + keyOff)))
 
     val sizes = Seq(n / 2 -> half, n -> base, 2 * n -> double)
     val liSizes = Seq(half, base, double).map { dir =>
       dir -> spark.read.parquet(s"$dir/lineitem.parquet").count()
+    }.toMap
+    val evSizes = Seq(half, base, double).map { dir =>
+      dir -> spark.read.parquet(s"$dir/events.parquet").count()
     }.toMap
 
     def runOnce(name: String, dir: String): Double = {
@@ -125,7 +142,8 @@ object ScaleCurve {
     // Bench's within-family sharing
     val results = Queries.map { q =>
       q -> sizes.map { case (sz, dir) =>
-        val label = if (LineitemDriven(q)) liSizes(dir) else sz
+        val label = if (LineitemDriven(q)) liSizes(dir)
+          else if (EventsDriven(q)) evSizes(dir) else sz
         label -> median((0 until reps).map(_ => runOnce(q, dir)))
       }
     }
