@@ -551,7 +551,55 @@ object PipelineQueries {
     Layout.zOrderStats(Tables.lineitem(s, dir), "l_partkey", "l_suppkey",
       bits = 16, bucketShift = 14)
 
+  /** Per-group EXACT quartiles via integer-rank order statistics (the
+    * grouped companion of [[Quantize.clipBounds]]'s rank trick and the
+    * exact alternative to `q_approx_percentile`): value at rank
+    * ⌈n/4⌉ / ⌈n/2⌉ / ⌈3n/4⌉ within each group — actual data values, no
+    * interpolation, so nothing to round. One ranking window per group.
+    */
+  def qGroupPercentile(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_quantity"))
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+    li.withColumn("_rn", row_number().over(w).cast("long"))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("l_returnflag"))))
+      .groupBy(col("l_returnflag"))
+      .agg(max(col("_n")).as("n"),
+        min(when(col("_rn") === expr("(_n + 3) div 4"), col("l_quantity"))).as("p25"),
+        min(when(col("_rn") === expr("(_n + 1) div 2"), col("l_quantity"))).as("median"),
+        min(when(col("_rn") === expr("(_n * 3 + 3) div 4"), col("l_quantity"))).as("p75"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Per-user 3σ outlier events — the event-stream data-cleaning pass.
+    * Mean and variance use the explicit sum-of-squares formula ROUNDED
+    * before the flag comparison, and the test is (v − mean)² > 9·var
+    * (no sqrt), so boundary membership is bit-stable cross-engine.
+    * Users with < 5 events are skipped (variance of a handful of points
+    * flags everything). One aggregation + one broadcast-sized join back.
+    */
+  def qOutliers(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val stats = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("value")), 6).as("mean"),
+        round((sum(col("value") * col("value")) -
+          sum(col("value")) * sum(col("value")) / count(lit(1))) /
+          (count(lit(1)) - 1), 6).as("var"))
+      .filter(col("n") >= 5)
+    ev.join(stats, "user_id")
+      .filter((col("value") - col("mean")) * (col("value") - col("mean")) >
+        lit(9.0) * col("var"))
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("mean"), col("var"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
+    "q_group_percentile" -> (qGroupPercentile _),
+    "q_outliers" -> (qOutliers _),
     "dedup_containment" -> (dedupContainment _),
     "text_bm25" -> (textBm25 _),
     "q_zorder_layout" -> (qZorderLayout _),
@@ -656,6 +704,30 @@ object PipelineQueries {
     .mkString(" | ")
 
   val oracles: Map[String, String] = Map(
+    "q_group_percentile" ->
+      """WITH r AS (
+        |  SELECT l_returnflag, l_quantity,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem)
+        |SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n,
+        |  min(CASE WHEN rn = (n + 3) // 4 THEN l_quantity END) AS p25,
+        |  min(CASE WHEN rn = (n + 1) // 2 THEN l_quantity END) AS median,
+        |  min(CASE WHEN rn = (n * 3 + 3) // 4 THEN l_quantity END) AS p75
+        |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // mean/var rounded BEFORE the flag compare; test is (v-mean)^2 >
+    // 9*var (sqrt-free) so boundary membership cannot flip cross-engine
+    "q_outliers" ->
+      """WITH s AS (
+        |  SELECT user_id, count(*) AS n,
+        |    round(avg(value), 6) AS mean,
+        |    round((sum(value * value) - sum(value) * sum(value) / count(*)) /
+        |      (count(*) - 1), 6) AS var
+        |  FROM events GROUP BY user_id HAVING count(*) >= 5)
+        |SELECT e.event_id, e.user_id, e.value, s.mean, s.var
+        |FROM events e JOIN s USING (user_id)
+        |WHERE (e.value - s.mean) * (e.value - s.mean) > 9 * s.var
+        |ORDER BY e.event_id""".stripMargin,
     // containment = |inner ∩ outer| / |inner| on the same distinct
     // 3-gram shingles as the Jaccard oracles; asymmetric, both orders
     "dedup_containment" ->
