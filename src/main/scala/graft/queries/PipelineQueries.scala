@@ -191,7 +191,12 @@ object PipelineQueries {
     * PNG round trip, not a stub.
     */
   def mmImageDecode(s: SparkSession, dir: String): DataFrame = {
+    // the small-SF corpus is ONE parquet file -> one input partition; the
+    // codec chain (real PNG encode + decode per doc) is the irreducible
+    // cost, so spread it across the cluster BEFORE the first encode —
+    // repartition(col) sizes by spark.sql.shuffle.partitions
     val media = Multimodal.fromText(Tables.documents(s, dir), "doc_id", "text", "image")
+      .repartition(col("media_id"))
     Multimodal.decodeImages(Multimodal.renderImages(media)).toDF()
       .select(col("media_id"),
         col("width").cast("long").as("width"),
@@ -208,7 +213,10 @@ object PipelineQueries {
     * while the bytes in between are a real PNG-per-frame round trip.
     */
   def mmVideoDecode(s: SparkSession, dir: String): DataFrame = {
+    // same single-input-partition hazard as mm_image_decode: repartition
+    // before the per-frame encode so all cores carry the codec work
     val media = Multimodal.fromText(Tables.documents(s, dir), "doc_id", "text", "video")
+      .repartition(col("media_id"))
     Multimodal.decodeVideos(Multimodal.renderVideos(media)).toDF()
       .select(col("media_id"),
         col("frame_idx").cast("long").as("frame_idx"),
@@ -227,6 +235,7 @@ object PipelineQueries {
     */
   def mmAudioDecode(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.fromText(Tables.documents(s, dir), "doc_id", "text", "audio")
+      .repartition(col("media_id"))
     Multimodal.decodeAudio(Multimodal.renderWavs(media)).toDF()
       .select(col("media_id"),
         col("sample_rate").cast("long").as("sample_rate"),
