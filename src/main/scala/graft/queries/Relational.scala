@@ -67,9 +67,11 @@ object Relational {
 
   /** Fuzzy (edit-distance) self-join over customer names at maxDist 1 —
     * the entity-resolution primitive ([[graft.operators.FuzzyJoin]]):
-    * q-gram rare-prefix candidates + exact codegen levenshtein verify.
-    * The oracle is the all-pairs levenshtein (feasible at the sf0.01
-    * gate); the registered plan never goes all-pairs.
+    * FastSS deletion-neighborhood signature candidates (round 6 — q-gram
+    * prefix postings degenerate on these zero-padded names) + exact
+    * codegen levenshtein verify. The oracle is the all-pairs levenshtein
+    * (feasible at the sf0.01 gate); the registered plan never goes
+    * all-pairs.
     */
   def qFuzzyJoin(s: SparkSession, dir: String): DataFrame =
     graft.operators.FuzzyJoin.selfJoin(
