@@ -606,7 +606,26 @@ object PipelineQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Count-Min sketch of the corpus token stream (4 × 256, md5-row
+    * hashes — [[graft.functions.CountMinAgg]]), exploded to the full
+    * cell grid so every counter is value-checked by the oracle. The
+    * constant-memory distributed frequency sketch: each task reduces to
+    * one 8 KB buffer, sketches merge by cell-wise add.
+    */
+  def textCms(s: SparkSession, dir: String): DataFrame = {
+    val width = 256
+    Tables.documents(s, dir)
+      .select(explode(graft.functions.Text.tokens(col("text"))).as("tk"))
+      .agg(graft.functions.CountMinAgg.countMin(col("tk"), width).as("_sk"))
+      .select(posexplode(col("_sk")).as(Seq("idx", "cnt")))
+      .select(expr(s"idx div $width").cast("long").as("row"),
+        pmod(col("idx"), lit(width)).cast("long").as("col"),
+        col("cnt"))
+      .orderBy(col("row"), col("col"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
+    "text_cms" -> (textCms _),
     "q_group_percentile" -> (qGroupPercentile _),
     "q_outliers" -> (qOutliers _),
     "dedup_containment" -> (dedupContainment _),
@@ -713,6 +732,27 @@ object PipelineQueries {
     .mkString(" | ")
 
   val oracles: Map[String, String] = Map(
+    // every cell recomputed exactly: row i's hash is md5 hex slice
+    // [8i+1, 8i+8] mod width — the same aligned 4-byte slice the
+    // aggregate reads from the binary digest
+    "text_cms" ->
+      """WITH t AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS toks
+        |  FROM documents),
+        |x AS (SELECT unnest(toks) AS tk FROM t),
+        |c AS (SELECT tk, count(*) AS n FROM x GROUP BY tk),
+        |cell AS (
+        |  SELECT r.r AS row,
+        |    ('0x' || substring(md5(c.tk), 8 * r.r + 1, 8))::BIGINT % 256 AS col,
+        |    sum(c.n) AS n
+        |  FROM c CROSS JOIN (SELECT unnest(range(4)) AS r) r
+        |  GROUP BY row, col),
+        |grid AS (SELECT r AS row, unnest(range(256)) AS col
+        |         FROM (SELECT unnest(range(4)) AS r))
+        |SELECT CAST(grid.row AS BIGINT) AS row, CAST(grid.col AS BIGINT) AS col,
+        |  CAST(coalesce(cell.n, 0) AS BIGINT) AS cnt
+        |FROM grid LEFT JOIN cell ON grid.row = cell.row AND grid.col = cell.col
+        |ORDER BY row, col""".stripMargin,
     "q_group_percentile" ->
       """WITH r AS (
         |  SELECT l_returnflag, l_quantity,
