@@ -51,6 +51,9 @@ object Multimodal {
   final case class DecodedVideoFrame(media_id: Long, frame_idx: Int,
       pts_ms: Long, width: Int, height: Int, n_pixels: Long, decoded: Boolean)
 
+  final case class ProbedImage(media_id: Long, width: Int, height: Int,
+      r: Int, g: Int, b: Int, decoded: Boolean)
+
   /** The `GVID` toy container: `"GVID"` magic, int32-BE frame count, then
     * per frame an int32-BE byte length followed by a REAL PNG payload.
     * Fixed 25 fps (40 ms per frame). The JDK ships still-image codecs but
@@ -198,6 +201,37 @@ object Multimodal {
           val out = new java.io.ByteArrayOutputStream(256)
           javax.imageio.ImageIO.write(dst, "png", out)
           MediaRecord(m.media_id, "image/png", out.toByteArray, m.meta)
+        }
+      }
+    }
+  }
+
+  /** Pixel-level probe: decode and report true dimensions plus the
+    * top-left pixel's RGB — the cheap feature-extraction shape that
+    * validates a transform's pixel fidelity without shipping pixels
+    * anywhere (one small typed row out per image, payload dropped).
+    * After [[resizeImages]] of a solid-color image the probed color must
+    * equal the source color exactly: bilinear interpolation of identical
+    * samples is the identity, so this is the end-to-end check that the
+    * resize really decoded, rescaled, and re-encoded actual pixels.
+    * Poison policy matches [[decodeImages]]: undecodable → zeroed row
+    * with `decoded = false`.
+    */
+  def probePixels(media: Dataset[MediaRecord]): Dataset[ProbedImage] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { batch =>
+      batch.map { m =>
+        val img =
+          // NonFatal, not just IOException: codec internals throw
+          // IllegalArgumentException / CMMException on malformed payloads
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.content))
+          catch { case NonFatal(_) => null }
+        if (img == null) ProbedImage(m.media_id, 0, 0, 0, 0, 0, decoded = false)
+        else {
+          val rgb = img.getRGB(0, 0)
+          ProbedImage(m.media_id, img.getWidth, img.getHeight,
+            (rgb >> 16) & 0xFF, (rgb >> 8) & 0xFF, rgb & 0xFF, decoded = true)
         }
       }
     }

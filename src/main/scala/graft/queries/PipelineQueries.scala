@@ -227,6 +227,52 @@ object PipelineQueries {
       .orderBy(col("media_id"), col("frame_idx"))
   }
 
+  /** Real end-to-end image TRANSFORM pipeline: synthesis → genuine
+    * bilinear resize to 17×11 (decode → Graphics2D rescale → PNG
+    * re-encode) → pixel probe. Hash-green because the rendered images are
+    * solid-color (color = md5 bytes 2..4 of the text) and bilinear
+    * interpolation of identical samples is the identity, so the probed
+    * top-left pixel after the resize must equal the md5-derived color
+    * exactly — while every byte in between went through two real codec
+    * round trips. The dims pin that the rescale actually ran.
+    */
+  def mmImageResize(s: SparkSession, dir: String): DataFrame = {
+    // same single-input-partition hazard as mm_image_decode: spread the
+    // codec chain (encode + decode + rescale + re-encode + decode per
+    // doc) across all cores before the first encode
+    val media = Multimodal.fromText(Tables.documents(s, dir), "doc_id", "text", "image")
+      .repartition(col("media_id"))
+    Multimodal.probePixels(
+        Multimodal.resizeImages(Multimodal.renderImages(media), 17, 11)).toDF()
+      .select(col("media_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("r").cast("long").as("r"),
+        col("g").cast("long").as("g"),
+        col("b").cast("long").as("b"),
+        col("decoded"))
+      .orderBy(col("media_id"))
+  }
+
+  /** Strided frame sampling — the "keep every Nth frame" pre-filter a
+    * video training pipeline runs before expensive per-frame featurizers:
+    * demux the GVID container, decode only every 2nd frame, fingerprint
+    * the DECODED pixels (dims + top-left RGB packed into one long).
+    * Hash-green because frame count, per-frame dims, and the solid-color
+    * pixel are all pure md5 functions of the text (renderVideos'
+    * contract), so DuckDB recomputes the exact fingerprint — while the
+    * sampled frames each went through a real PNG decode.
+    */
+  def mmFrameSample(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.fromText(Tables.documents(s, dir), "doc_id", "text", "video")
+      .repartition(col("media_id"))
+    Multimodal.sampleFrames(Multimodal.renderVideos(media), stride = 2).toDF()
+      .select(col("media_id"),
+        col("frame_idx").cast("long").as("frame_idx"),
+        col("pts_ms"), col("frame_fp"))
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
   /** Real end-to-end audio pipeline: deterministic WAV synthesis (sample
     * rate / length / amplitude derived from md5, SQL-recomputable) →
     * genuine javax.sound.sampled decode. Hash-green because a ±amp square
@@ -665,6 +711,8 @@ object PipelineQueries {
     "mm_image_decode" -> (mmImageDecode _),
     "mm_audio_decode" -> (mmAudioDecode _),
     "mm_video_decode" -> (mmVideoDecode _),
+    "mm_image_resize" -> (mmImageResize _),
+    "mm_frame_sample" -> (mmFrameSample _),
     "text_stats" -> (textStats _),
     "text_langid" -> (textLangid _),
     "text_fingerprint" -> (textFingerprint _),
@@ -1426,6 +1474,35 @@ object PipelineQueries {
         |  CAST((1 + (('0x' || substring(m, 4*i+5, 2))::INT % 64))
         |     * (1 + (('0x' || substring(m, 4*i+7, 2))::INT % 64)) * 3 AS BIGINT) AS n_pixels,
         |  true AS decoded
+        |FROM f ORDER BY media_id, frame_idx""".stripMargin,
+    // dims are the resize constants; the probed pixel is the md5-derived
+    // solid color (renderImages' contract: rgb = bytes 2..4 of the
+    // digest), preserved exactly by bilinear resize of a solid image
+    "mm_image_resize" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS m FROM documents)
+        |SELECT doc_id AS media_id, CAST(17 AS BIGINT) AS width,
+        |  CAST(11 AS BIGINT) AS height,
+        |  CAST(('0x' || substring(m, 5, 2))::INT AS BIGINT) AS r,
+        |  CAST(('0x' || substring(m, 7, 2))::INT AS BIGINT) AS g,
+        |  CAST(('0x' || substring(m, 9, 2))::INT AS BIGINT) AS b,
+        |  true AS decoded
+        |FROM d ORDER BY media_id""".stripMargin,
+    // every 2nd frame of renderVideos' contract: frame count = 1+b0%6,
+    // frame i is a (1+b(2i+2)%64) × (1+b(2i+3)%64) solid PNG of color
+    // (b(2i+2)<<16)|(b(2i+3)<<8)|b(i); fp packs (w<<48)|(h<<32)|rgb from
+    // the DECODED pixels. Byte j of the digest is hex chars (2j+1, 2j+2).
+    "mm_frame_sample" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS m FROM documents),
+        |f AS (SELECT doc_id, m,
+        |  unnest(range(0, 1 + (('0x' || substring(m, 1, 2))::INT % 6), 2)) AS i
+        |  FROM d)
+        |SELECT doc_id AS media_id, CAST(i AS BIGINT) AS frame_idx,
+        |  CAST(40 * i AS BIGINT) AS pts_ms,
+        |  (CAST(1 + (('0x' || substring(m, 4*i+5, 2))::INT % 64) AS BIGINT) << 48)
+        |  | (CAST(1 + (('0x' || substring(m, 4*i+7, 2))::INT % 64) AS BIGINT) << 32)
+        |  | (CAST(('0x' || substring(m, 4*i+5, 2))::INT AS BIGINT) << 16)
+        |  | (CAST(('0x' || substring(m, 4*i+7, 2))::INT AS BIGINT) << 8)
+        |  | CAST(('0x' || substring(m, 2*i+1, 2))::INT AS BIGINT) AS frame_fp
         |FROM f ORDER BY media_id, frame_idx""".stripMargin,
     // decoded features are pure md5 functions (renderWavs' contract); the
     // square wave's RMS is exactly amp/32768, amp odd so no round tie

@@ -76,6 +76,44 @@ class MultimodalSpec extends SparkTestBase {
     assert(new String(resized(1).content) == "junk", "undecodable rows pass through")
   }
 
+  test("probePixels after resize reports md5-derived color exactly (mm_image_resize contract)") {
+    val media = Multimodal.renderImages(
+      Multimodal.fromText(docs, "doc_id", "text", "image"))
+    val probed = Multimodal.probePixels(Multimodal.resizeImages(media, 17, 11))
+      .collect().sortBy(_.media_id)
+    assert(probed.forall(p => p.decoded && p.width == 17 && p.height == 11))
+    // the probed pixel must equal renderImages' md5-derived solid color:
+    // bilinear interpolation of identical samples is the identity — the
+    // exact formula the mm_image_resize DuckDB oracle recomputes
+    docs.collect().foreach { r =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(r.getString(1).getBytes("UTF-8"))
+      def b(i: Int): Int = d(i) & 0xFF
+      val p = probed.find(_.media_id == r.getLong(0)).get
+      assert((p.r, p.g, p.b) == (b(2), b(3), b(4)), s"media ${p.media_id}")
+    }
+    // poison policy: undecodable payload -> zeroed row, decoded = false
+    val junk = Seq(Multimodal.MediaRecord(9L, "image/png",
+      "junk".getBytes, Map.empty)).toDS()
+    assert(Multimodal.probePixels(junk).head() ==
+      Multimodal.ProbedImage(9L, 0, 0, 0, 0, 0, decoded = false))
+  }
+
+  test("sampleFrames fingerprint low bits carry the md5-derived frame color (mm_frame_sample contract)") {
+    val frames = Multimodal.sampleFrames(Multimodal.renderVideos(
+      Multimodal.fromText(docs, "doc_id", "text", "video")), stride = 2).collect()
+    docs.collect().foreach { r =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(r.getString(1).getBytes("UTF-8"))
+      def b(i: Int): Int = d(i) & 0xFF
+      frames.filter(_.media_id == r.getLong(0)).foreach { f =>
+        val i = f.frame_idx
+        val rgb = (b(2 * i + 2) << 16) | (b(2 * i + 3) << 8) | b(i)
+        assert((f.frame_fp & 0xFFFFFFL) == rgb.toLong, s"frame $i of ${f.media_id}")
+      }
+    }
+  }
+
   test("renderVideos -> decodeVideos round trip: md5-derived frames, real PNG decode") {
     val media = Multimodal.fromText(docs, "doc_id", "text", "video")
     val out1 = Multimodal.decodeVideos(Multimodal.renderVideos(media), partitions = 3)
