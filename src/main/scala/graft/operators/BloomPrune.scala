@@ -54,11 +54,18 @@ object BloomPrune {
     * big side pre-pruned by a bloom sketch of the small side's keys so the
     * semi join's shuffle/broadcast probe reads only matching-ish rows.
     * Exact: the trailing semi join kills the sketch's false positives.
+    *
+    * `expectedItems <= 0` (the default) sizes the sketch from the actual
+    * distinct key count — one extra count job on the SMALL side, cheap
+    * even at 100 TB, and it protects both directions: an under-sized
+    * sketch saturates (fpp → 1, the prune stops pruning) and an
+    * over-sized one ships megabytes of literal to every task for nothing.
     */
   def semiJoin(big: DataFrame, small: DataFrame, bigKey: String,
-      smallKey: String, expectedItems: Long): DataFrame = {
+      smallKey: String, expectedItems: Long = 0L): DataFrame = {
     val keys = small.select(small(smallKey)).distinct()
-    val sketch = bloomOf(keys, smallKey, expectedItems)
+    val est = if (expectedItems > 0) expectedItems else math.max(keys.count(), 64L)
+    val sketch = bloomOf(keys, smallKey, est)
     big.filter(mightContain(sketch, big(bigKey)))
       .join(keys, big(bigKey) === keys(smallKey), "left_semi")
   }

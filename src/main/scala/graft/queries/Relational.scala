@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.Percentiles
+import graft.operators.{BloomPrune, Percentiles}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -164,6 +164,28 @@ object Relational {
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("order_count"))
       .orderBy(col("o_orderpriority"))
+  }
+
+  /** Bloom-pruned semi join ([[graft.operators.BloomPrune]]): the fact
+    * scan is pre-filtered by `might_contain(xxhash64(l_orderkey))` against
+    * a one-job bloom sketch of the urgent orders' keys — Spark's own
+    * runtime-filter expression pair, stated explicitly as an operator —
+    * then the exact left-semi join removes false positives. Bit-identical
+    * to the plain semi join (the oracle), but the fact side's shuffle
+    * reads only `selectivity + fpp` of the table: at 100 TB the bloom is
+    * the difference between shuffling the full fact table and shuffling
+    * the ~20% that can match. `BloomPruneSpec` pins the codegen probe and
+    * the false-positive kill.
+    */
+  def qBloomPrune(s: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+    BloomPrune.semiJoin(Tables.lineitem(s, dir), urgent,
+        "l_orderkey", "o_orderkey")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .orderBy(col("l_returnflag"))
   }
 
   /** NOT EXISTS → left-anti join: customers with no orders in 1996 H1
@@ -712,6 +734,7 @@ object Relational {
     "q3_topk_join" -> (q3TopkJoin _),
     "q5_multi_join" -> (q5MultiJoin _),
     "q4_semi_join" -> (q4SemiJoin _),
+    "q_bloom_prune" -> (qBloomPrune _),
     "q_anti_join" -> (qAntiJoin _),
     "q_outer_join" -> (qOuterJoin _),
     "q_window_rank" -> (qWindowRank _),
@@ -1035,6 +1058,16 @@ object Relational {
         |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    // the bloom pre-filter is exact-after-verification, so the oracle is
+    // the plain IN-subquery semi join
+    "q_bloom_prune" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+        |                     WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "q_anti_join" ->
       """SELECT c_mktsegment, count(*) AS n_customers
         |FROM customer
