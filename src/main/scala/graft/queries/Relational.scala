@@ -188,6 +188,24 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** SCD2 (slowly-changing-dimension type 2) interval construction: each
+    * order is a new version of its customer's state; `valid_from` is the
+    * order date and `valid_to` the NEXT version's start (`lead` over the
+    * per-customer event sequence; NULL = current). One window shuffle on
+    * the dimension key — the warehouse-standard snapshot builder, linear
+    * at any scale, deterministic via the (date, orderkey) tie-break.
+    */
+  def qScd2(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey").as("version_key"),
+        col("o_totalprice"), col("o_orderdate").as("valid_from"),
+        lead(col("o_orderdate"), 1).over(w).as("valid_to"),
+        (lead(col("o_orderdate"), 1).over(w).isNull).as("is_current"))
+      .orderBy(col("o_custkey"), col("version_key"))
+  }
+
   /** NOT EXISTS → left-anti join: customers with no orders in 1996 H1
     * (the window keeps the result set non-trivial at every scale).
     */
@@ -735,6 +753,7 @@ object Relational {
     "q5_multi_join" -> (q5MultiJoin _),
     "q4_semi_join" -> (q4SemiJoin _),
     "q_bloom_prune" -> (qBloomPrune _),
+    "q_scd2" -> (qScd2 _),
     "q_anti_join" -> (qAntiJoin _),
     "q_outer_join" -> (qOuterJoin _),
     "q_window_rank" -> (qWindowRank _),
@@ -1068,6 +1087,17 @@ object Relational {
         |                     WHERE o_orderpriority = '1-URGENT')
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    // o_totalprice is a stored value (no arithmetic), so the doubles are
+    // bit-identical on both engines; (date, orderkey) tie-break makes
+    // lead() deterministic
+    "q_scd2" ->
+      """SELECT o_custkey, o_orderkey AS version_key, o_totalprice,
+        |  o_orderdate AS valid_from,
+        |  lead(o_orderdate, 1) OVER w AS valid_to,
+        |  lead(o_orderdate, 1) OVER w IS NULL AS is_current
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, version_key""".stripMargin,
     "q_anti_join" ->
       """SELECT c_mktsegment, count(*) AS n_customers
         |FROM customer
