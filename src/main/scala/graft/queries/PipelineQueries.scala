@@ -627,6 +627,30 @@ object PipelineQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Text kNN: each document's top-3 most similar peers by word-3-gram
+    * Jaccard at tau = 0.4 — the retrieval-style neighbor list a curation
+    * pipeline feeds to near-dup review or semantic clustering. Built on
+    * the exact PPJoin pair generator ([[Dedup.ngramJaccardPairs]],
+    * candidate-complete prefix filtering, never all-pairs), so the
+    * neighbor ranking is exact; the per-doc window runs over the tiny
+    * pair set, not the corpus. Ties at the rounded 4-dp score break by
+    * neighbor id on both engines.
+    */
+  def textKnnJaccard(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = Dedup.ngramJaccardPairs(
+      Tables.documents(s, dir), "doc_id", "text", 3, 0.4, ordered = false)
+    val sym = pairs.select(col("doc_a").as("doc_id"), col("doc_b").as("nbr"), col("jaccard"))
+      .union(pairs.select(col("doc_b").as("doc_id"), col("doc_a").as("nbr"), col("jaccard")))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("jaccard").desc, col("nbr"))
+    sym.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk").cast("long").as("rk"),
+        col("nbr"), col("jaccard"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
   /** Per-user 3σ outlier events — the event-stream data-cleaning pass.
     * Mean and variance use the explicit sum-of-squares formula ROUNDED
     * before the flag comparison, and the test is (v − mean)² > 9·var
@@ -718,6 +742,7 @@ object PipelineQueries {
     "text_fingerprint" -> (textFingerprint _),
     "dedup_exact_docs" -> (dedupExactDocs _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "text_knn_jaccard" -> (textKnnJaccard _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_near_keep" -> (dedupNearKeep _),
@@ -752,6 +777,25 @@ object PipelineQueries {
        |  FROM s a, s b WHERE a.doc_id < b.doc_id) p
        |WHERE jaccard >= $Tau
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  // same all-pairs jaccard as jaccardPairsSql at tau = 0.4, symmetrized,
+  // then a per-doc top-3 ranking window (ties at 4 dp break by nbr id)
+  private val knnJaccardSql =
+    s"""$shingleCte,
+       |p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+       |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+       |  FROM s a, s b WHERE a.doc_id < b.doc_id),
+       |q AS (SELECT * FROM p WHERE jaccard >= 0.4),
+       |sym AS (SELECT doc_a AS doc_id, doc_b AS nbr, jaccard FROM q
+       |        UNION ALL
+       |        SELECT doc_b AS doc_id, doc_a AS nbr, jaccard FROM q),
+       |r AS (SELECT doc_id, nbr, jaccard, row_number() OVER (
+       |        PARTITION BY doc_id ORDER BY jaccard DESC, nbr) AS rk
+       |      FROM sym)
+       |SELECT doc_id, CAST(rk AS BIGINT) AS rk, nbr, jaccard
+       |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
 
   // connected components of the exact-Jaccard pair graph via recursive
   // reachability; cluster_id = min reachable id (incl. self). Shared by
@@ -1262,6 +1306,7 @@ object PipelineQueries {
         |  FROM documents) t
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "dedup_ngram_jaccard" -> jaccardPairsSql,
+    "text_knn_jaccard" -> knnJaccardSql,
     "dedup_minhash" -> jaccardPairsSql,
     // batch = doc_id % 10 == 0; a batch doc survives unless an exact or
     // near (Jaccard >= tau) twin exists on the CORPUS side only —
