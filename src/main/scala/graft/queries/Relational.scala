@@ -206,6 +206,26 @@ object Relational {
       .orderBy(col("o_custkey"), col("version_key"))
   }
 
+  /** Grouped top-k WITHOUT a window sort: each customer's 3 highest-value
+    * orders via the native bounded-heap aggregate
+    * ([[graft.functions.TopKByScore]], the ANN scan's partial top-k) on
+    * relational data. `row_number() ≤ k` sorts every row of every group;
+    * the aggregate shuffles at most k rows per group per map task — the
+    * difference between sorting 100 TB of history and shuffling 3 rows
+    * per customer. The oracle IS the window formulation, so the query
+    * pins the two plans equal row-for-row (ties: price desc, orderkey).
+    */
+  def qTopkPerGroup(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TopKByScore
+    Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(TopKByScore.topkBy(col("o_totalprice"), col("o_orderkey"), 3).as("_top"))
+      .select(col("o_custkey"), posexplode(col("_top")).as(Seq("_pos", "_e")))
+      .select(col("o_custkey"), (col("_pos") + 1).cast("long").as("rk"),
+        col("_e.id").as("o_orderkey"), col("_e.score").as("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rk"))
+  }
+
   /** NOT EXISTS → left-anti join: customers with no orders in 1996 H1
     * (the window keeps the result set non-trivial at every scale).
     */
@@ -754,6 +774,7 @@ object Relational {
     "q4_semi_join" -> (q4SemiJoin _),
     "q_bloom_prune" -> (qBloomPrune _),
     "q_scd2" -> (qScd2 _),
+    "q_topk_per_group" -> (qTopkPerGroup _),
     "q_anti_join" -> (qAntiJoin _),
     "q_outer_join" -> (qOuterJoin _),
     "q_window_rank" -> (qWindowRank _),
@@ -1098,6 +1119,17 @@ object Relational {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, version_key""".stripMargin,
+    // the oracle is the window formulation the aggregate replaces;
+    // o_totalprice is a stored double (no arithmetic) so ranks and
+    // values hash identically
+    "q_topk_per_group" ->
+      """SELECT o_custkey, CAST(rk AS BIGINT) AS rk, o_orderkey, o_totalprice
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (
+        |        PARTITION BY o_custkey
+        |        ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |      FROM orders)
+        |WHERE rk <= 3
+        |ORDER BY o_custkey, rk""".stripMargin,
     "q_anti_join" ->
       """SELECT c_mktsegment, count(*) AS n_customers
         |FROM customer
