@@ -28,12 +28,24 @@ import org.apache.spark.sql.functions._
   */
 object ScaleCurve {
 
-  private val Queries = Seq("dedup_minhash", "dedup_ngram_jaccard",
+  private val AllQueries = Seq("dedup_minhash", "dedup_ngram_jaccard",
     "dedup_simhash", "dedup_near_keep", "dedup_clusters", "ann_topk_lsh",
     "text_decontaminate", "text_repetition", "chunk_documents",
     "mm_video_decode", "q_skew_join", "q_table_profile",
     "dedup_incremental", "graph_pagerank", "text_dup_spans",
-    "text_ngram_lm", "dedup_containment", "q_resample_ffill")
+    "text_ngram_lm", "dedup_containment", "q_resample_ffill",
+    "mm_image_resize", "mm_frame_sample", "text_knn_jaccard")
+
+  /** SPARK_GRAFT_SCALE_ONLY: comma-separated exact names — run a subset
+    * (new-row refresh) without re-measuring the whole table.
+    */
+  private def Queries: Seq[String] =
+    sys.env.get("SPARK_GRAFT_SCALE_ONLY") match {
+      case Some(f) =>
+        val want = f.split(',').map(_.trim).filter(_.nonEmpty).toSet
+        AllQueries.filter(want)
+      case None => AllQueries
+    }
 
   /** Queries whose cost is driven by lineitem/orders rather than the
     * document corpus — reported against lineitem's row count. Both table
