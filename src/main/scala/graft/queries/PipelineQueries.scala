@@ -651,6 +651,35 @@ object PipelineQueries {
       .orderBy(col("doc_id"), col("rk"))
   }
 
+  /** Distribution-drift monitor: total-variation gap between the
+    * language distributions of two corpus snapshots (the doc_id-parity
+    * halves stand in for yesterday/today). The heavy work is ONE
+    * conditional-count aggregation over the corpus; shares and gaps are
+    * computed on the language-cardinality result with a
+    * whole-table window (tiny by construction), so nothing rescans the
+    * data. Per-language rows let the monitor name the drifting language;
+    * 0.5 · Σ gap is the TVD. Ratios are rounded identically on both
+    * engines and sit nowhere near 6-dp ties for integer count inputs.
+    */
+  def textLangDrift(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(s, dir)
+      .groupBy(col("lang"))
+      .agg(
+        sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("doc_id") % 2 =!= 0, 1L).otherwise(0L)).as("n_b"))
+    val all = Window.partitionBy()
+    counts
+      .withColumn("_ta", sum(col("n_a")).over(all))
+      .withColumn("_tb", sum(col("n_b")).over(all))
+      .select(col("lang"), col("n_a"), col("n_b"),
+        round(col("n_a").cast("double") / col("_ta"), 6).as("share_a"),
+        round(col("n_b").cast("double") / col("_tb"), 6).as("share_b"),
+        round(abs(col("n_a").cast("double") / col("_ta")
+          - col("n_b").cast("double") / col("_tb")), 6).as("gap"))
+      .orderBy(col("lang"))
+  }
+
   /** Per-user 3σ outlier events — the event-stream data-cleaning pass.
     * Mean and variance use the explicit sum-of-squares formula ROUNDED
     * before the flag comparison, and the test is (v − mean)² > 9·var
@@ -743,6 +772,7 @@ object PipelineQueries {
     "dedup_exact_docs" -> (dedupExactDocs _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "text_knn_jaccard" -> (textKnnJaccard _),
+    "text_lang_drift" -> (textLangDrift _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_near_keep" -> (dedupNearKeep _),
@@ -1307,6 +1337,22 @@ object PipelineQueries {
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "dedup_ngram_jaccard" -> jaccardPairsSql,
     "text_knn_jaccard" -> knnJaccardSql,
+    // same unrounded-ratio-then-round sequence as the Spark side; shares
+    // of integer counts sit nowhere near 6-dp rounding ties
+    "text_lang_drift" ->
+      """WITH c AS (
+        |  SELECT lang,
+        |    sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS n_a,
+        |    sum(CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END) AS n_b
+        |  FROM documents GROUP BY lang),
+        |t AS (SELECT lang, n_a, n_b,
+        |        sum(n_a) OVER () AS ta, sum(n_b) OVER () AS tb
+        |      FROM c)
+        |SELECT lang, n_a, n_b,
+        |  round(CAST(n_a AS DOUBLE) / ta, 6) AS share_a,
+        |  round(CAST(n_b AS DOUBLE) / tb, 6) AS share_b,
+        |  round(abs(CAST(n_a AS DOUBLE) / ta - CAST(n_b AS DOUBLE) / tb), 6) AS gap
+        |FROM t ORDER BY lang""".stripMargin,
     "dedup_minhash" -> jaccardPairsSql,
     // batch = doc_id % 10 == 0; a batch doc survives unless an exact or
     // near (Jaccard >= tau) twin exists on the CORPUS side only —

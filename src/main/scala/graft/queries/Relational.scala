@@ -226,6 +226,34 @@ object Relational {
       .orderBy(col("o_custkey"), col("rk"))
   }
 
+  /** Per-group EXACT median absolute deviation — the robust outlier
+    * scale estimate (|x − median| is immune to the extreme values that
+    * inflate 3σ variance): median and MAD are both value-at-rank ⌈n/2⌉
+    * order statistics (low median, actual data values, nothing to round
+    * — quantities are integer-valued so the deviations are exact
+    * doubles). Two ranking windows per group plus one broadcast join of
+    * the group-count-sized median table.
+    */
+  def qMad(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(s, dir).select(col("l_returnflag"), col("l_quantity"))
+    val byGroup = Window.partitionBy(col("l_returnflag"))
+    val med = li
+      .withColumn("_rn", row_number().over(byGroup.orderBy(col("l_quantity"))).cast("long"))
+      .withColumn("_n", count(lit(1)).over(byGroup))
+      .groupBy(col("l_returnflag"))
+      .agg(min(when(col("_rn") === expr("(_n + 1) div 2"), col("l_quantity"))).as("median_qty"))
+    val dev = li.join(broadcast(med), "l_returnflag")
+      .withColumn("_d", abs(col("l_quantity") - col("median_qty")))
+    dev
+      .withColumn("_rn", row_number().over(byGroup.orderBy(col("_d"))).cast("long"))
+      .withColumn("_n", count(lit(1)).over(byGroup))
+      .groupBy(col("l_returnflag"))
+      .agg(max(col("_n")).as("n"), max(col("median_qty")).as("median_qty"),
+        min(when(col("_rn") === expr("(_n + 1) div 2"), col("_d"))).as("mad_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** NOT EXISTS → left-anti join: customers with no orders in 1996 H1
     * (the window keeps the result set non-trivial at every scale).
     */
@@ -775,6 +803,7 @@ object Relational {
     "q_bloom_prune" -> (qBloomPrune _),
     "q_scd2" -> (qScd2 _),
     "q_topk_per_group" -> (qTopkPerGroup _),
+    "q_mad" -> (qMad _),
     "q_anti_join" -> (qAntiJoin _),
     "q_outer_join" -> (qOuterJoin _),
     "q_window_rank" -> (qWindowRank _),
@@ -1130,6 +1159,26 @@ object Relational {
         |      FROM orders)
         |WHERE rk <= 3
         |ORDER BY o_custkey, rk""".stripMargin,
+    // low-median order statistics at rank ceil(n/2) for both the median
+    // and the deviations: actual stored values, no interpolation or
+    // rounding anywhere
+    "q_mad" ->
+      """WITH v AS (SELECT l_returnflag, l_quantity FROM lineitem),
+        |m AS (SELECT l_returnflag, l_quantity AS median_qty FROM (
+        |    SELECT l_returnflag, l_quantity,
+        |      row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
+        |      count(*) OVER (PARTITION BY l_returnflag) AS n
+        |    FROM v) WHERE rn = (n + 1) // 2),
+        |d AS (SELECT v.l_returnflag, m.median_qty,
+        |        abs(v.l_quantity - m.median_qty) AS dev
+        |      FROM v JOIN m USING (l_returnflag)),
+        |r AS (SELECT l_returnflag, median_qty, dev,
+        |        row_number() OVER (PARTITION BY l_returnflag ORDER BY dev) AS rn,
+        |        count(*) OVER (PARTITION BY l_returnflag) AS n
+        |      FROM d)
+        |SELECT l_returnflag, n, median_qty, dev AS mad_qty
+        |FROM r WHERE rn = (n + 1) // 2
+        |ORDER BY l_returnflag""".stripMargin,
     "q_anti_join" ->
       """SELECT c_mktsegment, count(*) AS n_customers
         |FROM customer
