@@ -36,6 +36,22 @@ class BloomPruneSpec extends SparkTestBase {
     assert(exact.toSeq == (0L until 4000L by 40).toSeq)
   }
 
+  test("randomized: semiJoin equals the reference semi join on 25 seeded key universes") {
+    val rnd = new scala.util.Random(20260813L)
+    (1 to 25).foreach { _ =>
+      val n = 200 + rnd.nextInt(800)
+      val bigKeys = Seq.fill(n)(rnd.nextInt(500).toLong)
+      val smallKeys = Seq.fill(1 + rnd.nextInt(60))(rnd.nextInt(500).toLong)
+      val big = bigKeys.zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("k", "row_id")
+      val small = smallKeys.map(Tuple1(_)).toDF("j")
+      val got = BloomPrune.semiJoin(big, small, "k", "j")
+        .select("row_id").as[Long].collect().sorted.toSeq
+      val want = bigKeys.zipWithIndex
+        .collect { case (k, i) if smallKeys.contains(k) => i.toLong }.sorted
+      assert(got == want)
+    }
+  }
+
   test("the probe is Spark's native might_contain, not a UDF, and runs before the join") {
     val dir = "/root/testdata/sf0.001"
     val li = Tables.lineitem(spark, dir)
