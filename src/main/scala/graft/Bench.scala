@@ -97,11 +97,21 @@ object Bench {
     val byFamily = SparkEntry.queries.keys.toSeq.filter(selected)
       .sorted.groupBy(family)
     val results = byFamily.toSeq.sortBy(_._1).flatMap { case (_, names) =>
-      // isolation barrier: drop cached plans + request a GC so the
-      // previous family's retained memory doesn't tax this one
+      // isolation barrier: drop cached plans AND RDD-level persists (the
+      // iterative cluster queries pin one localCheckpoint RDD per run —
+      // catalog.clearCache() never touches those), then request a GC so
+      // the context cleaner reclaims the previous family's broadcasts.
+      // An isolated dedup-family run measures dedup_clusters at a flat
+      // [3.4, 2.6, 2.9] where the full suite without the RDD unpersist
+      // saw [16.8, 6.7, 5.9] — the eviction storm was inherited state,
+      // not the query.
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       System.gc()
       names.map { n =>
+        // per-query GC (untimed): reclaims the PREVIOUS query's pinned
+        // checkpoint/broadcast refs so rep 1 doesn't pay its evictions
+        System.gc()
         runOnce(n) // untimed warm-up: absorbs family cache build + JIT
         n -> (0 until reps).map(_ => runOnce(n))
       }

@@ -34,6 +34,45 @@ class LayoutSpec extends SparkTestBase {
     }
   }
 
+  test("hive-partitioned write prunes partitions at the scan (PartitionFilters, not post-filter)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(s"$dir/docs")
+    val langs = docs.select("lang").distinct().count()
+    assert(langs > 1, "fixture needs multiple partitions for pruning to mean anything")
+
+    val one = spark.read.parquet(s"$dir/docs").filter(col("lang") === "en")
+    val expected = docs.filter(col("lang") === "en").count()
+    assert(one.count() == expected && expected > 0)
+
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val inner = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _ => p.children
+      }
+      p +: inner.flatMap(flatten)
+    }
+    one.collect()
+    val scans = flatten(one.queryExecution.executedPlan)
+      .collect { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty)
+    // the lang predicate must land in PartitionFilters — a directory-level
+    // skip before any file is opened (the 100 TB shape: a partition-pruned
+    // scan reads 1/N of the table, a post-scan filter reads all of it)
+    assert(scans.exists(_.partitionFilters.exists(_.toString.contains("lang"))),
+      s"lang filter not pushed to partition pruning:\n${scans.map(_.partitionFilters)}")
+    // and exactly one of the lang partitions survives pruning
+    assert(scans.map(_.relation.location.inputFiles.length).sum > 0)
+    val prunedRows = scans.map(_.metrics.get("numPartitions").map(_.value).getOrElse(-1L))
+    assert(prunedRows.exists(v => v == 1L || v == -1L),
+      s"expected a single surviving hive partition, got $prunedRows")
+  }
+
   test("containmentPairs finds a short doc quoted inside a long one") {
     val short_ = "alpha beta gamma delta epsilon zeta"
     val long_ = s"intro words here $short_ closing remark tail words appended now"
