@@ -662,16 +662,17 @@ object PipelineQueries {
     * engines and sit nowhere near 6-dp ties for integer count inputs.
     */
   def textLangDrift(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val counts = Tables.documents(s, dir)
       .groupBy(col("lang"))
       .agg(
         sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("n_a"),
         sum(when(col("doc_id") % 2 =!= 0, 1L).otherwise(0L)).as("n_b"))
-    val all = Window.partitionBy()
-    counts
-      .withColumn("_ta", sum(col("n_a")).over(all))
-      .withColumn("_tb", sum(col("n_b")).over(all))
+    // grand totals as a broadcast 1-row join (not a whole-table window,
+    // which would single-partition the language table and warn)
+    val totals = counts.agg(sum(col("n_a")).as("_ta"), sum(col("n_b")).as("_tb"))
+      .withColumn("_k", lit(1))
+    counts.withColumn("_k", lit(1))
+      .join(broadcast(totals), "_k")
       .select(col("lang"), col("n_a"), col("n_b"),
         round(col("n_a").cast("double") / col("_ta"), 6).as("share_a"),
         round(col("n_b").cast("double") / col("_tb"), 6).as("share_b"),
