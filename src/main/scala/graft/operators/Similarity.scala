@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.{TopKByScore, VectorOps}
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`array<float>`).
@@ -255,27 +255,70 @@ object Similarity {
     cents.map(_.toSeq).toSeq
   }
 
-  /** Approximate top-k via an IVF (inverted-file) index: every corpus
-    * vector is assigned to its nearest spherical-k-means centroid in one
-    * linear pass; each query probes its `nprobe` closest cells and
-    * exact-reranks only those cells' vectors.
-    *
-    * Scale: the corpus never shuffles — cell assignment is a projection
-    * against broadcast centroid literals, and the probe join broadcasts
-    * the (tiny) query-cell table; expected rerank work is
-    * nprobe/nlist of the corpus per query.
+  /** A built IVF index: trained centroids + the one-pass cell assignment
+    * of the corpus (`_cid, _cv, _cn, _cell`). Build ONCE, serve every
+    * query batch after — the production shape ([[ivfTopK]] is the
+    * convenience one-shot). Persist `assigned` for a long-lived in-memory
+    * server, or [[Similarity.writeIvf]] it partitioned by cell so an
+    * on-disk index is probe-prunable at the directory level.
     */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val cents = typedlit(trainCentroids(corpus, idCol, vecCol, nlist))
+  final case class IvfIndex(centroids: Seq[Seq[Double]], assigned: DataFrame)
+
+  /** Train centroids on the bounded sample and assign every corpus vector
+    * to its cell in one distributed projection pass (no shuffle: the
+    * centroids ride along as broadcast literals).
+    */
+  def buildIvf(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int = 16): IvfIndex = {
+    val centroids = trainCentroids(corpus, idCol, vecCol, nlist)
+    val cents = typedlit(centroids)
     def cellScores(vec: Column): Column = transform(cents, c => VectorOps.dot(c, vec))
     // argmax cell: position of the max score (ties → first, deterministic)
     def bestCell(vec: Column): Column = {
       val scores = cellScores(vec)
       array_position(scores, array_max(scores))
     }
-    val cAssigned = corpus.select(col(idCol).as("_cid"), col(vecCol).as("_cv"),
+    val assigned = corpus.select(col(idCol).as("_cid"), col(vecCol).as("_cv"),
       VectorOps.norm(col(vecCol)).as("_cn"), bestCell(col(vecCol)).as("_cell"))
+    IvfIndex(centroids, assigned)
+  }
+
+  /** Persist an index partitioned by cell (`_cell=N/` directories) plus a
+    * tiny centroids table. A [[readIvf]]-loaded index turns the probe
+    * join's cell filter into DIRECTORY-level pruning (dynamic partition
+    * pruning against the broadcast probe list): at 100 TB each query
+    * batch opens ~nprobe/nlist of the index files instead of scanning it.
+    */
+  def writeIvf(index: IvfIndex, path: String): Unit = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    index.assigned.write.mode("overwrite").partitionBy("_cell").parquet(s"$path/cells")
+    index.centroids.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("cell0", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  def readIvf(spark: SparkSession, path: String): IvfIndex = {
+    import spark.implicits._
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .orderBy("cell0").select("centroid").as[Seq[Double]].collect().toSeq
+    // partition column comes back as its inferred type; normalize so the
+    // probe join key matches buildIvf's int cell ids
+    val assigned = spark.read.parquet(s"$path/cells")
+      .withColumn("_cell", col("_cell").cast("int"))
+      .select(col("_cid"), col("_cv"), col("_cn"), col("_cell"))
+    IvfIndex(centroids, assigned)
+  }
+
+  /** Probe a built index: each query ranks the centroid list, keeps its
+    * `nprobe` best cells, and exact-reranks only those cells' vectors.
+    * The probe table is broadcast, so against a [[writeIvf]] on-disk
+    * index the cell filter prunes partitions before any file opens.
+    */
+  def queryIvf(index: IvfIndex, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nprobe: Int = 4): DataFrame = {
+    val cents = typedlit(index.centroids)
+    def cellScores(vec: Column): Column = transform(cents, c => VectorOps.dot(c, vec))
     val wq = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("_score").desc, col("_cell"))
     val qProbes = queries
@@ -286,11 +329,23 @@ object Similarity {
       .withColumn("_rn", row_number().over(wq))
       .filter(col("_rn") <= nprobe)
       .select(col("query_id"), col("_qv"), col("_qn"), col("_cell"))
-    val scored = cAssigned.join(broadcast(qProbes), Seq("_cell"))
+    val scored = index.assigned.join(broadcast(qProbes), Seq("_cell"))
       .filter(col("_cid") =!= col("query_id"))
       .select(col("query_id"), col("_cid"),
         round(VectorOps.dot(col("_qv"), col("_cv")) / (col("_qn") * col("_cn")), 6)
           .as("_score"))
     rankTopK(scored, k)
   }
+
+  /** Approximate top-k via an IVF (inverted-file) index — the one-shot
+    * convenience composition of [[buildIvf]] + [[queryIvf]].
+    *
+    * Scale: the corpus never shuffles — cell assignment is a projection
+    * against broadcast centroid literals, and the probe join broadcasts
+    * the (tiny) query-cell table; expected rerank work is
+    * nprobe/nlist of the corpus per query.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame =
+    queryIvf(buildIvf(corpus, idCol, vecCol, nlist), queries, idCol, vecCol, k, nprobe)
 }

@@ -58,6 +58,49 @@ class SimilaritySpec extends SparkTestBase {
       "nprobe/nlist = 4/16 probes a quarter of the corpus)")
   }
 
+  test("buildIvf/queryIvf equals one-shot ivfTopK; the on-disk index round-trips AND prunes cells") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val queries = emb.filter($"vec_id" < 10)
+    val oneShot = Similarity.ivfTopK(queries, emb, "vec_id", "embedding", 5)
+      .collect().toSeq
+    // build once, query twice: identical output both times (index reuse)
+    val idx = Similarity.buildIvf(emb, "vec_id", "embedding")
+    val served1 = Similarity.queryIvf(idx, queries, "vec_id", "embedding", 5).collect().toSeq
+    val served2 = Similarity.queryIvf(idx, queries, "vec_id", "embedding", 5).collect().toSeq
+    assert(served1 == oneShot && served2 == oneShot)
+
+    // disk round-trip: same centroids, same assignment, same answers
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    Similarity.writeIvf(idx, path)
+    val loaded = Similarity.readIvf(spark, path)
+    assert(loaded.centroids == idx.centroids)
+    val servedDisk = Similarity.queryIvf(loaded, queries, "vec_id", "embedding", 5)
+    val rows = servedDisk.collect().toSeq
+    assert(rows == oneShot)
+
+    // the probe join must prune the cell-partitioned index at the
+    // DIRECTORY level: the scan's partition filters carry a dynamic
+    // pruning subquery on _cell (at 100 TB this is opening nprobe/nlist
+    // of the index instead of scanning it)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val inner = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _ => p.children
+      }
+      p +: inner.flatMap(flatten)
+    }
+    val scans = flatten(servedDisk.queryExecution.executedPlan)
+      .collect { case s: FileSourceScanExec => s }
+    val cellScan = scans.filter(_.output.exists(_.name == "_cell"))
+    assert(cellScan.nonEmpty, "expected a scan of the cell-partitioned index")
+    assert(cellScan.exists(s => s.partitionFilters.exists(
+        _.toString.contains("dynamicpruning"))),
+      s"no dynamic partition pruning on _cell:\n${cellScan.map(_.partitionFilters)}")
+  }
+
   test("lshTopK recall@5 >= 0.5 vs brute force at sf0.01") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
     val queries = emb.filter($"vec_id" < 10)
