@@ -337,6 +337,38 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** SemDeDup-shaped semantic dedup: cluster the embedding space with the
+    * IVF centroids, then verify cosine ≥ tau EXACTLY within each cell —
+    * pairs whose members landed in different cells are the accepted
+    * approximation (the paper's trade: candidate generation is
+    * cluster-local, so total pair work is Σ|cell|² ≈ n²/nlist instead of
+    * n², and each cell's all-pairs join is an independent bucket).
+    *
+    * Scale: one bounded-sample training + one assignment pass (the
+    * [[buildIvf]] machinery), then a self-join keyed on `_cell` — the
+    * shuffle carries (cell, id, vector) once, and each join task buffers
+    * one cell. Output matches the exact-pair operators' shape
+    * `(id_a, id_b, cosine)` with `id_a < id_b`; every emitted pair is
+    * exactly verified, so precision is 1 by construction and
+    * `SimilaritySpec` pins recall on planted duplicate clusters (a
+    * duplicate's nearest centroid is its twin's, so true near-dups
+    * co-locate).
+    */
+  def semanticPairs(emb: DataFrame, idCol: String, vecCol: String,
+      tau: Double, nlist: Int = 16): DataFrame = {
+    val assigned = buildIvf(emb, idCol, vecCol, nlist).assigned
+    val a = assigned.select(col("_cell"), col("_cid").as("id_a"),
+      col("_cv").as("_va"), col("_cn").as("_na"))
+    val b = assigned.select(col("_cell"), col("_cid").as("id_b"),
+      col("_cv").as("_vb"), col("_cn").as("_nb"))
+    a.join(b, Seq("_cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        round(VectorOps.dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")), 6))
+      .filter(col("cosine") >= tau)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
   /** Approximate top-k via an IVF (inverted-file) index — the one-shot
     * convenience composition of [[buildIvf]] + [[queryIvf]].
     *

@@ -101,6 +101,42 @@ class SimilaritySpec extends SparkTestBase {
       s"no dynamic partition pruning on _cell:\n${cellScan.map(_.partitionFilters)}")
   }
 
+  test("semanticPairs: exact precision (subset of all-pairs) and full recall on planted clusters") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    // precision = 1 by construction: every emitted pair must appear in
+    // the exact all-pairs operator's output at the same tau
+    val sem = Similarity.semanticPairs(emb, "vec_id", "embedding", tau = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = Similarity.blockedCosinePairs(emb, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(sem.subsetOf(exact), s"false positives: ${sem.diff(exact).take(3)}")
+
+    // planted EXACT duplicates: identical vectors get identical cell
+    // scores, so the deterministic argmax co-locates every twin — the
+    // guarantee the operator can make unconditionally
+    val base = emb.filter($"vec_id" < 20)
+    val clones = base.select(($"vec_id" + 100000L).as("vec_id"), $"embedding")
+    val planted = base.select($"vec_id", $"embedding").unionByName(clones)
+    val found = Similarity.semanticPairs(planted, "vec_id", "embedding", tau = 0.999)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val want = (0L until 20L).map(i => (i, i + 100000L)).toSet
+    assert(want.subsetOf(found),
+      s"missed planted exact-duplicate pairs: ${want.diff(found).take(5)}")
+
+    // jittered near-dups: a ×1.001 scale can flip an argmax on a cell
+    // BOUNDARY (the one approximation SemDeDup accepts), so the floor is
+    // high recall, not totality
+    val jittered = base.select(($"vec_id" + 200000L).as("vec_id"),
+      transform($"embedding", x => x * lit(1.001f)).as("embedding"))
+    val found2 = Similarity.semanticPairs(
+        base.select($"vec_id", $"embedding").unionByName(jittered),
+        "vec_id", "embedding", tau = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val want2 = (0L until 20L).map(i => (i, i + 200000L)).toSet
+    val recall = (want2 & found2).size.toDouble / want2.size
+    assert(recall >= 0.9, s"jittered-clone recall $recall below 0.9")
+  }
+
   test("lshTopK recall@5 >= 0.5 vs brute force at sf0.01") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
     val queries = emb.filter($"vec_id" < 10)
