@@ -1343,8 +1343,8 @@ object PipelineQueries {
     "text_lang_drift" ->
       """WITH c AS (
         |  SELECT lang,
-        |    sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS n_a,
-        |    sum(CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END) AS n_b
+        |    CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
         |  FROM documents GROUP BY lang),
         |t AS (SELECT lang, n_a, n_b,
         |        sum(n_a) OVER () AS ta, sum(n_b) OVER () AS tb
