@@ -369,6 +369,55 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** Coarse-to-fine ANN via PCA: reduce both sides to `pDims` components
+    * ([[Pca.fit]] — one pass + driver eigen solve), shortlist
+    * `k · shortlistFactor` candidates per query on the CHEAP reduced-space
+    * score (pDims multiply-adds per pair instead of d), then exact-rerank
+    * only the shortlist in full space. The third ANN family next to
+    * LSH (hash-bucketed) and IVF (cluster-probed): here the pruning
+    * axis is dimensionality. Same scale spine as [[bruteTopK]]: corpus
+    * scanned once per stage, queries/shortlists broadcast, bounded-heap
+    * top-k — but the full-dimension dot products run on
+    * `k · shortlistFactor` rows per query, not the corpus.
+    *
+    * Recall comes from variance capture: with PCA dims covering most
+    * variance the reduced score orders near-neighbors like the full one;
+    * on isotropic noise it degrades gracefully toward
+    * shortlist-coverage. `SimilaritySpec` gates the floor on the
+    * driver's own (near-random — the honest worst case) corpus.
+    */
+  def pcaTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, dim: Int, pDims: Int = 16,
+      shortlistFactor: Int = 8): DataFrame = {
+    val m = Pca.fit(corpus, vecCol, dim, pDims)
+    def reduced(df: DataFrame, out: String): DataFrame =
+      Pca.project(df, vecCol, m, out)
+    val c = reduced(corpus, "_red")
+      .select(col(idCol).as("_cid"), col("_red"),
+        VectorOps.norm(col("_red")).as("_rn"))
+    val q = reduced(queries, "_red")
+      .select(col(idCol).as("query_id"), col("_red").as("_qred"),
+        VectorOps.norm(col("_red")).as("_qrn"))
+    val coarse = c.join(broadcast(q), col("_cid") =!= col("query_id"))
+      .select(col("query_id"), col("_cid"),
+        (VectorOps.dot(col("_qred"), col("_red")) / (col("_rn") * col("_qrn")))
+          .as("_score"))
+      .groupBy(col("query_id"))
+      .agg(TopKByScore.topkBy(col("_score"), col("_cid"), k * shortlistFactor).as("_sl"))
+      .select(col("query_id"), explode(col("_sl")).as("_e"))
+      .select(col("query_id"), col("_e.id").as("_cid"))
+    val qFull = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
+      VectorOps.norm(col(vecCol)).as("_qn"))
+    val cFull = corpus.select(col(idCol).as("_cid"), col(vecCol).as("_cv"),
+      VectorOps.norm(col(vecCol)).as("_cn"))
+    val scored = cFull.join(broadcast(coarse), Seq("_cid"))
+      .join(broadcast(qFull), Seq("query_id"))
+      .select(col("query_id"), col("_cid"),
+        round(VectorOps.dot(col("_qv"), col("_cv")) / (col("_qn") * col("_cn")), 6)
+          .as("_score"))
+    rankTopK(scored, k)
+  }
+
   /** Approximate top-k via an IVF (inverted-file) index — the one-shot
     * convenience composition of [[buildIvf]] + [[queryIvf]].
     *

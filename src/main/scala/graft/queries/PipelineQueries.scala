@@ -86,6 +86,15 @@ object PipelineQueries {
     Similarity.ivfTopK(annQueries(s, dir), Tables.embeddings(s, dir),
       "vec_id", "embedding", AnnK)
 
+  /** Third ANN family (after hash-bucketed LSH and cluster-probed IVF):
+    * PCA coarse-to-fine — dimensionality is the pruning axis. Rows-only
+    * like its siblings (no SQL oracle can express the eigen solve);
+    * `SimilaritySpec` gates recall vs brute force at sf0.01.
+    */
+  def annTopkPca(s: SparkSession, dir: String): DataFrame =
+    Similarity.pcaTopK(annQueries(s, dir), Tables.embeddings(s, dir),
+      "vec_id", "embedding", AnnK, AnnDim)
+
   def textStats(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.stats(Tables.documents(s, dir), "doc_id", "text")
       .orderBy(col("doc_id"))
@@ -780,7 +789,8 @@ object PipelineQueries {
     "dedup_embed_cosine" -> (dedupEmbedCosine _),
     "ann_topk_brute" -> (annTopkBrute _),
     "ann_topk_lsh" -> (annTopkLsh _),
-    "ann_topk_ivf" -> (annTopkIvf _)
+    "ann_topk_ivf" -> (annTopkIvf _),
+    "ann_topk_pca" -> (annTopkPca _)
   )
 
   /** Shared shingle CTE for the Jaccard oracles — MUST stay in lockstep

@@ -61,7 +61,7 @@ class DriverContractSpec extends SparkTestBase {
     // sketches/approx paths), not an accidentally-dropped oracle.
     // dedup_simhash left this list in round 3: its token hash moved from
     // xxhash64 to md5 halves precisely so the oracle can recompute it.
-    assert(rowsOnly == Set("ann_topk_lsh", "ann_topk_ivf",
+    assert(rowsOnly == Set("ann_topk_lsh", "ann_topk_ivf", "ann_topk_pca",
       "q_approx_distinct", "q_approx_percentile"),
       s"unexpected rows-only queries: $rowsOnly")
   }

@@ -101,6 +101,19 @@ class SimilaritySpec extends SparkTestBase {
       s"no dynamic partition pruning on _cell:\n${cellScan.map(_.partitionFilters)}")
   }
 
+  test("pcaTopK recall@5 vs brute force at sf0.01 (near-random data, the honest worst case)") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val queries = emb.filter($"vec_id" < 10)
+    val brute = annPairs(Similarity.bruteTopK(queries, emb, "vec_id", "embedding", 5))
+    val pca = annPairs(Similarity.pcaTopK(queries, emb, "vec_id", "embedding", 5, dim = 64))
+    val recall = (brute & pca).size.toDouble / brute.size
+    // 16/64 dims of isotropic-ish variance + a 40-deep shortlist: the
+    // reduced score still concentrates true top-5 neighbors far above
+    // chance (chance would be ~40/500 per slot). Real clustered corpora
+    // sit far higher; this floor is the no-structure worst case.
+    assert(recall >= 0.4, s"recall@5 = $recall below floor")
+  }
+
   test("semanticPairs: exact precision (subset of all-pairs) and full recall on planted clusters") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
     // precision = 1 by construction: every emitted pair must appear in
