@@ -62,6 +62,55 @@ object Graph {
     pr.select(col("id").as("node_id"), col("pr").as("pagerank"))
   }
 
+  /** Per-node triangle counts via the ordered-edge (node-iterator) join —
+    * the standard distributed triangle algorithm: canonicalize each
+    * undirected edge to (a < b), build wedges a→b→c with a < b < c by
+    * self-joining on the middle node, then confirm the closing (a, c)
+    * edge with a semi join. The ordering means each triangle is generated
+    * exactly once, and only low-to-high adjacency is ever joined — the
+    * classic defense against high-degree hubs blowing up the wedge count
+    * (a hub contributes wedges only through its HIGHER-id neighbors).
+    * At 100 TB graph scale the remaining skew lever is degree-ordering
+    * instead of id-ordering (relabel nodes by ascending degree first);
+    * the join shape is unchanged.
+    *
+    * Output: (node_id, triangles) — one row per node that closes at
+    * least one triangle; each triangle credits all three corners.
+    */
+  def triangles(edges: DataFrame): DataFrame = {
+    val e = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") < col("b"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wedges = e.join(
+      e.select(col("a").as("b"), col("b").as("c")), "b")
+      .select(col("a"), col("b"), col("c"))
+    val tri = wedges.join(
+      e.select(col("a"), col("b").as("c")), Seq("a", "c"), "left_semi")
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node_id"))
+      .groupBy(col("node_id"))
+      .agg(count(lit(1)).as("triangles"))
+      .orderBy(col("node_id"))
+  }
+
+  /** Co-occurrence edge set: undirected edges between `entityKey` values
+    * sharing at least one `groupKey` (e.g. suppliers co-supplying a
+    * part). Emitted canonical (src < dst), distinct. The per-group
+    * self-join is quadratic in group size — callers with unbounded
+    * groups (a part supplied by millions of suppliers does not happen;
+    * a token shared by millions of docs does) should cap or drop the
+    * hot groups first, exactly like the PPJoin prefix filter does.
+    */
+  def coOccurrenceEdges(rel: DataFrame, groupKey: String, entityKey: String): DataFrame = {
+    val ps = rel.select(col(groupKey).as("_g"), col(entityKey).as("_e")).distinct()
+    ps.join(ps.select(col("_g"), col("_e").as("_e2")), "_g")
+      .filter(col("_e") < col("_e2"))
+      .select(col("_e").as("src"), col("_e2").as("dst"))
+      .distinct()
+  }
+
   /** Undirected bipartite edge set (both directions) from two key columns
     * of a relation table, with the two key spaces interleaved into one
     * node-id space (left keys → 2k, right keys → 2k+1).

@@ -71,6 +71,50 @@ object Sampling {
       .drop("_mdkey", "_rn")
   }
 
+  /** Weight-proportional systematic sample, fully integer-exact: lay the
+    * rows out on a number line by cumulative integer weight (ordered by
+    * id) and keep every row whose weight interval covers a multiple of
+    * `stride = total/k` — the classic PPS (probability-proportional-to-
+    * size) systematic design, deterministic end to end because weights
+    * are integers and the "random" points are the stride grid. Returns
+    * ~k rows (heavy rows covering several grid points appear once).
+    *
+    * The prefix sum is TWO-LEVEL, never a global single-partition
+    * window: ids are range-bucketed into `nBuckets` (order-preserving
+    * integer arithmetic on the id span), within-bucket cumsums run as a
+    * bucket-partitioned window (parallel), and the bucket base offsets
+    * come from one window over `nBuckets` rows — driver-scale. Raise
+    * `nBuckets` to O(cluster cores) at 100 TB and per-bucket sort cost
+    * stays flat; this is the same shape [[shardedShuffle]] uses, applied
+    * to a prefix sum.
+    */
+  def systematicWeighted(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, nBuckets: Int = 32): DataFrame = {
+    val id = col(idCol)
+    val stats = df.agg(min(id).as("_lo"), max(id).as("_hi"),
+      sum(col(weightCol)).as("_total"))
+    // order-preserving range bucket: (id - lo) * nBuckets DIV (span + 1)
+    val bucketed = df.select(id, col(weightCol).as("_wt"))
+      .join(broadcast(stats))
+      .withColumn("_bkt",
+        expr(s"CAST((${idCol} - _lo) * $nBuckets DIV (_hi - _lo + 1) AS BIGINT)"))
+    val baseOffsets = bucketed.groupBy(col("_bkt"))
+      .agg(sum(col("_wt")).as("_bsum"))
+      .withColumn("_base",
+        coalesce(sum(col("_bsum")).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("_bkt")).rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .select(col("_bkt"), col("_base"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_bkt")).orderBy(id)
+    bucketed
+      .join(broadcast(baseOffsets), "_bkt")
+      .withColumn("_cum", col("_base") + sum(col("_wt")).over(wIn))
+      .withColumn("_stride", expr(s"GREATEST(_total DIV $k, 1)"))
+      .filter(expr("_cum DIV _stride") > expr("(_cum - _wt) DIV _stride"))
+      .select(id, col("_wt").as("weight"))
+      .orderBy(id)
+  }
+
   /** Deterministic STRATIFIED sample: a per-stratum keep percentage
     * (downsample over-represented strata, keep the tail intact — the
     * standard rebalancing move for training corpora), decided by the same

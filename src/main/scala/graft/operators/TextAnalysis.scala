@@ -290,6 +290,38 @@ object TextAnalysis {
       .orderBy(col("rank"))
   }
 
+  /** Per-document language-model coverage — the CCNet-style "how much of
+    * this doc does the corpus LM recognize" quality signal, made
+    * integer-exact: for each doc (≥ 3 tokens), the total trigram count
+    * and how many of those trigrams fall in the corpus's top-`k` trigram
+    * LM ([[ngramLm]]). Low-coverage docs are the perplexity outliers a
+    * curation pipeline down-weights; emitting the two counts instead of
+    * a log-prob keeps the output bit-portable (the ratio — and any
+    * log — is one derived expression away for the caller).
+    *
+    * Scale shape: the LM is corpus-level but k rows — built once and
+    * broadcast; the per-doc side is a pure projection + map-side-combined
+    * count keyed by doc id. Nothing corpus-scale ever shuffles twice.
+    */
+  def lmCoverage(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val lm = ngramLm(docs, textCol, k)
+      .select(col("trigram")).withColumn("_hit", lit(1L))
+    val toks = col("_toks")
+    val grams = docs
+      .select(col(idCol), Text.tokens(col(textCol)).as("_toks"))
+      .filter(size(toks) >= 3)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), size(toks) - 2),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+          element_at(toks, i + 2)))).as("trigram"))
+    grams.join(broadcast(lm), Seq("trigram"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("trigrams"),
+        sum(coalesce(col("_hit"), lit(0L))).as("lm_hits"))
+      .orderBy(col(idCol))
+  }
+
   /** BM25 top-k document retrieval against a deterministic query-term
     * set (the `nQueryTerms` most frequent non-stopword tokens — count
     * desc, token asc — so the query is a pure function of the corpus and

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Dedup, Graph, Layout, Multimodal, Packing, Quantize, Sampling, Similarity, TemporalJoins, TextAnalysis, TimeSeries}
+import graft.operators.{Cohorts, Dedup, Graph, Layout, Multimodal, Packing, Quantize, Sampling, Similarity, TemporalJoins, TextAnalysis, TimeSeries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -486,6 +486,52 @@ object PipelineQueries {
       iters = 3)
       .orderBy(col("node_id"))
 
+  /** Per-supplier triangle counts on the co-supply graph (suppliers
+    * sharing a part, [[Graph.coOccurrenceEdges]] over lineitem) — the
+    * community-density signal behind clustering coefficients. Each
+    * triangle is generated once via the ordered-edge wedge join
+    * ([[Graph.triangles]]); counts are integers, hash-exact.
+    */
+  def graphTriangles(s: SparkSession, dir: String): DataFrame =
+    Graph.triangles(
+      Graph.coOccurrenceEdges(Tables.lineitem(s, dir), "l_partkey", "l_suppkey"))
+      .withColumn("node_id", col("node_id").cast("long"))
+
+  /** Weekly cohort retention over the event log ([[Cohorts.retention]]):
+    * users cohorted by the week of their first event, active-user counts
+    * per whole-week offset. All integer/date-exact.
+    */
+  def qCohortRetention(s: SparkSession, dir: String): DataFrame =
+    Cohorts.retention(Tables.events(s, dir), "user_id", "ts")
+
+  /** First-order event-type transition matrix ([[Cohorts.transitions]]):
+    * per user, (ts, event_id)-ordered adjacent pairs, counted. The
+    * Markov-chain view of the clickstream; integer-exact.
+    */
+  def qEventTransitions(s: SparkSession, dir: String): DataFrame =
+    Cohorts.transitions(Tables.events(s, dir), "user_id", "ts",
+      "event_type", "event_id")
+
+  /** Weight-proportional systematic sample of orders
+    * ([[Sampling.systematicWeighted]], k = 100): integer weight
+    * floor(o_totalprice) + 1, two-level distributed prefix sum, every
+    * stride-multiple row kept. Fully deterministic — the oracle lays the
+    * same rows on the same integer number line with a plain window.
+    */
+  def sampleWeighted(s: SparkSession, dir: String): DataFrame =
+    Sampling.systematicWeighted(
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          (floor(col("o_totalprice")).cast("long") + 1).as("wt")),
+      "o_orderkey", "wt", k = 100)
+
+  /** Per-document top-50-trigram-LM coverage ([[TextAnalysis.lmCoverage]])
+    * — the integer-exact stand-in for CCNet perplexity filtering: docs
+    * whose trigrams the corpus LM rarely recognizes are quality outliers.
+    */
+  def textLmScore(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.lmCoverage(Tables.documents(s, dir), "doc_id", "text", 50)
+
   /** Per-dimension embedding statistics (mean / variance / min / max) —
     * the normalization-and-sanity profile every vector store computes
     * before indexing. Variance uses the explicit sum-of-squares formula
@@ -748,6 +794,11 @@ object PipelineQueries {
     "text_dup_spans" -> (textDupSpans _),
     "text_ngram_lm" -> (textNgramLm _),
     "graph_pagerank" -> (graphPagerank _),
+    "graph_triangles" -> (graphTriangles _),
+    "q_cohort_retention" -> (qCohortRetention _),
+    "q_event_transitions" -> (qEventTransitions _),
+    "sample_weighted" -> (sampleWeighted _),
+    "text_lm_score" -> (textLmScore _),
     "emb_dim_stats" -> (embDimStats _),
     "q_latest_by_key" -> (qLatestByKey _),
     "sample_split" -> (sampleSplit _),
@@ -1060,6 +1111,78 @@ object PipelineQueries {
         |      FROM tc JOIN pc USING (pre))
         |SELECT trigram, n, prefix_n, cond_p, rank FROM r
         |WHERE rank <= 50 ORDER BY rank""".stripMargin,
+    // ordered-edge triangle enumeration: wedge a<b<c via the middle
+    // node, closing edge (a,c) confirmed by semi join; each triangle
+    // credits all three corners. Counts are integers — hash-exact.
+    "graph_triangles" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+        |e AS (SELECT DISTINCT x.s AS a, y.s AS b FROM ps x
+        |      JOIN ps y ON x.p = y.p AND x.s < y.s),
+        |tr AS (SELECT e1.a, e1.b, e2.b AS c
+        |       FROM e e1 JOIN e e2 ON e2.a = e1.b
+        |       WHERE EXISTS (SELECT 1 FROM e e3
+        |                     WHERE e3.a = e1.a AND e3.b = e2.b)),
+        |n AS (SELECT a AS node_id FROM tr UNION ALL
+        |      SELECT b FROM tr UNION ALL SELECT c FROM tr)
+        |SELECT node_id, CAST(count(*) AS BIGINT) AS triangles
+        |FROM n GROUP BY node_id ORDER BY node_id""".stripMargin,
+    // both weeks Monday-truncated -> day diff is an exact multiple of 7;
+    // integer counts, date-typed weeks: hash-exact cross-engine
+    "q_cohort_retention" ->
+      """WITH f AS (SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+        |           FROM events GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS w
+        |      FROM events)
+        |SELECT cohort_week,
+        |  CAST(date_diff('day', cohort_week, w) / 7 AS BIGINT) AS week_offset,
+        |  CAST(count(*) AS BIGINT) AS active_users
+        |FROM a JOIN f USING (user_id)
+        |GROUP BY cohort_week, week_offset
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+    "q_event_transitions" ->
+      """WITH s AS (SELECT user_id, event_type AS next_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_type
+        |  FROM events)
+        |SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS transitions
+        |FROM s WHERE prev_type IS NOT NULL
+        |GROUP BY prev_type, next_type ORDER BY prev_type, next_type""".stripMargin,
+    // the oracle's single global window cumsum equals the engine's
+    // two-level (bucketed) prefix sum because both order by o_orderkey;
+    // floor(price)+1 weights and DIV grid points are all integer-exact
+    "sample_weighted" ->
+      """WITH w AS (SELECT o_orderkey, CAST(floor(o_totalprice) AS BIGINT) + 1 AS wt
+        |           FROM orders),
+        |t AS (SELECT CAST(sum(wt) AS BIGINT) AS total FROM w),
+        |c AS (SELECT o_orderkey, wt,
+        |        CAST(sum(wt) OVER (ORDER BY o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |      FROM w)
+        |SELECT o_orderkey, wt AS weight FROM c CROSS JOIN t
+        |WHERE cum // GREATEST(total // 100, 1)
+        |    > (cum - wt) // GREATEST(total // 100, 1)
+        |ORDER BY o_orderkey""".stripMargin,
+    // per-doc trigram totals + hits against the SAME ranked top-50 LM the
+    // text_ngram_lm oracle builds (tie-break n desc, trigram asc) — two
+    // BIGINT counts, no floats anywhere
+    "text_lm_score" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS toks
+        |  FROM documents),
+        |x AS (SELECT doc_id, unnest(range(1, len(toks) - 1)) AS i, toks
+        |      FROM t WHERE len(toks) >= 3),
+        |g AS (SELECT doc_id,
+        |        toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS trigram FROM x),
+        |tc AS (SELECT trigram, count(*) AS n FROM g GROUP BY trigram),
+        |lm AS (SELECT trigram FROM (
+        |         SELECT trigram, row_number() OVER (ORDER BY n DESC, trigram) AS rank
+        |         FROM tc) WHERE rank <= 50)
+        |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS trigrams,
+        |  CAST(sum(CASE WHEN lm.trigram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS lm_hits
+        |FROM g LEFT JOIN lm ON g.trigram = lm.trigram
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
     // the same three supersteps unrolled; per-iteration round(,10) is the
     // cross-engine contract (summation-order noise is ~1e-20, 10 orders
     // below the rounding grid). Node ids: part -> 2k, supplier -> 2k+1.

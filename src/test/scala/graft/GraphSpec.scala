@@ -49,6 +49,35 @@ class GraphSpec extends SparkTestBase {
     assert(e == fwd ++ fwd.map(_.swap), "distinct, interleaved, symmetric")
   }
 
+  test("triangles: K4 + pendant edge — every K4 node closes 3, the pendant none") {
+    // K4 on {1,2,3,4} has 4 triangles, each crediting 3 of its corners;
+    // the pendant edge 4-5 closes nothing, so node 5 is absent.
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L)).toDF("src", "dst")
+    val got = Graph.triangles(e).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangles canonicalizes direction and duplicates before counting") {
+    // the same single triangle fed as reversed + duplicated edges
+    val e = Seq((2L, 1L), (1L, 3L), (3L, 2L), (1L, 2L), (2L, 3L))
+      .toDF("src", "dst")
+    val got = Graph.triangles(e).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("coOccurrenceEdges links entities sharing a group, canonical and distinct") {
+    val rel = Seq((10L, 1L), (10L, 2L), (10L, 3L), // group 10: triangle 1-2-3
+      (20L, 2L), (20L, 1L), // group 20: repeats 1-2 — still one edge
+      (30L, 7L)) // singleton group: no edges
+      .toDF("g", "e")
+    val got = Graph.coOccurrenceEdges(rel, "g", "e")
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
   test("dupSpans flags exactly the shingles shared across documents") {
     // doc 1 and 2 share the single 3-gram "a b c"; doc 3 is disjoint
     val docs = Seq(

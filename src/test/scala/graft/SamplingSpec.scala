@@ -70,4 +70,33 @@ class SamplingSpec extends SparkTestBase {
       Map("en" -> 25), 75).select("doc_id").as[Long].collect().sorted.toSeq
     assert(a == b)
   }
+
+  test("systematicWeighted equals the sequential PPS reference and keeps every heavy row") {
+    // non-contiguous ids + varied weights, one heavy row that must always
+    // be hit (weight >= stride covers at least one grid point)
+    val rows = (1L to 200L).map(i => (i * 3 + 7, 1L + (i % 7))) :+ (1000L, 300L)
+    val df = rows.toDF("id", "wt")
+    val k = 20
+    val got = Sampling.systematicWeighted(df, "id", "wt", k)
+      .as[(Long, Long)].collect().toSeq
+    // sequential reference: cumulative sum in id order, keep stride-crossers
+    val total = rows.map(_._2).sum
+    val stride = math.max(total / k, 1L)
+    var cum = 0L
+    val expect = rows.sortBy(_._1).flatMap { case (id, w) =>
+      val prev = cum; cum += w
+      if (cum / stride > prev / stride) Some((id, w)) else None
+    }
+    assert(got == expect, s"got ${got.size} rows, expected ${expect.size}")
+    assert(got.contains((1000L, 300L)), "heavy row must always be selected")
+  }
+
+  test("systematicWeighted is bucket-count and partitioning invariant") {
+    val df = (1L to 300L).map(i => (i, 1L + i % 5)).toDF("id", "wt")
+    val a = Sampling.systematicWeighted(df.repartition(13), "id", "wt", 25,
+      nBuckets = 32).as[(Long, Long)].collect().toSeq
+    val b = Sampling.systematicWeighted(df.coalesce(1), "id", "wt", 25,
+      nBuckets = 1).as[(Long, Long)].collect().toSeq
+    assert(a == b, "two-level prefix sum must not depend on layout")
+  }
 }

@@ -128,4 +128,20 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out(2L)._3 == 0.2, "5 distinct bigrams of 5: max 1 -> 1/5")
     assert(out(3L) == ((1L, 1.0, 0.0)), "single-token doc has no bigrams")
   }
+
+  test("lmCoverage: exact trigram totals and top-k hits; short docs drop out") {
+    // corpus trigram counts: "x y z" ×2 (doc 1), everything else ×1.
+    // k=2 LM = {"x y z"} + the n=1 tie broken alphabetically -> "p q r".
+    val docs = Seq(
+      (1L, "x y z x y z"),  // trigrams: x y z / y z x / z x y / x y z
+      (2L, "p q r s"),      // trigrams: p q r / q r s
+      (3L, "too short"))    // 2 tokens: no trigram row at all
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.lmCoverage(docs, "doc_id", "text", 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map(
+      1L -> ((4L, 2L)), // both "x y z" occurrences hit, the rotations miss
+      2L -> ((2L, 1L))), // "p q r" made the LM on the alphabetical tie-break
+      s"got $out")
+  }
 }
