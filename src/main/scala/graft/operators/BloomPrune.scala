@@ -50,6 +50,24 @@ object BloomPrune {
       Literal(sketch, BinaryType),
       new XxHash64(Seq(ColumnBridge.expression(key)))))
 
+  /** Composite-key variants: xxhash64 natively hashes a COLUMN TUPLE, so
+    * multi-column join keys (e.g. an edge's two endpoints) get one sketch
+    * probe with no packing/concat row — build and probe must pass the
+    * same column order.
+    */
+  def bloomOfCols(keys: DataFrame, cols: Seq[Column], expectedItems: Long): Array[Byte] = {
+    val hashed = new XxHash64(cols.map(ColumnBridge.expression))
+    val agg = new BloomFilterAggregate(hashed, expectedItems).toAggregateExpression()
+    val bytes = keys.select(ColumnBridge.column(agg)).head().getAs[Array[Byte]](0)
+    require(bytes != null, "bloomOfCols over an empty key set")
+    bytes
+  }
+
+  def mightContainCols(sketch: Array[Byte], cols: Seq[Column]): Column =
+    ColumnBridge.column(BloomFilterMightContain(
+      Literal(sketch, BinaryType),
+      new XxHash64(cols.map(ColumnBridge.expression))))
+
   /** `big LEFT SEMI JOIN small ON big(bigKey) = small(smallKey)`, with the
     * big side pre-pruned by a bloom sketch of the small side's keys so the
     * semi join's shuffle/broadcast probe reads only matching-ish rows.

@@ -84,11 +84,20 @@ object Graph {
       .filter(col("a") < col("b"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val eCnt = e.count() // materializes the persist, sizes the sketch
     val wedges = e.join(
       e.select(col("a").as("b"), col("b").as("c")), "b")
       .select(col("a"), col("b"), col("c"))
-    val tri = wedges.join(
-      e.select(col("a"), col("b").as("c")), Seq("a", "c"), "left_semi")
+    // the wedge set is the blow-up (Σ C(outdeg, 2) rows — measured ~40×
+    // the edge count on the co-order graph); probing an edge-set bloom
+    // sketch MAP-SIDE reduces the closing-edge semi join's shuffle to
+    // ~triangles + fpp·wedges, and the exact semi join that follows
+    // kills the false positives, so the result is unchanged
+    val sketch = BloomPrune.bloomOfCols(e, Seq(col("a"), col("b")),
+      math.max(eCnt, 64L))
+    val tri = wedges
+      .filter(BloomPrune.mightContainCols(sketch, Seq(col("a"), col("c"))))
+      .join(e.select(col("a"), col("b").as("c")), Seq("a", "c"), "left_semi")
     tri.select(explode(array(col("a"), col("b"), col("c"))).as("node_id"))
       .groupBy(col("node_id"))
       .agg(count(lit(1)).as("triangles"))

@@ -101,4 +101,55 @@ object Packing {
         element_at(col("_toks"), col("start_tok")).as("chunk_head"))
       .orderBy(col(idCol), col("chunk_idx"))
   }
+
+  /** Content-defined chunking (the FastCDC/Rabin family, token
+    * granularity): a cut lands AFTER token `i` whenever the md5 of the
+    * 4-gram ending at `i` hits `0 mod divisor` — so chunk boundaries are
+    * a pure function of local CONTENT, and an insertion early in a doc
+    * re-chunks only the window it touches instead of shifting every
+    * fixed-width boundary after it. That shift-resistance is why
+    * dedup-storage systems (and incremental corpus pipelines) fingerprint
+    * CDC chunks, not fixed windows: two near-identical 100 TB snapshots
+    * share almost all chunk hashes, and the storage/dedup delta is the
+    * few chunks around each edit.
+    *
+    * Expected chunk length ≈ `divisor` tokens (geometric); cuts never
+    * land after the final token, so every chunk is non-empty and a doc
+    * yields exactly cuts+1 chunks. Pure projection + explode — the same
+    * zero-shuffle scan shape as [[chunkTokens]]. Output:
+    * (idCol, chunk_idx 1-based, start_tok 1-based, n_tok, chunk_md5) —
+    * the md5 is over the space-joined chunk tokens, ready for a
+    * cross-snapshot or cross-doc chunk-hash join.
+    */
+  def chunkCdc(docs: DataFrame, idCol: String, textCol: String,
+      divisor: Int): DataFrame = {
+    val toks = col("_toks")
+    val n = size(toks)
+    // candidate cut positions 4..n-1 (4-gram needs history, last token
+    // never cuts); greatest() keeps the sequence ascending when n < 5 and
+    // the i <= n-1 clause then rejects the phantom candidates
+    val cuts = filter(
+      sequence(lit(4), greatest(n - 1, lit(4))),
+      i => i <= n - 1 &&
+        pmod(conv(substring(md5(concat_ws(" ",
+          element_at(toks, i - 3), element_at(toks, i - 2),
+          element_at(toks, i - 1), element_at(toks, i))), 1, 8), 16, 10)
+          .cast("long"), lit(divisor.toLong)) === 0)
+    docs.select(col(idCol), graft.functions.Text.tokens(col(textCol)).as("_toks"))
+      .filter(n >= 1)
+      .withColumn("_cuts", cuts)
+      .withColumn("_starts", concat(array(lit(1)), transform(col("_cuts"), c => c + 1)))
+      .withColumn("_ends", concat(col("_cuts"), array(n)))
+      .select(col(idCol), toks,
+        posexplode(zip_with(col("_starts"), col("_ends"),
+          (s, e) => struct(s.as("s"), e.as("e")))))
+      .select(col(idCol),
+        (col("pos") + 1).cast("long").as("chunk_idx"),
+        col("col.s").cast("long").as("start_tok"),
+        (col("col.e") - col("col.s") + 1).cast("long").as("n_tok"),
+        md5(concat_ws(" ",
+          slice(toks, col("col.s"), col("col.e") - col("col.s") + 1)))
+          .as("chunk_md5"))
+      .orderBy(col(idCol), col("chunk_idx"))
+  }
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Cohorts, Dedup, Graph, Layout, Multimodal, Packing, Quantize, Sampling, Similarity, TemporalJoins, TextAnalysis, TimeSeries}
+import graft.operators.{Cohorts, Dedup, Graph, Layout, Multimodal, Packing, Quantize, Sampling, Similarity, Snapshot, TemporalJoins, TextAnalysis, TimeSeries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -486,15 +486,19 @@ object PipelineQueries {
       iters = 3)
       .orderBy(col("node_id"))
 
-  /** Per-supplier triangle counts on the co-supply graph (suppliers
-    * sharing a part, [[Graph.coOccurrenceEdges]] over lineitem) — the
-    * community-density signal behind clustering coefficients. Each
+  /** Per-part triangle counts on the co-order graph (parts appearing in
+    * the same order, [[Graph.coOccurrenceEdges]] over lineitem) — the
+    * "bought-together" community-density signal behind clustering
+    * coefficients. The PART universe scales with the data (unlike the
+    * fixed-size supplier set, whose co-occurrence graph goes DENSE as SF
+    * grows — measured 27 s at sf0.1 before the switch, vs edges,
+    * wedges, and triangles all ~linear in SF on this graph). Each
     * triangle is generated once via the ordered-edge wedge join
     * ([[Graph.triangles]]); counts are integers, hash-exact.
     */
   def graphTriangles(s: SparkSession, dir: String): DataFrame =
     Graph.triangles(
-      Graph.coOccurrenceEdges(Tables.lineitem(s, dir), "l_partkey", "l_suppkey"))
+      Graph.coOccurrenceEdges(Tables.lineitem(s, dir), "l_orderkey", "l_partkey"))
       .withColumn("node_id", col("node_id").cast("long"))
 
   /** Weekly cohort retention over the event log ([[Cohorts.retention]]):
@@ -531,6 +535,32 @@ object PipelineQueries {
     */
   def textLmScore(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.lmCoverage(Tables.documents(s, dir), "doc_id", "text", 50)
+
+  /** Content-defined chunking of documents ([[Packing.chunkCdc]],
+    * divisor 64 → ~64-token expected chunks): boundaries are a pure
+    * function of local content, so edits re-chunk only their
+    * neighborhood — the storage-dedup / incremental-snapshot chunker.
+    */
+  def chunkCdcDocs(s: SparkSession, dir: String): DataFrame =
+    Packing.chunkCdc(Tables.documents(s, dir), "doc_id", "text", 64)
+
+  /** Snapshot diff ([[Snapshot.diff]]) between documents and a
+    * deterministically derived v2 (md5-bucket of doc_id: bucket 0
+    * removed, bucket 1 text-modified, bucket 2 re-added under a new id)
+    * — the dataset-versioning audit primitive, derivation and diff both
+    * oracle-replicable.
+    */
+  def qSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val v1 = Tables.documents(s, dir)
+    val bucket = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+      16, 10).cast("long"), lit(20L))
+    val v2 = v1.filter(bucket =!= 0)
+      .withColumn("text",
+        when(bucket === 1, concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      .unionByName(v1.filter(bucket === 2)
+        .withColumn("doc_id", col("doc_id") + 100000))
+    Snapshot.diff(v1, v2, "doc_id", "text")
+  }
 
   /** Per-dimension embedding statistics (mean / variance / min / max) —
     * the normalization-and-sanity profile every vector store computes
@@ -799,6 +829,8 @@ object PipelineQueries {
     "q_event_transitions" -> (qEventTransitions _),
     "sample_weighted" -> (sampleWeighted _),
     "text_lm_score" -> (textLmScore _),
+    "chunk_cdc" -> (chunkCdcDocs _),
+    "q_snapshot_diff" -> (qSnapshotDiff _),
     "emb_dim_stats" -> (embDimStats _),
     "q_latest_by_key" -> (qLatestByKey _),
     "sample_split" -> (sampleSplit _),
@@ -1115,7 +1147,7 @@ object PipelineQueries {
     // node, closing edge (a,c) confirmed by semi join; each triangle
     // credits all three corners. Counts are integers — hash-exact.
     "graph_triangles" ->
-      """WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+      """WITH ps AS (SELECT DISTINCT l_orderkey AS p, l_partkey AS s FROM lineitem),
         |e AS (SELECT DISTINCT x.s AS a, y.s AS b FROM ps x
         |      JOIN ps y ON x.p = y.p AND x.s < y.s),
         |tr AS (SELECT e1.a, e1.b, e2.b AS c
@@ -1183,6 +1215,49 @@ object PipelineQueries {
         |    AS lm_hits
         |FROM g LEFT JOIN lm ON g.trigram = lm.trigram
         |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+    // same tokenizer CTE as text_ngram_lm; cuts = md5-of-4-gram mod 64,
+    // candidates 4..n-1 (range() end-exclusive), chunks = cuts+1 slices.
+    // DuckDB list slicing toks[a:b] is 1-based inclusive like slice().
+    "chunk_cdc" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS toks
+        |  FROM documents),
+        |nn AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 1),
+        |c AS (SELECT doc_id, toks, n,
+        |        list_filter(range(4, n), i ->
+        |          ('0x' || substring(md5(toks[i-3] || ' ' || toks[i-2] || ' ' ||
+        |             toks[i-1] || ' ' || toks[i]), 1, 8))::BIGINT % 64 = 0) AS cuts
+        |      FROM nn),
+        |se AS (SELECT doc_id, toks,
+        |         [1] || list_transform(cuts, x -> CAST(x + 1 AS BIGINT)) AS starts,
+        |         cuts || [CAST(n AS BIGINT)] AS ends
+        |       FROM c),
+        |x AS (SELECT doc_id, toks, starts, ends,
+        |        unnest(range(1, len(starts) + 1)) AS i FROM se)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |  CAST(starts[i] AS BIGINT) AS start_tok,
+        |  CAST(ends[i] - starts[i] + 1 AS BIGINT) AS n_tok,
+        |  md5(array_to_string(toks[starts[i]:ends[i]], ' ')) AS chunk_md5
+        |FROM x ORDER BY doc_id, chunk_idx""".stripMargin,
+    // v2 derived by the same md5-bucket rule, diff by text equality
+    // (equivalent to the engine's md5-manifest compare)
+    "q_snapshot_diff" ->
+      """WITH b AS (SELECT doc_id, text,
+        |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 20 AS bk
+        |  FROM documents),
+        |v2 AS (
+        |  SELECT doc_id, CASE WHEN bk = 1 THEN text || ' v2' ELSE text END AS text
+        |  FROM b WHERE bk != 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM b WHERE bk = 2),
+        |d AS (SELECT coalesce(a.doc_id, c.doc_id) AS doc_id,
+        |        CASE WHEN a.doc_id IS NULL THEN 'added'
+        |             WHEN c.doc_id IS NULL THEN 'removed'
+        |             WHEN a.text != c.text THEN 'modified' END AS change
+        |      FROM documents a FULL OUTER JOIN v2 c ON a.doc_id = c.doc_id)
+        |SELECT doc_id, change FROM d WHERE change IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
     // the same three supersteps unrolled; per-iteration round(,10) is the
     // cross-engine contract (summation-order noise is ~1e-20, 10 orders
     // below the rounding grid). Node ids: part -> 2k, supplier -> 2k+1.

@@ -68,6 +68,13 @@ class GraphSpec extends SparkTestBase {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("triangles plan probes the edge bloom sketch before the closing semi join") {
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val plan = Graph.triangles(e).queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"wedge stream must be bloom-pruned map-side before the shuffle:\n$plan")
+  }
+
   test("coOccurrenceEdges links entities sharing a group, canonical and distinct") {
     val rel = Seq((10L, 1L), (10L, 2L), (10L, 3L), // group 10: triangle 1-2-3
       (20L, 2L), (20L, 1L), // group 20: repeats 1-2 — still one edge

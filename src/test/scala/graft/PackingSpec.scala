@@ -58,4 +58,54 @@ class PackingSpec extends SparkTestBase {
     assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 1L, 3L, "a")))
     assert(out.filter(_._1 == 3L).toSeq == Seq((3L, 0L, 1L, 1L, "solo")))
   }
+
+  /** Scala reference of chunkCdc's cut rule: md5 of the space-joined
+    * 4-gram ending at i (1-based), first 8 hex chars as a long, mod
+    * divisor == 0; candidates 4..n-1.
+    */
+  private def refCdcChunks(tokens: Seq[String], divisor: Long): Seq[(Int, Int)] = {
+    def hits(i: Int): Boolean = {
+      val g = tokens.slice(i - 4, i).mkString(" ")
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.take(8), 16) % divisor == 0
+    }
+    val cuts = (4 until tokens.size).filter(hits)
+    val starts = 1 +: cuts.map(_ + 1)
+    val ends = cuts :+ tokens.size
+    starts.zip(ends)
+  }
+
+  test("chunkCdc matches the reference cut rule, covers every token, never cuts the tail") {
+    // divisor 4 -> cuts roughly every 4 tokens on varied text
+    val words = (1 to 120).map(i => s"w${i * 7 % 61}")
+    val docs = Seq((1L, words.mkString(" ")), (2L, "a b c"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val out = Packing.chunkCdc(docs, "doc_id", "text", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val d1 = out.filter(_._1 == 1L).toSeq
+    val expect = refCdcChunks(words, 4).zipWithIndex.map { case ((s, e), i) =>
+      (1L, (i + 1).toLong, s.toLong, (e - s + 1).toLong)
+    }
+    assert(d1 == expect, s"got ${d1.take(5)}... expected ${expect.take(5)}...")
+    assert(expect.size > 5, "divisor 4 on 120 tokens must cut repeatedly")
+    assert(d1.map(_._4).sum == 120L, "chunks must partition the token stream")
+    // short docs: no candidate positions -> exactly one whole-doc chunk
+    assert(out.filter(_._1 == 2L).map(t => (t._2, t._3, t._4)).toSeq == Seq((1L, 1L, 3L)))
+    assert(out.filter(_._1 == 3L).map(t => (t._2, t._3, t._4)).toSeq == Seq((1L, 1L, 1L)))
+  }
+
+  test("chunkCdc boundaries shift-resist a prefix edit; fixed-width chunking's don't") {
+    val words = (1 to 200).map(i => s"x${i * 13 % 97}")
+    val v1 = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val v2 = Seq((1L, ("zz0 zz1 zz2" +: words).mkString(" "))).toDF("doc_id", "text")
+    def hashes(df: org.apache.spark.sql.DataFrame) =
+      Packing.chunkCdc(df, "doc_id", "text", 4)
+        .select("chunk_md5").as[String].collect().toSet
+    val (h1, h2) = (hashes(v1), hashes(v2))
+    // every chunk after the first content-defined boundary below the edit
+    // is byte-identical, so most hashes survive the insertion
+    val survived = (h1 & h2).size.toDouble / h1.size
+    assert(survived >= 0.8, s"only ${(survived * 100).round}% of chunks survived")
+  }
 }
