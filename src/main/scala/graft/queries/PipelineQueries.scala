@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Cohorts, Dedup, Graph, Layout, Multimodal, Packing, Quantize, Sampling, Similarity, Snapshot, TemporalJoins, TextAnalysis, TimeSeries}
+import graft.operators.{Cdc, Cohorts, Dedup, Graph, Layout, Multimodal, Packing, Quantize, Sampling, Similarity, SketchRollup, Snapshot, TemporalJoins, TextAnalysis, TimeSeries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -94,6 +94,22 @@ object PipelineQueries {
   def annTopkPca(s: SparkSession, dir: String): DataFrame =
     Similarity.pcaTopK(annQueries(s, dir), Tables.embeddings(s, dir),
       "vec_id", "embedding", AnnK, AnnDim)
+
+  /** Mergeable HLL sketch rollup over events: per-event-type distinct
+    * users from materialized sketches plus the union-of-sketches global
+    * row — the summary-table pattern that serves 100 TB distinct-count
+    * dashboards from kilobytes. Estimates are DataSketches-specific so
+    * there is no SQL oracle (rows-only); `SketchRollupSpec` gates the
+    * estimates against exact counts and pins the roll-up identity.
+    */
+  def sketchRollup(s: SparkSession, dir: String): DataFrame = {
+    val sk = SketchRollup.sketchBy(Tables.events(s, dir),
+      "event_type", "user_id").cache()
+    val per = SketchRollup.estimates(sk, "event_type")
+    val global = SketchRollup.unionEstimate(sk)
+      .select(lit("__all__").as("event_type"), col("distinct_est"))
+    per.unionAll(global).orderBy(col("event_type"))
+  }
 
   def textStats(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.stats(Tables.documents(s, dir), "doc_id", "text")
@@ -605,6 +621,23 @@ object PipelineQueries {
         col("n_events"))
       .orderBy(col("user_id"))
 
+  /** CDC changelog application over the events stream — MERGE INTO
+    * semantics on top of [[Cdc.apply]]: 'error' events act as deletes,
+    * everything else upserts, (ts, event_id) is commit order, and the
+    * post-image keeps only keys whose LAST op was an upsert. The delete
+    * path is what separates this from `q_latest_by_key`'s pure
+    * compaction; `CdcSpec` additionally pins chunked-application
+    * associativity and base-row survival on planted logs.
+    */
+  def qCdcApply(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val log = ev.withColumn("op",
+      when(col("event_type") === "error", lit("D")).otherwise(lit("U")))
+    val base = ev.select("user_id", "ts", "event_id", "value").limit(0)
+    Cdc.apply(base, log, "user_id", Seq("ts", "event_id"), "op",
+      Seq("value")).orderBy(col("user_id"))
+  }
+
   /** Per-source quota cap: at most 10 documents per source, hash-chosen
     * ([[Sampling.cappedPerStratum]]) — the max-N-pages-per-host crawl
     * rule. Cap 10 binds at every test scale factor (25 docs/source at
@@ -873,7 +906,9 @@ object PipelineQueries {
     "ann_topk_brute" -> (annTopkBrute _),
     "ann_topk_lsh" -> (annTopkLsh _),
     "ann_topk_ivf" -> (annTopkIvf _),
-    "ann_topk_pca" -> (annTopkPca _)
+    "ann_topk_pca" -> (annTopkPca _),
+    "sketch_rollup" -> (sketchRollup _),
+    "q_cdc_apply" -> (qCdcApply _)
   )
 
   /** Shared shingle CTE for the Jaccard oracles — MUST stay in lockstep
@@ -1294,6 +1329,13 @@ object PipelineQueries {
         |    AS variance,
         |  min(x) AS min_x, max(x) AS max_x
         |FROM v GROUP BY dim ORDER BY dim""".stripMargin,
+    "q_cdc_apply" ->
+      """SELECT user_id, ts, event_id, value FROM (
+        |  SELECT user_id, ts, event_id, value, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id""".stripMargin,
     "q_latest_by_key" ->
       """SELECT user_id, event_id AS last_event_id, ts AS last_ts,
         |  event_type AS last_type, value AS last_value,

@@ -34,7 +34,8 @@ object ScaleCurve {
     "mm_video_decode", "q_skew_join", "q_table_profile",
     "dedup_incremental", "graph_pagerank", "text_dup_spans",
     "text_ngram_lm", "dedup_containment", "q_resample_ffill",
-    "mm_image_resize", "mm_frame_sample", "text_knn_jaccard")
+    "mm_image_resize", "mm_frame_sample", "text_knn_jaccard",
+    "graph_triangles", "text_lm_score", "chunk_cdc", "ann_topk_pca")
 
   /** SPARK_GRAFT_SCALE_ONLY: comma-separated exact names — run a subset
     * (new-row refresh) without re-measuring the whole table.
@@ -53,7 +54,7 @@ object ScaleCurve {
     * is identical either way; this only keeps the printed n honest.
     */
   private val LineitemDriven = Set("q_skew_join", "q_table_profile",
-    "graph_pagerank")
+    "graph_pagerank", "graph_triangles")
 
   /** Queries driven by the events table — labeled by its row count. */
   private val EventsDriven = Set("q_resample_ffill")

@@ -1,0 +1,69 @@
+package graft
+
+import graft.operators.Cdc
+import org.apache.spark.sql.functions._
+
+/** Semantics gates for changelog application: delete-removes-key,
+  * last-op-wins ordering, base-row survival, and the chunked-application
+  * associativity that makes incremental (per-commit) compaction equal
+  * one-shot compaction of the whole log.
+  */
+class CdcSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // (key, ord, op, payload)
+  private def logDf(rows: (Long, Long, String, String)*) =
+    rows.toDF("k", "ord", "op", "v")
+
+  private def stateDf(rows: (Long, Long, String)*) =
+    rows.toDF("k", "ord", "v")
+
+  private def applyLog(base: org.apache.spark.sql.DataFrame,
+      log: org.apache.spark.sql.DataFrame) =
+    Cdc.apply(base, log, "k", Seq("ord"), "op", Seq("v"))
+
+  private def emptyBase = stateDf().limit(0)
+
+  test("last op wins; a trailing delete removes the key") {
+    val log = logDf(
+      (1L, 1L, "U", "a1"), (1L, 2L, "U", "a2"),          // upsert twice
+      (2L, 1L, "U", "b1"), (2L, 2L, "D", ""),            // deleted last
+      (3L, 1L, "D", ""), (3L, 2L, "U", "c2"))            // resurrected
+    val out = applyLog(emptyBase, log)
+      .select("k", "ord", "v").as[(Long, Long, String)].collect().sorted
+    assert(out.toSeq == Seq((1L, 2L, "a2"), (3L, 2L, "c2")))
+  }
+
+  test("untouched base rows survive; touched ones are replaced or deleted") {
+    val base = stateDf((1L, 5L, "old1"), (2L, 5L, "old2"), (3L, 5L, "old3"))
+    val log = logDf((2L, 6L, "U", "new2"), (3L, 6L, "D", ""))
+    val out = applyLog(base, log)
+      .select("k", "ord", "v").as[(Long, Long, String)].collect().sorted
+    assert(out.toSeq == Seq((1L, 5L, "old1"), (2L, 6L, "new2")))
+  }
+
+  test("chunked application equals one-shot application (associativity)") {
+    // 40 keys, 6 ops each in commit order; chunk boundary mid-history.
+    val ops = for {
+      k <- 1L to 40L; i <- 1L to 6L
+    } yield (k, i, if ((k + i) % 7 == 0) "D" else "U", s"v$k-$i")
+    val (c1, c2) = ops.partition(_._2 <= 3)
+    val whole = applyLog(emptyBase, logDf(ops: _*))
+    val chunked = applyLog(applyLog(emptyBase, logDf(c1: _*)), logDf(c2: _*))
+    assert(chunked.select("k", "ord", "v").as[(Long, Long, String)]
+      .collect().sorted.toSeq ==
+      whole.select("k", "ord", "v").as[(Long, Long, String)]
+        .collect().sorted.toSeq)
+    // sanity: some keys really end deleted
+    assert(whole.count() < 40)
+  }
+
+  test("plan is one hash aggregation, no window sort") {
+    val log = logDf((1L, 1L, "U", "a"))
+    val plan = applyLog(emptyBase, log).queryExecution.executedPlan
+    val txt = plan.toString
+    assert(!txt.contains("WindowExec"), "changelog apply must not window-sort")
+    assert(txt.contains("max_by") || txt.contains("MaxBy"),
+      "expected the max_by aggregation path")
+  }
+}
