@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.KllQuantileAgg
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -44,4 +45,39 @@ object SketchRollup {
   def unionEstimate(sketches: DataFrame): DataFrame =
     sketches.agg(hll_sketch_estimate(
       hll_union_agg(col("sketch"), lit(false))).as("distinct_est"))
+
+  // ---- quantile leg (KLL) — same pattern, for percentiles -------------
+
+  /** One KLL quantile sketch per group over a double column: (groupCol,
+    * qsketch BINARY). Exact percentiles can't roll up (order statistics
+    * don't add); KLL sketches merge with a proven rank-error bound, so
+    * this one scan serves every later percentile rollup. Backed by the
+    * native [[graft.functions.KllDoublesAgg]].
+    */
+  def quantileSketchBy(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int = KllQuantileAgg.DefaultK): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(KllQuantileAgg.kllAgg(col(valueCol), k).as("qsketch"))
+
+  /** Per-group quantile estimates from materialized sketches — no
+    * raw-data access. One output column per requested rank, named
+    * `p<100·rank>`.
+    */
+  def quantileEstimates(sketches: DataFrame, groupCol: String,
+      ranks: Seq[Double]): DataFrame =
+    sketches.select(col(groupCol) +: ranks.map(r =>
+      KllQuantileAgg.kllQuantile(col("qsketch"), lit(r))
+        .as(s"p${(r * 100).round}")): _*)
+      .orderBy(col(groupCol))
+
+  /** Merge per-group quantile sketches (or any filtered subset) into one
+    * and read the requested ranks off it.
+    */
+  def unionQuantiles(sketches: DataFrame, ranks: Seq[Double]): DataFrame = {
+    val merged = sketches.agg(
+      KllQuantileAgg.kllUnion(col("qsketch")).as("_m"))
+    merged.select(ranks.map(r =>
+      KllQuantileAgg.kllQuantile(col("_m"), lit(r))
+        .as(s"p${(r * 100).round}")): _*)
+  }
 }

@@ -95,20 +95,27 @@ object PipelineQueries {
     Similarity.pcaTopK(annQueries(s, dir), Tables.embeddings(s, dir),
       "vec_id", "embedding", AnnK, AnnDim)
 
-  /** Mergeable HLL sketch rollup over events: per-event-type distinct
-    * users from materialized sketches plus the union-of-sketches global
-    * row — the summary-table pattern that serves 100 TB distinct-count
-    * dashboards from kilobytes. Estimates are DataSketches-specific so
-    * there is no SQL oracle (rows-only); `SketchRollupSpec` gates the
-    * estimates against exact counts and pins the roll-up identity.
+  /** Mergeable sketch rollup over events: per-event-type distinct users
+    * (HLL) and value percentiles (KLL) from materialized sketches, plus
+    * the union-of-sketches `__all__` row — the summary-table pattern
+    * that serves 100 TB dashboards from kilobytes. Estimates are
+    * DataSketches-specific so there is no SQL oracle (rows-only);
+    * `SketchRollupSpec` gates both legs against exact answers and pins
+    * the roll-up identities. The crossJoin is 1 row × 1 row (the two
+    * global sketch merges), not a data join.
     */
   def sketchRollup(s: SparkSession, dir: String): DataFrame = {
-    val sk = SketchRollup.sketchBy(Tables.events(s, dir),
-      "event_type", "user_id").cache()
-    val per = SketchRollup.estimates(sk, "event_type")
-    val global = SketchRollup.unionEstimate(sk)
+    val ev = Tables.events(s, dir)
+    val hll = SketchRollup.sketchBy(ev, "event_type", "user_id").cache()
+    val kll = SketchRollup.quantileSketchBy(ev, "event_type", "value").cache()
+    val ranks = Seq(0.5, 0.95)
+    val per = SketchRollup.estimates(hll, "event_type")
+      .join(SketchRollup.quantileEstimates(kll, "event_type", ranks),
+        Seq("event_type"))
+    val global = SketchRollup.unionEstimate(hll)
       .select(lit("__all__").as("event_type"), col("distinct_est"))
-    per.unionAll(global).orderBy(col("event_type"))
+      .crossJoin(SketchRollup.unionQuantiles(kll, ranks))
+    per.unionByName(global).orderBy(col("event_type"))
   }
 
   def textStats(s: SparkSession, dir: String): DataFrame =

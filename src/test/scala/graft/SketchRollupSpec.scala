@@ -41,6 +41,41 @@ class SketchRollupSpec extends SparkTestBase {
       s"rolled estimate $rolled vs exact $exact drifted past 5%")
   }
 
+  /** Exact values at ranks (q−ε)n … (q+ε)n bound a KLL estimate: the
+    * sketch guarantees |est_rank − true_rank| ≤ ε·n (ε ≈ 1.65% at k=200,
+    * 99% conf; we allow 3% for the union path's doubled constant).
+    */
+  private def assertWithinRankError(est: Double, sorted: Array[Double],
+      q: Double, label: String): Unit = {
+    val n = sorted.length
+    val lo = sorted(math.max(0, (n * (q - 0.03)).floor.toInt))
+    val hi = sorted(math.min(n - 1, (n * (q + 0.03)).ceil.toInt))
+    assert(est >= lo && est <= hi,
+      s"$label: p${(q * 100).round} estimate $est outside exact rank band [$lo, $hi]")
+  }
+
+  test("per-group KLL quantiles stay within the rank-error band of exact order statistics") {
+    val sk = SketchRollup.quantileSketchBy(events, "event_type", "value")
+    val est = SketchRollup.quantileEstimates(sk, "event_type", Seq(0.5, 0.95))
+      .as[(String, Double, Double)].collect()
+    assert(est.nonEmpty)
+    est.foreach { case (g, p50, p95) =>
+      val sorted = events.filter(col("event_type") === g)
+        .select("value").as[Double].collect().sorted
+      assertWithinRankError(p50, sorted, 0.5, g)
+      assertWithinRankError(p95, sorted, 0.95, g)
+    }
+  }
+
+  test("union of per-group KLL sketches answers global percentiles within the band") {
+    val sk = SketchRollup.quantileSketchBy(events, "event_type", "value")
+    val (p50, p95) = SketchRollup.unionQuantiles(sk, Seq(0.5, 0.95))
+      .as[(Double, Double)].head()
+    val sorted = events.select("value").as[Double].collect().sorted
+    assertWithinRankError(p50, sorted, 0.5, "union")
+    assertWithinRankError(p95, sorted, 0.95, "union")
+  }
+
   test("subset rollup: filtering sketch rows answers a cohort query without raw data") {
     val sk = SketchRollup.sketchBy(events, "event_type", "user_id").cache()
     val types = sk.select("event_type").as[String].collect().sorted.take(2)
