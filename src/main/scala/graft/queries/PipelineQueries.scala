@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.functions.ThetaSketchAgg
 import graft.operators.{Cdc, Cohorts, Dedup, Graph, Layout, Multimodal, Packing, Quantize, Sampling, Similarity, SketchRollup, Snapshot, TemporalJoins, TextAnalysis, TimeSeries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -116,6 +117,31 @@ object PipelineQueries {
       .select(lit("__all__").as("event_type"), col("distinct_est"))
       .crossJoin(SketchRollup.unionQuantiles(kll, ranks))
     per.unionByName(global).orderBy(col("event_type"))
+  }
+
+  /** Audience overlap via theta sketch set algebra: per ordered pair of
+    * event types, estimated |users(a) ∩ users(b)| and |users(a) \
+    * users(b)| — computed entirely on per-type sketch blobs (ONE scan of
+    * events; the pair join is 6 sketch rows × 6 sketch rows, broadcast).
+    * HLL cannot do this: only theta sketches support intersection /
+    * difference. Below k=4096 retained entries a theta sketch is EXACT,
+    * so at the driver's scale factors this carries a full DuckDB hash
+    * oracle; at production cardinalities it degrades to ~1/√k relative
+    * error (`ThetaSketchSpec` gates that regime on planted data).
+    */
+  def sketchOverlap(s: SparkSession, dir: String): DataFrame = {
+    val sk = Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(ThetaSketchAgg.thetaAgg(col("user_id")).as("sk"))
+    val a = sk.select(col("event_type").as("type_a"), col("sk").as("ska"))
+    val b = sk.select(col("event_type").as("type_b"), col("sk").as("skb"))
+    a.join(b, col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"),
+        round(ThetaSketchAgg.intersectEstimate(col("ska"), col("skb")))
+          .cast("long").as("n_common"),
+        round(ThetaSketchAgg.aNotBEstimate(col("ska"), col("skb")))
+          .cast("long").as("n_only_a"))
+      .orderBy(col("type_a"), col("type_b"))
   }
 
   def textStats(s: SparkSession, dir: String): DataFrame =
@@ -915,6 +941,7 @@ object PipelineQueries {
     "ann_topk_ivf" -> (annTopkIvf _),
     "ann_topk_pca" -> (annTopkPca _),
     "sketch_rollup" -> (sketchRollup _),
+    "sketch_overlap" -> (sketchOverlap _),
     "q_cdc_apply" -> (qCdcApply _)
   )
 
@@ -1336,6 +1363,19 @@ object PipelineQueries {
         |    AS variance,
         |  min(x) AS min_x, max(x) AS max_x
         |FROM v GROUP BY dim ORDER BY dim""".stripMargin,
+    "sketch_overlap" ->
+      """WITH s AS (SELECT DISTINCT event_type, user_id FROM events),
+        |c AS (SELECT event_type, count(*) AS n FROM s GROUP BY 1),
+        |i AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |        count(*) AS n_common
+        |      FROM s a JOIN s b USING (user_id)
+        |      WHERE a.event_type < b.event_type GROUP BY 1, 2)
+        |SELECT ca.event_type AS type_a, cb.event_type AS type_b,
+        |  COALESCE(i.n_common, 0) AS n_common,
+        |  ca.n - COALESCE(i.n_common, 0) AS n_only_a
+        |FROM c ca JOIN c cb ON ca.event_type < cb.event_type
+        |LEFT JOIN i ON i.type_a = ca.event_type AND i.type_b = cb.event_type
+        |ORDER BY type_a, type_b""".stripMargin,
     "q_cdc_apply" ->
       """SELECT user_id, ts, event_id, value FROM (
         |  SELECT user_id, ts, event_id, value, event_type,
