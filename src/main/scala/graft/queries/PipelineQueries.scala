@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.ThetaSketchAgg
-import graft.operators.{Cdc, Cohorts, Dedup, Graph, Layout, Multimodal, Packing, Quantize, Sampling, Similarity, SketchRollup, Snapshot, TemporalJoins, TextAnalysis, TimeSeries}
+import graft.operators.{Cdc, Cohorts, Dedup, Graph, IncrementalAgg, Layout, Multimodal, Packing, Quantize, Sampling, Similarity, SketchRollup, Snapshot, TemporalJoins, TextAnalysis, TimeSeries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -671,6 +671,28 @@ object PipelineQueries {
       Seq("value")).orderBy(col("user_id"))
   }
 
+  /** Incremental aggregate maintenance over events: the stored state is
+    * built from four disjoint batches (deterministic event_id % 4 split,
+    * standing in for four daily commits) and MERGED — never a rescan of
+    * the union — yet the DuckDB oracle is a one-shot GROUP BY over
+    * everything, hash-pinning `merge ∘ state == state ∘ union`. The
+    * measure is `floor(value·100)` cents: integral, so partial sums are
+    * exact and order-independent (double sums would drift by merge
+    * order; floor avoids round()'s HALF_UP tie divergence vs DuckDB).
+    */
+  def qIncrAgg(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .withColumn("cents", floor(col("value") * 100).cast("long"))
+    val batches = (0 to 3).map(i =>
+      IncrementalAgg.state(
+        ev.filter(pmod(col("event_id"), lit(4)) === i), "event_type", "cents"))
+    IncrementalAgg.merge(batches, "event_type")
+      .select(col("event_type"), col("n"), col("sum_m"), col("min_m"),
+        col("max_m"), (col("sum_m").cast("double") / col("n"))
+          .as("mean_cents"))
+      .orderBy(col("event_type"))
+  }
+
   /** Per-source quota cap: at most 10 documents per source, hash-chosen
     * ([[Sampling.cappedPerStratum]]) — the max-N-pages-per-host crawl
     * rule. Cap 10 binds at every test scale factor (25 docs/source at
@@ -942,7 +964,8 @@ object PipelineQueries {
     "ann_topk_pca" -> (annTopkPca _),
     "sketch_rollup" -> (sketchRollup _),
     "sketch_overlap" -> (sketchOverlap _),
-    "q_cdc_apply" -> (qCdcApply _)
+    "q_cdc_apply" -> (qCdcApply _),
+    "q_incr_agg" -> (qIncrAgg _)
   )
 
   /** Shared shingle CTE for the Jaccard oracles — MUST stay in lockstep
@@ -1376,6 +1399,14 @@ object PipelineQueries {
         |FROM c ca JOIN c cb ON ca.event_type < cb.event_type
         |LEFT JOIN i ON i.type_a = ca.event_type AND i.type_b = cb.event_type
         |ORDER BY type_a, type_b""".stripMargin,
+    "q_incr_agg" ->
+      """WITH c AS (SELECT event_type,
+        |  CAST(floor(value * 100) AS BIGINT) AS cents FROM events)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_m,
+        |  min(cents) AS min_m, max(cents) AS max_m,
+        |  CAST(sum(cents) AS DOUBLE) / count(*) AS mean_cents
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_cdc_apply" ->
       """SELECT user_id, ts, event_id, value FROM (
         |  SELECT user_id, ts, event_id, value, event_type,
