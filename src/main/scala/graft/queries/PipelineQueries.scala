@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.ThetaSketchAgg
-import graft.operators.{Cdc, Cohorts, Dedup, Graph, IncrementalAgg, Layout, Multimodal, Packing, Quantize, Sampling, Similarity, SketchRollup, Snapshot, TemporalJoins, TextAnalysis, TimeSeries}
+import graft.operators.{Cdc, Cohorts, DataQuality, Dedup, Graph, IncrementalAgg, Layout, Multimodal, Packing, Quantize, Sampling, Similarity, SketchRollup, Snapshot, TemporalJoins, TextAnalysis, TimeSeries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -671,6 +671,29 @@ object PipelineQueries {
       Seq("value")).orderBy(col("user_id"))
   }
 
+  /** Data-quality constraint report over the orders star: fused
+    * single-scan rule checks (completeness, domain, range) + a
+    * groups-sized uniqueness check + two referential-integrity anti
+    * joins — the publish gate a production pipeline runs before data
+    * ships. All exact counts, fully hash-checked; see
+    * [[DataQuality]] for the one-scan fusion shape.
+    */
+  def qDqChecks(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir)
+    val rules = DataQuality.checkRules(orders, Seq(
+      "orders_date_complete" -> col("o_orderdate").isNotNull,
+      "orders_price_positive" -> (col("o_totalprice") > 0),
+      "orders_status_domain" -> col("o_orderstatus").isin("O", "F", "P")))
+    val unique = DataQuality.checkUnique(orders, "orders_key_unique",
+      Seq("o_orderkey"))
+    val ri1 = DataQuality.checkReferential(orders, Tables.customer(s, dir),
+      "orders_custkey_ri", "o_custkey", "c_custkey")
+    val ri2 = DataQuality.checkReferential(Tables.lineitem(s, dir), orders,
+      "lineitem_orderkey_ri", "l_orderkey", "o_orderkey")
+    rules.unionByName(unique).unionByName(ri1).unionByName(ri2)
+      .orderBy(col("check_name"))
+  }
+
   /** Incremental aggregate maintenance over events: the stored state is
     * built from four disjoint batches (deterministic event_id % 4 split,
     * standing in for four daily commits) and MERGED — never a rescan of
@@ -965,7 +988,8 @@ object PipelineQueries {
     "sketch_rollup" -> (sketchRollup _),
     "sketch_overlap" -> (sketchOverlap _),
     "q_cdc_apply" -> (qCdcApply _),
-    "q_incr_agg" -> (qIncrAgg _)
+    "q_incr_agg" -> (qIncrAgg _),
+    "q_dq_checks" -> (qDqChecks _)
   )
 
   /** Shared shingle CTE for the Jaccard oracles — MUST stay in lockstep
@@ -1399,6 +1423,35 @@ object PipelineQueries {
         |FROM c ca JOIN c cb ON ca.event_type < cb.event_type
         |LEFT JOIN i ON i.type_a = ca.event_type AND i.type_b = cb.event_type
         |ORDER BY type_a, type_b""".stripMargin,
+    "q_dq_checks" ->
+      """SELECT * FROM (
+        |  SELECT 'orders_date_complete' AS check_name, count(*) AS n_checked,
+        |    count(CASE WHEN (o_orderdate IS NOT NULL) IS NOT TRUE THEN 1 END)
+        |      AS n_violations FROM orders
+        |  UNION ALL
+        |  SELECT 'orders_price_positive', count(*),
+        |    count(CASE WHEN (o_totalprice > 0) IS NOT TRUE THEN 1 END)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'orders_status_domain', count(*),
+        |    count(CASE WHEN (o_orderstatus IN ('O','F','P')) IS NOT TRUE
+        |      THEN 1 END)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'orders_key_unique', count(*),
+        |    count(CASE WHEN cnt > 1 THEN 1 END)
+        |  FROM (SELECT o_orderkey, count(*) AS cnt FROM orders GROUP BY 1)
+        |  UNION ALL
+        |  SELECT 'orders_custkey_ri', count(*),
+        |    count(CASE WHEN c.c_custkey IS NULL THEN 1 END)
+        |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |  WHERE o.o_custkey IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'lineitem_orderkey_ri', count(*),
+        |    count(CASE WHEN o.o_orderkey IS NULL THEN 1 END)
+        |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE l.l_orderkey IS NOT NULL
+        |) ORDER BY check_name""".stripMargin,
     "q_incr_agg" ->
       """WITH c AS (SELECT event_type,
         |  CAST(floor(value * 100) AS BIGINT) AS cents FROM events)
