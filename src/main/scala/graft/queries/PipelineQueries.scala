@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.functions.ThetaSketchAgg
+import graft.functions.{FreqItemsAgg, Text, ThetaSketchAgg}
 import graft.operators.{Cdc, Cohorts, DataQuality, Dedup, Graph, IncrementalAgg, Layout, Multimodal, Packing, Quantize, Sampling, Similarity, SketchRollup, Snapshot, TemporalJoins, TextAnalysis, TimeSeries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -671,6 +671,24 @@ object PipelineQueries {
       Seq("value")).orderBy(col("user_id"))
   }
 
+  /** Heavy-hitter tokens via the Misra–Gries frequent-items sketch:
+    * every token holding ≥ 2% of the corpus token stream, found in
+    * bounded memory with NO vocabulary-sized shuffle — per-shard
+    * sketches merge, the threshold is a share of the stream length the
+    * sketch itself measured. Below sketch capacity counts are exact
+    * (deterministic), which is the regime the DuckDB hash oracle
+    * checks; the purge regime's ε·N guarantee is spec-gated on planted
+    * Zipf data (`FreqItemsSpec`).
+    */
+  def sketchHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val sk = Tables.documents(s, dir)
+      .select(explode(Text.tokens(col("text"))).as("token"))
+      .agg(FreqItemsAgg.freqItems(col("token"), 1024).as("sk"))
+    sk.select(explode(FreqItemsAgg.itemsAbove(col("sk"), lit(0.02))))
+      .select(col("key").as("token"), col("value").as("freq"))
+      .orderBy(col("token"))
+  }
+
   /** Data-quality constraint report over the orders star: fused
     * single-scan rule checks (completeness, domain, range) + a
     * groups-sized uniqueness check + two referential-integrity anti
@@ -989,7 +1007,8 @@ object PipelineQueries {
     "sketch_overlap" -> (sketchOverlap _),
     "q_cdc_apply" -> (qCdcApply _),
     "q_incr_agg" -> (qIncrAgg _),
-    "q_dq_checks" -> (qDqChecks _)
+    "q_dq_checks" -> (qDqChecks _),
+    "sketch_heavy_hitters" -> (sketchHeavyHitters _)
   )
 
   /** Shared shingle CTE for the Jaccard oracles — MUST stay in lockstep
@@ -1423,6 +1442,16 @@ object PipelineQueries {
         |FROM c ca JOIN c cb ON ca.event_type < cb.event_type
         |LEFT JOIN i ON i.type_a = ca.event_type AND i.type_b = cb.event_type
         |ORDER BY type_a, type_b""".stripMargin,
+    "sketch_heavy_hitters" ->
+      """WITH t AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')
+        |    AS toks
+        |  FROM documents),
+        |c AS (SELECT g AS token, count(*) AS n
+        |      FROM (SELECT unnest(toks) AS g FROM t) GROUP BY g),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+        |SELECT token, n AS freq FROM c, tot
+        |WHERE n >= 0.02e0 * total ORDER BY token""".stripMargin,
     "q_dq_checks" ->
       """SELECT * FROM (
         |  SELECT 'orders_date_complete' AS check_name, count(*) AS n_checked,
