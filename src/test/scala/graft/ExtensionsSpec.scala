@@ -29,4 +29,32 @@ class ExtensionsSpec extends SparkTestBase {
       .as[(Long, Seq[Long])].collect().toSeq
     assert(top == Seq((1L, Seq(11L, 12L)), (2L, Seq(13L))))
   }
+
+  test("the sketch family (kll / theta / freq_items) is callable from SQL") {
+    GraftExtensions.register(spark)
+
+    spark.range(1, 1001).selectExpr("CAST(id AS DOUBLE) AS v",
+      "CAST(id % 4 AS LONG) AS g").createOrReplaceTempView("vals")
+    // 1..1000 < k: KLL is exact-capacity here, p50 must be the median band
+    val p50 = spark.sql(
+      """SELECT kll_quantile(kll_union_agg(sk), 0.5D) AS p50 FROM (
+        |  SELECT g, kll_sketch_agg(v) AS sk FROM vals GROUP BY g)""".stripMargin)
+      .as[Double].head()
+    assert(p50 >= 450 && p50 <= 550, s"p50 from SQL drifted: $p50")
+
+    // two exact-regime theta sets: 1..600 and 401..1000 overlap in 200
+    val inter = spark.sql(
+      """SELECT theta_intersect_estimate(a.sk, b.sk) AS x FROM
+        |  (SELECT theta_sketch_agg(id) AS sk FROM range(1, 601)) a,
+        |  (SELECT theta_sketch_agg(id) AS sk FROM range(401, 1001)) b""".stripMargin)
+      .as[Double].head()
+    assert(inter == 200.0, s"theta intersection from SQL drifted: $inter")
+
+    val hot = spark.sql(
+      """SELECT map_keys(freq_items_above(freq_items_agg(t), 0.4D)) AS ks
+        |FROM (SELECT CASE WHEN id % 2 = 0 THEN 'a' ELSE concat('x', id) END AS t
+        |      FROM range(0, 200))""".stripMargin)
+      .as[Seq[String]].head()
+    assert(hot == Seq("a"), s"freq_items from SQL drifted: $hot")
+  }
 }
