@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, FreqItemsAbove, FreqItemsAgg, KllDoublesAgg, KllQuantile, KllUnionAgg, MinGramMd5, MinHashAgg, PolyHash, SimHashAgg, ThetaAnotBEstimate, ThetaIntersectEstimate, ThetaSketchAgg, ThetaUnionAgg, TopKByScore}
+import graft.functions.{DotProduct, FreqItemsAbove, FreqItemsAgg, KllDoublesAgg, KllQuantile, KllUnionAgg, MinGramMd5, MinHashAgg, PolyHash, SimHashAgg, ThetaAnotBEstimate, ThetaEstimate, ThetaIntersectEstimate, ThetaSketchAgg, ThetaUnionAgg, TopKByScore}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -64,6 +64,7 @@ object GraftExtensions {
     "theta_union_agg" -> { args =>
       ThetaUnionAgg(args(0), if (args.size > 1)
         intArg(args(1), "theta_union_agg") else 12) },
+    "theta_estimate" -> { args => ThetaEstimate(args(0)) },
     "theta_intersect_estimate" -> { args =>
       ThetaIntersectEstimate(args(0), args(1)) },
     "theta_a_not_b_estimate" -> { args => ThetaAnotBEstimate(args(0), args(1)) },

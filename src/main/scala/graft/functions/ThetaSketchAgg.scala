@@ -155,6 +155,23 @@ sealed abstract class ThetaBinaryEstimate extends BinaryExpression
     Sketches.wrapCompactSketch(Memory.wrap(v.asInstanceOf[Array[Byte]]))
 }
 
+/** Distinct estimate of one serialized theta sketch. */
+case class ThetaEstimate(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "theta_estimate"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"theta_estimate requires a binary sketch, got ${child.dataType.catalogString}")
+  override protected def nullSafeEval(v: Any): Any =
+    Sketches.wrapCompactSketch(
+      Memory.wrap(v.asInstanceOf[Array[Byte]])).getEstimate
+  override protected def withNewChildInternal(c: Expression): ThetaEstimate =
+    copy(child = c)
+}
+
 /** Estimated |A ∩ B| from two serialized theta sketches. */
 case class ThetaIntersectEstimate(left: Expression, right: Expression)
   extends ThetaBinaryEstimate {
@@ -189,6 +206,9 @@ object ThetaSketchAgg {
   def thetaUnion(sketchCol: Column, lgK: Int = 12): Column =
     ColumnBridge.column(
       ThetaUnionAgg(ColumnBridge.expression(sketchCol), lgK).toAggregateExpression())
+
+  def estimate(sketchCol: Column): Column =
+    ColumnBridge.column(ThetaEstimate(ColumnBridge.expression(sketchCol)))
 
   def intersectEstimate(a: Column, b: Column): Column =
     ColumnBridge.column(ThetaIntersectEstimate(

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.functions.ThetaSketchAgg
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -86,4 +87,22 @@ object EventAggregates {
         col(rightTs) <= col(leftTs) + expr(s"INTERVAL $after"))
       .drop(r(keyCol))
   }
+
+  /** Tumbling-window distinct users via the theta sketch aggregate —
+    * streaming COUNT(DISTINCT), which Spark disallows directly in
+    * streaming aggregations (it can't be incrementally maintained
+    * exactly in bounded state). The sketch CAN: per-window state is one
+    * mergeable blob, exact below sketch capacity, watermark-bounded like
+    * any windowed agg. The same [[graft.functions.ThetaSketchAgg]] the
+    * batch `sketch_overlap` query uses — one aggregate, both engines.
+    */
+  def tumblingDistinctUsers(events: DataFrame, tsCol: String,
+      windowLen: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen).as("w"))
+      .agg(ThetaSketchAgg.thetaAgg(col("user_id")).as("sk"))
+      .select(col("w.start").as("window_start"),
+        round(ThetaSketchAgg.estimate(col("sk")))
+          .cast("long").as("distinct_users"))
 }

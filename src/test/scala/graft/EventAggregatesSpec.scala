@@ -127,6 +127,32 @@ class EventAggregatesSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming distinct users per window via theta sketch equals the batch run and the true distincts") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventAggregates.tumblingDistinctUsers(input.toDF(), "ts",
+      "10 minutes", "30 minutes")
+      .writeStream.format("memory").queryName("tdu")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      input.addData(batch)
+      q.processAllAvailable()
+      val streaming = spark.table("tdu")
+        .orderBy("window_start").as[(Timestamp, Long)].collect().toSeq
+      val batchRun = EventAggregates.tumblingDistinctUsers(batch.toDF(), "ts",
+        "10 minutes", "30 minutes")
+        .orderBy("window_start").as[(Timestamp, Long)].collect().toSeq
+      assert(streaming == batchRun)
+      // exact regime (users << k): estimates ARE the true distincts
+      val exact = batch.groupBy(e =>
+        new Timestamp(e.ts.getTime / 600000 * 600000))
+        .view.mapValues(_.map(_.user_id).distinct.size.toLong)
+        .toSeq.sortBy(_._1.getTime)
+      assert(streaming.map { case (t, n) => (t.getTime, n) } ==
+        exact.map { case (t, n) => (t.getTime, n) })
+    } finally q.stop()
+  }
+
   test("stream-static dim enrichment equals the batch join; dim side broadcast") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
