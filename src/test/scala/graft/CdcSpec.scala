@@ -58,6 +58,29 @@ class CdcSpec extends SparkTestBase {
     assert(whole.count() < 40)
   }
 
+  test("randomized logs: distributed apply equals an in-memory fold, chunked any way") {
+    val rnd = new scala.util.Random(42)
+    (1 to 5).foreach { round =>
+      val nKeys = 30 + rnd.nextInt(40)
+      val ops = (1 to 600).map { i =>
+        (rnd.nextInt(nKeys).toLong, i.toLong,
+          if (rnd.nextInt(4) == 0) "D" else "U", s"p$round-$i")
+      }
+      // oracle: in-memory fold in ord order, last op wins, D removes
+      val want = ops.groupBy(_._1).flatMap { case (k, ks) =>
+        val (_, ord, op, v) = ks.maxBy(_._2)
+        if (op == "D") None else Some((k, ord, v))
+      }.toSeq.sorted
+      // distributed: split into 3 chunks along ord and apply in sequence
+      val sorted = ops.sortBy(_._2)
+      val chunks = sorted.grouped(200).toSeq
+      val got = chunks.foldLeft(emptyBase) { (st, chunk) =>
+        applyLog(st, logDf(chunk: _*))
+      }.select("k", "ord", "v").as[(Long, Long, String)].collect().sorted.toSeq
+      assert(got == want, s"round $round diverged")
+    }
+  }
+
   test("plan is one hash aggregation, no window sort") {
     val log = logDf((1L, 1L, "U", "a"))
     val plan = applyLog(emptyBase, log).queryExecution.executedPlan
