@@ -76,6 +76,28 @@ class SketchRollupSpec extends SparkTestBase {
     assertWithinRankError(p95, sorted, 0.95, "union")
   }
 
+  test("sketch summary tables survive a parquet round trip and still roll up") {
+    val dir = java.nio.file.Files.createTempDirectory("sk").toString
+    try {
+      SketchRollup.sketchBy(events, "event_type", "user_id")
+        .write.mode("overwrite").parquet(s"$dir/hll")
+      SketchRollup.quantileSketchBy(events, "event_type", "value")
+        .write.mode("overwrite").parquet(s"$dir/kll")
+      val hll = spark.read.parquet(s"$dir/hll")
+      val kll = spark.read.parquet(s"$dir/kll")
+      val rolled = SketchRollup.unionEstimate(hll).as[Long].head()
+      val exact = events.select(countDistinct("user_id")).as[Long].head()
+      assert(math.abs(rolled - exact) <= math.max(3, (exact * 0.05).toLong))
+      val (p50, p95) = SketchRollup.unionQuantiles(kll, Seq(0.5, 0.95))
+        .as[(Double, Double)].head()
+      val sorted = events.select("value").as[Double].collect().sorted
+      assertWithinRankError(p50, sorted, 0.5, "reloaded")
+      assertWithinRankError(p95, sorted, 0.95, "reloaded")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("subset rollup: filtering sketch rows answers a cohort query without raw data") {
     val sk = SketchRollup.sketchBy(events, "event_type", "user_id").cache()
     val types = sk.select("event_type").as[String].collect().sorted.take(2)
