@@ -429,4 +429,89 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame =
     queryIvf(buildIvf(corpus, idCol, vecCol, nlist), queries, idCol, vecCol, k, nprobe)
+
+  // -------------------------------------------------------- PQ path
+
+  /** Product-quantization codebooks (Jégou et al. 2011): the `dim`-dim
+    * space splits into `m` subspaces of dim/m dims; each subspace gets
+    * `ksub` centroids k-means-trained (Euclidean) on the same bounded
+    * hash-ordered sample discipline as [[trainCentroids]] — driver-sized
+    * training regardless of corpus size.
+    */
+  private def trainPqCodebooks(corpus: DataFrame, idCol: String,
+      vecCol: String, dim: Int, m: Int, ksub: Int): Seq[Seq[Seq[Double]]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val d0 = dim / m
+    val sample = corpus.orderBy(xxhash64(col(idCol)), col(idCol)).limit(ksub * 32)
+      .select(col(vecCol)).as[Array[Float]].collect()
+      .map(_.map(_.toDouble))
+    (0 until m).map { j =>
+      val sub = sample.map(_.slice(j * d0, (j + 1) * d0))
+      var cents = sub.take(ksub)
+      for (_ <- 0 until 5) {
+        val assign = sub.map(v => cents.zipWithIndex.minBy { case (c, i) =>
+          (c.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum, i)
+        }._2)
+        cents = cents.indices.map { i =>
+          val mem = sub.zip(assign).collect { case (v, a) if a == i => v }
+          if (mem.isEmpty) cents(i)
+          else mem.transpose.map(_.sum / mem.length).toArray
+        }.toArray
+      }
+      cents.map(_.toSeq).toSeq
+    }
+  }
+
+  /** Approximate top-k over PRODUCT-QUANTIZED vectors — the standard
+    * memory-compression leg of a vector store: each corpus vector is
+    * encoded once as `m` small centroid codes (m·log₂ksub bits — 32×
+    * smaller than float32 at the defaults on 64 dims) plus its exact
+    * norm, and queries score codes by asymmetric distance computation:
+    * a per-query lookup table of (subspace × centroid) partial dot
+    * products is computed ONCE per query row, then every candidate's
+    * approximate dot product is just `m` table lookups — no float
+    * arithmetic against the corpus vector, which no longer exists.
+    *
+    * Scale shape: encoding is one projection pass against broadcast
+    * codebook literals (no shuffle, argmin via the dot−½‖c‖² identity);
+    * the LUT rides the broadcast query row; the scored join then the
+    * bounded [[TopKByScore]] heap mirror [[bruteTopK]] exactly. At
+    * 100 TB the wins are the 32× smaller index (RAM-resident where
+    * floats spill) and d0-free scoring; compose with IVF cells to also
+    * cut the candidate count.
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, dim: Int, m: Int = 16, ksub: Int = 32): DataFrame = {
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val d0 = dim / m
+    val codebooks = trainPqCodebooks(corpus, idCol, vecCol, dim, m, ksub)
+    val cb = typedlit(codebooks)
+    // 0.5*||c||^2 per centroid, precomputed once as a literal
+    val bias = typedlit(codebooks.map(_.map(c => 0.5 * c.map(x => x * x).sum)))
+
+    def subv(vec: Column, j: Int): Column = slice(vec, j * d0 + 1, d0)
+    // argmin ||x_j - c||^2 = argmax (c . x_j - 0.5||c||^2); 1-based
+    def code(vec: Column, j: Int): Column = {
+      val scores = zip_with(cb.getItem(j), bias.getItem(j),
+        (c, b) => VectorOps.dot(c, subv(vec, j)) - b)
+      array_position(scores, array_max(scores)).cast("int")
+    }
+    val encoded = corpus.select(col(idCol).as("_cid"),
+      VectorOps.norm(col(vecCol)).as("_cn"),
+      array((0 until m).map(code(col(vecCol), _)): _*).as("_codes"))
+
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
+      VectorOps.norm(col(vecCol)).as("_qn"))
+      .withColumn("_lut", array((0 until m).map(j =>
+        transform(cb.getItem(j), c => VectorOps.dot(c, subv(col("_qv"), j)))): _*))
+      .drop("_qv")
+    val adc = (0 until m).map(j =>
+      element_at(element_at(col("_lut"), j + 1), col("_codes").getItem(j)))
+      .reduce(_ + _)
+    val scored = encoded.join(broadcast(q), col("_cid") =!= col("query_id"))
+      .select(col("query_id"), col("_cid"),
+        round(adc / (col("_qn") * col("_cn")), 6).as("_score"))
+    rankTopK(scored, k)
+  }
 }

@@ -96,6 +96,10 @@ object PipelineQueries {
     Similarity.pcaTopK(annQueries(s, dir), Tables.embeddings(s, dir),
       "vec_id", "embedding", AnnK, AnnDim)
 
+  def annTopkPq(s: SparkSession, dir: String): DataFrame =
+    Similarity.pqTopK(annQueries(s, dir), Tables.embeddings(s, dir),
+      "vec_id", "embedding", AnnK, AnnDim)
+
   /** Mergeable sketch rollup over events: per-event-type distinct users
     * (HLL) and value percentiles (KLL) from materialized sketches, plus
     * the union-of-sketches `__all__` row — the summary-table pattern
@@ -1003,6 +1007,7 @@ object PipelineQueries {
     "ann_topk_lsh" -> (annTopkLsh _),
     "ann_topk_ivf" -> (annTopkIvf _),
     "ann_topk_pca" -> (annTopkPca _),
+    "ann_topk_pq" -> (annTopkPq _),
     "sketch_rollup" -> (sketchRollup _),
     "sketch_overlap" -> (sketchOverlap _),
     "q_cdc_apply" -> (qCdcApply _),

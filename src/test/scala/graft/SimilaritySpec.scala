@@ -114,6 +114,20 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.4, s"recall@5 = $recall below floor")
   }
 
+  test("pqTopK recall@5 >= 0.4 vs brute force at sf0.01 (near-random data, the honest worst case)") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val queries = emb.filter($"vec_id" < 10)
+    val brute = annPairs(Similarity.bruteTopK(queries, emb, "vec_id", "embedding", 5))
+    val pq = annPairs(Similarity.pqTopK(queries, emb, "vec_id", "embedding", 5, 64))
+    val recall = (brute & pq).size.toDouble / brute.size
+    // 16 subspaces x 32 centroids on isotropic noise (measured 0.48):
+    // quantization error dominates when there is no cluster structure;
+    // clustered corpora sit far higher. Training is deterministic
+    // (hash-ordered sample, argmin-with-index tiebreak), so this is a
+    // stable number, not a distribution.
+    assert(recall >= 0.4, s"recall@5 = $recall below floor")
+  }
+
   test("semanticPairs: exact precision (subset of all-pairs) and full recall on planted clusters") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
     // precision = 1 by construction: every emitted pair must appear in
