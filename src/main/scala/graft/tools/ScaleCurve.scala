@@ -35,7 +35,8 @@ object ScaleCurve {
     "dedup_incremental", "graph_pagerank", "text_dup_spans",
     "text_ngram_lm", "dedup_containment", "q_resample_ffill",
     "mm_image_resize", "mm_frame_sample", "text_knn_jaccard",
-    "graph_triangles", "text_lm_score", "chunk_cdc", "ann_topk_pca")
+    "graph_triangles", "text_lm_score", "chunk_cdc", "ann_topk_pca",
+    "ann_topk_pq")
 
   /** SPARK_GRAFT_SCALE_ONLY: comma-separated exact names — run a subset
     * (new-row refresh) without re-measuring the whole table.
