@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, FreqItemsAbove, FreqItemsAgg, KllDoublesAgg, KllQuantile, KllUnionAgg, MinGramMd5, MinHashAgg, PolyHash, SimHashAgg, ThetaAnotBEstimate, ThetaEstimate, ThetaIntersectEstimate, ThetaSketchAgg, ThetaUnionAgg, TopKByScore}
+import graft.functions.{DotProduct, FreqItemsAbove, FreqItemsAgg, KllDoublesAgg, KllQuantile, KllUnionAgg, MinGramMd5, MinHashAgg, PolyHash, SimHashAgg, ThetaAnotBEstimate, ThetaEstimate, ThetaIntersectEstimate, ThetaJaccardEstimate, ThetaSketchAgg, ThetaUnionAgg, TopKByScore}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -68,6 +68,7 @@ object GraftExtensions {
     "theta_intersect_estimate" -> { args =>
       ThetaIntersectEstimate(args(0), args(1)) },
     "theta_a_not_b_estimate" -> { args => ThetaAnotBEstimate(args(0), args(1)) },
+    "theta_jaccard_estimate" -> { args => ThetaJaccardEstimate(args(0), args(1)) },
     "freq_items_agg" -> { args =>
       FreqItemsAgg(args(0), if (args.size > 1)
         intArg(args(1), "freq_items_agg") else 1024) },

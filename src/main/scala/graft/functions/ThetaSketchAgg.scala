@@ -183,6 +183,28 @@ case class ThetaIntersectEstimate(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Estimated Jaccard similarity |A ∩ B| / |A ∪ B| from two serialized
+  * theta sketches — set-similarity monitoring (audience overlap ratio,
+  * cohort drift between snapshots) straight off the summary table.
+  * Exact below k retained entries like the other theta expressions;
+  * empty-union pairs define J = 0.
+  */
+case class ThetaJaccardEstimate(left: Expression, right: Expression)
+  extends ThetaBinaryEstimate {
+  override def prettyName: String = "theta_jaccard_estimate"
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val sa = sketch(a); val sb = sketch(b)
+    val u = SetOperation.builder().buildUnion()
+    u.union(sa); u.union(sb)
+    val denom = u.getResult().getEstimate
+    if (denom == 0.0) 0.0
+    else SetOperation.builder().buildIntersection()
+      .intersect(sa, sb).getEstimate / denom
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 /** Estimated |A \ B| from two serialized theta sketches. */
 case class ThetaAnotBEstimate(left: Expression, right: Expression)
   extends ThetaBinaryEstimate {
@@ -216,5 +238,9 @@ object ThetaSketchAgg {
 
   def aNotBEstimate(a: Column, b: Column): Column =
     ColumnBridge.column(ThetaAnotBEstimate(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def jaccardEstimate(a: Column, b: Column): Column =
+    ColumnBridge.column(ThetaJaccardEstimate(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -52,6 +52,27 @@ class ThetaSketchSpec extends SparkTestBase {
     assert(est == 1500.0, s"union rollup drifted in exact mode: $est")
   }
 
+  test("exact regime: jaccard estimate equals the true ratio, empty union gives 0") {
+    val rows = ((1L to 2000L).map(("a", _)) ++
+      (1501L to 3500L).map(("b", _))).toDF("g", "v")
+    val sk = rows.groupBy("g").agg(ThetaSketchAgg.thetaAgg(col("v")).as("sk"))
+    val pair = sk.filter(col("g") === "a").select(col("sk").as("ska"))
+      .crossJoin(sk.filter(col("g") === "b").select(col("sk").as("skb")))
+    val j = pair.select(
+      ThetaSketchAgg.jaccardEstimate(col("ska"), col("skb")))
+      .as[Double].head()
+    assert(j == 500.0 / 3500.0, s"exact-mode jaccard drifted: $j")
+
+    // empty-vs-empty: two sketches that saw no rows
+    val es = Seq.empty[Long].toDF("v")
+      .agg(ThetaSketchAgg.thetaAgg(col("v")).as("sk"))
+      .select(col("sk").as("ska"), col("sk").as("skb"))
+    val j0 = es.select(
+      ThetaSketchAgg.jaccardEstimate(col("ska"), col("skb")))
+      .as[Double].head()
+    assert(j0 == 0.0, s"empty-union jaccard must be 0, got $j0")
+  }
+
   test("sketch_overlap matches the exact pairwise overlap on events at sf0.001") {
     val got = queries.PipelineQueries.sketchOverlap(spark, "/root/testdata/sf0.001")
       .as[(String, String, Long, Long)].collect().toSeq
