@@ -481,37 +481,110 @@ object Similarity {
     * floats spill) and d0-free scoring; compose with IVF cells to also
     * cut the candidate count.
     */
-  def pqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-      vecCol: String, k: Int, dim: Int, m: Int = 16, ksub: Int = 32): DataFrame = {
-    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
-    val d0 = dim / m
-    val codebooks = trainPqCodebooks(corpus, idCol, vecCol, dim, m, ksub)
-    val cb = typedlit(codebooks)
-    // 0.5*||c||^2 per centroid, precomputed once as a literal
-    val bias = typedlit(codebooks.map(_.map(c => 0.5 * c.map(x => x * x).sum)))
-
-    def subv(vec: Column, j: Int): Column = slice(vec, j * d0 + 1, d0)
-    // argmin ||x_j - c||^2 = argmax (c . x_j - 0.5||c||^2); 1-based
-    def code(vec: Column, j: Int): Column = {
+  /** Trained PQ codebooks as plan literals plus the derived column
+    * builders shared by [[pqTopK]] and [[ivfPqTopK]].
+    */
+  private final case class PqCoder(cb: Column, bias: Column, m: Int, d0: Int) {
+    private def subv(vec: Column, j: Int): Column = slice(vec, j * d0 + 1, d0)
+    // argmin ||x_j - c||^2 = argmax (c . x_j - 0.5||c||^2); 1-based code
+    def codes(vec: Column): Column = array((0 until m).map { j =>
       val scores = zip_with(cb.getItem(j), bias.getItem(j),
         (c, b) => VectorOps.dot(c, subv(vec, j)) - b)
       array_position(scores, array_max(scores)).cast("int")
-    }
-    val encoded = corpus.select(col(idCol).as("_cid"),
-      VectorOps.norm(col(vecCol)).as("_cn"),
-      array((0 until m).map(code(col(vecCol), _)): _*).as("_codes"))
-
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
-      VectorOps.norm(col(vecCol)).as("_qn"))
-      .withColumn("_lut", array((0 until m).map(j =>
-        transform(cb.getItem(j), c => VectorOps.dot(c, subv(col("_qv"), j)))): _*))
-      .drop("_qv")
-    val adc = (0 until m).map(j =>
+    }: _*)
+    def lut(vec: Column): Column = array((0 until m).map(j =>
+      transform(cb.getItem(j), c => VectorOps.dot(c, subv(vec, j)))): _*)
+    // per-candidate approximate dot: m lookups into the query's LUT
+    def adc: Column = (0 until m).map(j =>
       element_at(element_at(col("_lut"), j + 1), col("_codes").getItem(j)))
       .reduce(_ + _)
+  }
+
+  private def buildPqCoder(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, ksub: Int): PqCoder = {
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val codebooks = trainPqCodebooks(corpus, idCol, vecCol, dim, m, ksub)
+    PqCoder(typedlit(codebooks),
+      typedlit(codebooks.map(_.map(c => 0.5 * c.map(x => x * x).sum))),
+      m, dim / m)
+  }
+
+  def pqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, dim: Int, m: Int = 16, ksub: Int = 32): DataFrame = {
+    val coder = buildPqCoder(corpus, idCol, vecCol, dim, m, ksub)
+    val encoded = corpus.select(col(idCol).as("_cid"),
+      VectorOps.norm(col(vecCol)).as("_cn"),
+      coder.codes(col(vecCol)).as("_codes"))
+    val q = queries.select(col(idCol).as("query_id"),
+      VectorOps.norm(col(vecCol)).as("_qn"),
+      coder.lut(col(vecCol)).as("_lut"))
     val scored = encoded.join(broadcast(q), col("_cid") =!= col("query_id"))
       .select(col("query_id"), col("_cid"),
-        round(adc / (col("_qn") * col("_cn")), 6).as("_score"))
+        round(coder.adc / (col("_qn") * col("_cn")), 6).as("_score"))
+    rankTopK(scored, k)
+  }
+
+  /** IVF-PQ — the production vector-index composition (what FAISS calls
+    * IVFx,PQy): the IVF stage prunes candidates to nprobe/nlist of the
+    * corpus via cell membership, and the PQ stage scores those
+    * candidates from codes + a per-query lookup table, never touching a
+    * stored float vector. At 100 TB this pairs the two independent wins:
+    * the index is ~25× smaller than the raw vectors AND each query
+    * batch reads only its probed cells (directory-prunable when
+    * persisted via [[writeIvf]]-style cell partitioning).
+    */
+  /** Eagerly materialize a frame AND sever every trace of its plan
+    * lineage. `localCheckpoint()` alone is not enough here:
+    * the `LogicalRDD` it leaves behind carries the original plan's
+    * constraints, which may reference attributes the plan pruned away
+    * (e.g. `_cell = array_position(transform(centroids, dot(·, vec)))`
+    * keeps a reference to the raw vector column). On Spark 4.1,
+    * `InferFiltersFromConstraints` then substitutes such a constraint
+    * across an equi-join key and plants it on the OTHER side, where the
+    * vector attribute cannot bind → INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND
+    * at execution. Rebuilding the frame from the checkpointed RDD
+    * yields a constraint-free scan the optimizer cannot see through.
+    */
+  private def materializeSevered(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint()
+    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+  }
+
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, dim: Int, nlist: Int = 16, nprobe: Int = 4,
+      m: Int = 16, ksub: Int = 32): DataFrame = {
+    val index = buildIvf(corpus, idCol, vecCol, nlist)
+    val coder = buildPqCoder(corpus, idCol, vecCol, dim, m, ksub)
+    // encode once off the cell assignment; vectors are dropped here.
+    // Materialized eagerly — this is the index build (FAISS trains and
+    // encodes up front too; the 100 TB shape persists it à la
+    // [[writeIvf]]) — and lineage-severed, which is load-bearing: see
+    // [[materializeSevered]].
+    val encoded = materializeSevered(
+      index.assigned.select(col("_cid"), col("_cell"),
+        col("_cn"), coder.codes(col("_cv")).as("_codes")))
+    val cents = typedlit(index.centroids)
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("_score").desc, col("_cell"))
+    // probe shape mirrors [[queryIvf]] (raw vector rides the
+    // explode/window chain as `_qv`; the PQ lookup table is derived
+    // after the nprobe filter), then the nprobe×|queries|-row probe
+    // table is materialized and severed — the production serving shape
+    // anyway: compute each batch's LUTs once, then scan codes.
+    val qProbes = materializeSevered(queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
+        VectorOps.norm(col(vecCol)).as("_qn"),
+        posexplode(transform(cents, c => VectorOps.dot(c, col(vecCol))))
+          .as(Seq("_cell0", "_score")))
+      .withColumn("_cell", col("_cell0") + 1)
+      .withColumn("_rn", row_number().over(wq))
+      .filter(col("_rn") <= nprobe)
+      .select(col("query_id"), col("_qn"), col("_cell"),
+        coder.lut(col("_qv")).as("_lut")))
+    val scored = encoded.join(broadcast(qProbes), Seq("_cell"))
+      .filter(col("_cid") =!= col("query_id"))
+      .select(col("query_id"), col("_cid"),
+        round(coder.adc / (col("_qn") * col("_cn")), 6).as("_score"))
     rankTopK(scored, k)
   }
 }

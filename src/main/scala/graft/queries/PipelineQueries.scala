@@ -100,6 +100,18 @@ object PipelineQueries {
     Similarity.pqTopK(annQueries(s, dir), Tables.embeddings(s, dir),
       "vec_id", "embedding", AnnK, AnnDim)
 
+  /** The composed index — IVF cells prune the candidate set, PQ codes
+    * compress what remains (FAISS's IVFx,PQy): candidate work drops to
+    * ~nprobe/nlist of the corpus AND each candidate costs m table
+    * lookups instead of a d-dim float dot. Rows-only like its siblings;
+    * `SimilaritySpec` gates recall vs brute force. Recall compounds the
+    * two approximations, so its floor sits below either leg alone —
+    * the documented trade for the largest index-size/scan-cost win.
+    */
+  def annTopkIvfPq(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfPqTopK(annQueries(s, dir), Tables.embeddings(s, dir),
+      "vec_id", "embedding", AnnK, AnnDim)
+
   /** Mergeable sketch rollup over events: per-event-type distinct users
     * (HLL) and value percentiles (KLL) from materialized sketches, plus
     * the union-of-sketches `__all__` row — the summary-table pattern
@@ -1008,6 +1020,7 @@ object PipelineQueries {
     "ann_topk_ivf" -> (annTopkIvf _),
     "ann_topk_pca" -> (annTopkPca _),
     "ann_topk_pq" -> (annTopkPq _),
+    "ann_topk_ivfpq" -> (annTopkIvfPq _),
     "sketch_rollup" -> (sketchRollup _),
     "sketch_overlap" -> (sketchOverlap _),
     "q_cdc_apply" -> (qCdcApply _),

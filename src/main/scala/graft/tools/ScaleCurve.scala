@@ -36,7 +36,7 @@ object ScaleCurve {
     "text_ngram_lm", "dedup_containment", "q_resample_ffill",
     "mm_image_resize", "mm_frame_sample", "text_knn_jaccard",
     "graph_triangles", "text_lm_score", "chunk_cdc", "ann_topk_pca",
-    "ann_topk_pq")
+    "ann_topk_pq", "ann_topk_ivfpq")
 
   /** SPARK_GRAFT_SCALE_ONLY: comma-separated exact names — run a subset
     * (new-row refresh) without re-measuring the whole table.

@@ -62,8 +62,8 @@ class DriverContractSpec extends SparkTestBase {
     // dedup_simhash left this list in round 3: its token hash moved from
     // xxhash64 to md5 halves precisely so the oracle can recompute it.
     assert(rowsOnly == Set("ann_topk_lsh", "ann_topk_ivf", "ann_topk_pca",
-      "ann_topk_pq", "q_approx_distinct", "q_approx_percentile",
-      "sketch_rollup"),
+      "ann_topk_pq", "ann_topk_ivfpq", "q_approx_distinct",
+      "q_approx_percentile", "sketch_rollup"),
       s"unexpected rows-only queries: $rowsOnly")
   }
 
