@@ -324,6 +324,15 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** Finite-window EWMA + spike flags over the events stream, one series
+    * per event type — see [[graft.operators.TimeSeries]] for the numeric
+    * contract that lets unrounded doubles carry a full hash oracle.
+    */
+  def qTsEwma(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries.ewmaAnomaly(Tables.events(s, dir),
+      "event_type", "ts", "event_id", "value")
+      .orderBy(col("event_type"), col("event_id"))
+
   /** ROLLUP hierarchy totals; NULL group markers normalized via coalesce so
     * null-ordering differences between engines cannot matter.
     */
@@ -809,6 +818,7 @@ object Relational {
     "q_window_rank" -> (qWindowRank _),
     "q_window_running" -> (qWindowRunning _),
     "q_events_sessions" -> (qEventsSessions _),
+    "q_ts_ewma" -> (qTsEwma _),
     "q_rollup" -> (qRollup _),
     "q_cube" -> (qCube _),
     "q_grouping_sets" -> (qGroupingSets _),
@@ -1222,6 +1232,10 @@ object Relational {
         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
         |  count(*) AS n_events
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_ts_ewma" ->
+      (graft.operators.TimeSeries.ewmaAnomalySql("events",
+        "event_type", "ts", "event_id", "value") +
+        "\nORDER BY event_type, event_id"),
     "q_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
         |  coalesce(l_linestatus, 'ALL') AS linestatus,

@@ -35,4 +35,79 @@ class TimeSeriesSpec extends SparkTestBase {
     assert(out.length == 1, "500 events in one hour -> one grid row")
     assert(out.head.getLong(3) == 500L)
   }
+
+  // --- ewmaAnomaly ---------------------------------------------------------
+
+  private def series(rows: (Long, String, Double)*) =
+    rows.toDF("event_id", "key", "value")
+      .withColumn("t", expr("timestamp_micros(event_id * 1000000)"))
+      .repartition(5) // smoothing must not depend on input partitioning
+
+  test("ewmaAnomaly equals the hand-computed finite-window EWMA, head renormalized") {
+    val out = TimeSeries.ewmaAnomaly(
+      series((1L, "k", 10.0), (2L, "k", 20.0), (3L, "k", 30.0)),
+      "key", "t", "event_id", "value", w = 2)
+      .orderBy("event_id").collect()
+    // w=2, alpha=1/2 → weights (1/2, 1/4); heads renormalize by the
+    // weight mass actually present:
+    //   row1: (10·½)           / ½    = 10
+    //   row2: (20·½ + 10·¼)    / ¾    = 12.5/0.75
+    //   row3: (30·½ + 20·¼)    / ¾    = 20/0.75
+    val ewma = out.map(_.getAs[Double]("ewma")).toSeq
+    assert(ewma(0) == 10.0)
+    assert(ewma(1) == 12.5 / 0.75)
+    assert(ewma(2) == 20.0 / 0.75)
+    assert(out.map(_.getAs[Int]("is_spike")).toSeq == Seq(0, 0, 0))
+  }
+
+  test("spike fires vs the PRIOR level only; the head row never flags") {
+    val out = TimeSeries.ewmaAnomaly(
+      series((1L, "k", 1.0), (2L, "k", 1.0), (3L, "k", 100.0), (4L, "k", 1.0)),
+      "key", "t", "event_id", "value", w = 2)
+      .orderBy("event_id").collect()
+    // row3: prior level 1.0 → 100 > 4·1 → spike. row4 compares against
+    // the level that already absorbed the spike → no flag; and row1 has
+    // no prior level at all.
+    assert(out.map(_.getAs[Int]("is_spike")).toSeq == Seq(0, 0, 1, 0))
+    // the spike itself still enters the level (flag, don't drop)
+    assert(out(3).getAs[Double]("ewma") > 10.0)
+  }
+
+  test("ewmaAnomaly series never bleed across keys") {
+    val out = TimeSeries.ewmaAnomaly(
+      series((1L, "a", 100.0), (2L, "b", 1.0), (3L, "a", 100.0), (4L, "b", 1.0)),
+      "key", "t", "event_id", "value", w = 4)
+      .orderBy("event_id").collect()
+    // interleaved constant series: each key's level is exactly its own
+    // constant, and nothing flags
+    assert(out.map(r => (r.getAs[String]("key"), r.getAs[Double]("ewma"))).toSeq ==
+      Seq(("a", 100.0), ("b", 1.0), ("a", 100.0), ("b", 1.0)))
+    assert(out.forall(_.getAs[Int]("is_spike") == 0))
+  }
+
+  test("ewmaAnomaly plan: one shuffle on the series key, no join, no collect") {
+    val df = TimeSeries.ewmaAnomaly(Tables.events(spark, "/root/testdata/sf0.001"),
+      "event_type", "ts", "event_id", "value")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"unexpected join:\n$plan")
+    // every hash exchange is keyed on the series key (sort-based window
+    // passes reuse the same partitioning; nothing else shuffles)
+    val hashExchanges = plan.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(hashExchanges.nonEmpty && hashExchanges.forall(_.contains("event_type")),
+      s"shuffle not keyed on series key:\n$hashExchanges")
+  }
+
+  test("generated EWMA oracle SQL forces doubles and mirrors both window passes") {
+    val sql = TimeSeries.ewmaAnomalySql("events", "event_type", "ts",
+      "event_id", "value")
+    // DuckDB parses bare decimals as DECIMAL; every coefficient must be
+    // forced to double via e-notation
+    TimeSeries.weights(8).foreach { c =>
+      val s = c.toString
+      val expect = if (s.contains("e") || s.contains("E")) s else s + "e0"
+      assert(sql.contains(expect), s"missing coefficient $expect in:\n$sql")
+    }
+    assert(!sql.matches("(?s).*[^e\\d]0\\.\\d+\\s.*"), s"bare decimal in:\n$sql")
+    assert(sql.contains("WINDOW win AS") && sql.contains("WINDOW win2 AS"))
+  }
 }
