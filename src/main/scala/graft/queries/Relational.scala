@@ -324,6 +324,15 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** Ordered-step funnel over the events stream (view → click →
+    * purchase) — see [[graft.operators.Funnel]] for the one-shuffle
+    * chained-window shape and the integer-µs exactness contract.
+    */
+  def qFunnelSteps(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.conversion(Tables.events(s, dir),
+      "user_id", "ts", "event_id", "event_type",
+      Seq("view", "click", "purchase"))
+
   /** Finite-window EWMA + spike flags over the events stream, one series
     * per event type — see [[graft.operators.TimeSeries]] for the numeric
     * contract that lets unrounded doubles carry a full hash oracle.
@@ -818,6 +827,7 @@ object Relational {
     "q_window_rank" -> (qWindowRank _),
     "q_window_running" -> (qWindowRunning _),
     "q_events_sessions" -> (qEventsSessions _),
+    "q_funnel_steps" -> (qFunnelSteps _),
     "q_ts_ewma" -> (qTsEwma _),
     "q_rollup" -> (qRollup _),
     "q_cube" -> (qCube _),
@@ -1232,6 +1242,10 @@ object Relational {
         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
         |  count(*) AS n_events
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_funnel_steps" ->
+      graft.operators.Funnel.conversionSql("events",
+        "user_id", "ts", "event_id", "event_type",
+        Seq("view", "click", "purchase")),
     "q_ts_ewma" ->
       (graft.operators.TimeSeries.ewmaAnomalySql("events",
         "event_type", "ts", "event_id", "value") +

@@ -1,47 +1,74 @@
 package graft
 
+import graft.operators.Funnel
 import org.apache.spark.sql.functions._
 
-/** Planted edge cases for the conversion-funnel query shape (the
-  * registered `q_funnel` runs the same plan over the events table; its
-  * values are oracle-checked — this pins the boundary semantics).
-  */
 class FunnelSpec extends SparkTestBase {
   import spark.implicits._
 
-  test("funnel counts only purchases in (first_click, first_click + 30min]") {
-    val ev = Seq(
-      // user 1: purchase BEFORE any click — not a conversion
-      (1L, 1L, "purchase", 1000L),
-      (2L, 1L, "click", 2000L),
-      // user 2: click then purchase inside the window
-      (3L, 2L, "click", 10000L),
-      (4L, 2L, "purchase", 10000L + 29 * 60 * 1000L),
-      // user 3: click then purchase OUTSIDE the window (31 min)
-      (5L, 3L, "click", 10000L),
-      (6L, 3L, "purchase", 10000L + 31 * 60 * 1000L),
-      // user 4: purchase exactly AT the 30-min boundary — inclusive
-      (7L, 4L, "click", 0L),
-      (8L, 4L, "purchase", 30 * 60 * 1000L),
-      // user 5: purchases only, no click — absent from output
-      (9L, 5L, "purchase", 500L))
-      .toDF("event_id", "user_id", "event_type", "tsl")
-      .withColumn("ts", expr("timestamp_micros(tsl * 1000)")).drop("tsl")
+  private def ev(rows: (Long, Long, String)*) = // (user, second, type)
+    rows.zipWithIndex.map { case ((u, sec, t), i) => (i.toLong, u, sec, t) }
+      .toDF("event_id", "user_id", "sec", "event_type")
+      .withColumn("ts", expr("timestamp_micros(sec * 1000000)"))
+      .repartition(4)
 
-    val firstClick = ev.filter(col("event_type") === "click")
-      .groupBy(col("user_id")).agg(min(col("ts")).as("first_click_ts"))
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts").as("_pts"))
-    val out = firstClick.join(purchases, Seq("user_id"), "left")
-      .groupBy(col("user_id"), col("first_click_ts"))
-      .agg(min(when(col("_pts") >= col("first_click_ts") &&
-          col("_pts") <= col("first_click_ts") + expr("INTERVAL 30 MINUTES"),
-        col("_pts"))).as("first_purchase_ts"))
-      .withColumn("converted", col("first_purchase_ts").isNotNull)
-      .select(col("user_id"), col("converted"))
-      .as[(Long, Boolean)].collect().toMap
+  private def run(df: org.apache.spark.sql.DataFrame) =
+    Funnel.conversion(df, "user_id", "ts", "event_id", "event_type",
+      Seq("view", "click", "purchase"))
+      .select($"step", $"n_users", $"sum_lead_us")
+      .as[(String, Long, Long)].collect().toSeq
 
-    assert(out == Map(1L -> false, 2L -> true, 3L -> false, 4L -> true),
-      s"got $out")
+  test("steps must happen IN ORDER — out-of-order occurrences don't count") {
+    val out = run(ev(
+      // user 1: perfect journey view(10) → click(20) → purchase(30)
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"),
+      // user 2: click BEFORE any view, then view — click must not count
+      (2L, 10L, "click"), (2L, 20L, "view"),
+      // user 3: purchase before click: view(10) → purchase(20) → click(30)
+      // reaches click, but no purchase AFTER the qualified click
+      (3L, 10L, "view"), (3L, 20L, "purchase"), (3L, 30L, "click")))
+    assert(out == Seq(
+      ("view", 3L, 0L),
+      ("click", 2L, 30000000L),      // user 1: 10 s, user 3: 20 s after view
+      ("purchase", 1L, 20000000L)))  // only user 1, 20 s after view
+  }
+
+  test("journey time measures FIRST qualifying event of each step") {
+    val out = run(ev(
+      // repeat events: first view at 10, a later view at 50 must not
+      // shift the lead; first in-order click at 40 (the click at 5 is
+      // pre-view and ignored)
+      (1L, 5L, "click"), (1L, 10L, "view"), (1L, 40L, "click"),
+      (1L, 50L, "view"), (1L, 60L, "click")))
+    assert(out == Seq(
+      ("view", 1L, 0L),
+      ("click", 1L, 30000000L), // 40 − 10, not 60 − 10 and not 40 − 50
+      ("purchase", 0L, 0L)))
+  }
+
+  test("empty funnel tail yields zero rows, not missing rows") {
+    val out = run(ev((1L, 10L, "view")))
+    assert(out == Seq(("view", 1L, 0L), ("click", 0L, 0L), ("purchase", 0L, 0L)))
+  }
+
+  test("plan shape: one hash shuffle on the user key before the windows, no self-join") {
+    val df = Funnel.conversion(Tables.events(spark, "/root/testdata/sf0.001"),
+      "user_id", "ts", "event_id", "event_type",
+      Seq("view", "click", "purchase"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"funnel must not self-join:\n$plan")
+    val hashExchanges = plan.linesIterator
+      .filter(_.contains("hashpartitioning")).toSeq
+    assert(hashExchanges.nonEmpty && hashExchanges.forall(_.contains("user_id")),
+      s"every hash exchange must be keyed on user_id:\n$hashExchanges")
+  }
+
+  test("generated oracle SQL chains one CTE per step link and casts HUGEINT sums") {
+    val sql = Funnel.conversionSql("events", "user_id", "ts", "event_id",
+      "event_type", Seq("view", "click", "purchase"))
+    assert(sql.contains("e1 AS") && sql.contains("e2 AS") && !sql.contains("e3 AS"))
+    assert(sql.contains("ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"))
+    assert(sql.contains("AS BIGINT"), "journey sums must cast back from HUGEINT")
   }
 }
