@@ -51,6 +51,52 @@ object DataQuality {
       .select(lit(name).as("check_name"), col("n_checked"),
         col("n_violations"))
 
+  /** [[checkRules]] grouped by a run column — the report-HISTORY
+    * producer: one scan yields a (run_id, check_name, n_checked,
+    * n_violations) row per run × rule, the append-only table that
+    * [[drift]] consumes. Same fused single-aggregation shape as
+    * [[checkRules]], just keyed: all runs of all rules cost one
+    * map-side-combined pass, never a scan per run.
+    */
+  def checkRulesByRun(df: DataFrame, runCol: Column,
+      rules: Seq[(String, Column)]): DataFrame = {
+    val aggs = count(lit(1)).as("_total") +:
+      rules.map { case (name, ok) =>
+        count(when(!coalesce(ok, lit(false)), 1)).as(s"_v_$name")
+      }
+    val wide = df.groupBy(runCol.as("run_id")).agg(aggs.head, aggs.tail: _*)
+    val entries = rules.flatMap { case (name, _) =>
+      Seq(lit(name), col(s"_v_$name")) }
+    wide.select(col("run_id"), col("_total"), explode(map(entries: _*)))
+      .select(col("run_id"), col("key").as("check_name"),
+        col("_total").as("n_checked"), col("value").as("n_violations"))
+  }
+
+  /** Quality drift over a report history: each (check, run) row is
+    * compared with the SAME check's previous run and flagged when its
+    * violation RATE worsened. The rate comparison is done by integer
+    * cross-multiplication (`v·prev_n > prev_v·n` ⇔ `v/n > prev_v/prev_n`
+    * for positive counts) — no division, so the flag is exact and the
+    * SQL oracle hashes bit-for-bit. First runs have no baseline: NULL
+    * prev columns, never flagged.
+    *
+    * Scale shape: the history table is (runs × rules) rows — kilobytes
+    * regardless of data volume — so the lag window is a formality; the
+    * expensive part, producing the history, is [[checkRulesByRun]]'s
+    * single scan, run incrementally per batch in production.
+    */
+  def drift(history: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("check_name")).orderBy(col("run_id"))
+    history
+      .withColumn("prev_checked", lag(col("n_checked"), 1).over(w))
+      .withColumn("prev_violations", lag(col("n_violations"), 1).over(w))
+      .withColumn("regressed",
+        when(col("prev_checked").isNotNull &&
+          col("n_violations") * col("prev_checked") >
+            col("prev_violations") * col("n_checked"), 1).otherwise(0))
+  }
+
   /** Referential integrity: child rows whose `fkCol` has no match in
     * `parent.pkCol` (NULL fks are completeness's concern, not RI's).
     */

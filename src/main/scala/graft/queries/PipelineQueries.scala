@@ -728,6 +728,22 @@ object PipelineQueries {
       .orderBy(col("check_name"))
   }
 
+  /** DQ report history + drift: one fused scan produces the per-day
+    * (run × rule) violation history over events, then each check is
+    * compared with its previous run — regression = violation RATE
+    * worsened, decided by exact integer cross-multiplication
+    * ([[DataQuality.drift]]), so the whole report hash-matches DuckDB.
+    * The daily error-rate and value-bound wobble in the generated data
+    * makes both flag values occur.
+    */
+  def qDqDrift(s: SparkSession, dir: String): DataFrame = {
+    val history = DataQuality.checkRulesByRun(Tables.events(s, dir),
+      to_date(col("ts")), Seq(
+        "value_bounded" -> (col("value") <= 30.0),
+        "no_errors" -> (col("event_type") =!= "error")))
+    DataQuality.drift(history).orderBy(col("check_name"), col("run_id"))
+  }
+
   /** Incremental aggregate maintenance over events: the stored state is
     * built from four disjoint batches (deterministic event_id % 4 split,
     * standing in for four daily commits) and MERGED — never a rescan of
@@ -1026,6 +1042,7 @@ object PipelineQueries {
     "q_cdc_apply" -> (qCdcApply _),
     "q_incr_agg" -> (qIncrAgg _),
     "q_dq_checks" -> (qDqChecks _),
+    "q_dq_drift" -> (qDqDrift _),
     "sketch_heavy_hitters" -> (sketchHeavyHitters _)
   )
 
@@ -1499,6 +1516,26 @@ object PipelineQueries {
         |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
         |  WHERE l.l_orderkey IS NOT NULL
         |) ORDER BY check_name""".stripMargin,
+    "q_dq_drift" ->
+      """WITH h AS (
+        |  SELECT CAST(ts AS DATE) AS run_id, 'value_bounded' AS check_name,
+        |    count(*) AS n_checked,
+        |    count(CASE WHEN (value <= 30.0e0) IS NOT TRUE THEN 1 END) AS n_violations
+        |  FROM events GROUP BY 1
+        |  UNION ALL
+        |  SELECT CAST(ts AS DATE), 'no_errors', count(*),
+        |    count(CASE WHEN (event_type != 'error') IS NOT TRUE THEN 1 END)
+        |  FROM events GROUP BY 1)
+        |SELECT run_id, check_name, n_checked, n_violations,
+        |  lag(n_checked) OVER w AS prev_checked,
+        |  lag(n_violations) OVER w AS prev_violations,
+        |  CASE WHEN lag(n_checked) OVER w IS NOT NULL
+        |        AND n_violations * lag(n_checked) OVER w
+        |            > lag(n_violations) OVER w * n_checked
+        |       THEN 1 ELSE 0 END AS regressed
+        |FROM h
+        |WINDOW w AS (PARTITION BY check_name ORDER BY run_id)
+        |ORDER BY check_name, run_id""".stripMargin,
     "q_incr_agg" ->
       """WITH c AS (SELECT event_type,
         |  CAST(floor(value * 100) AS BIGINT) AS cents FROM events)

@@ -64,4 +64,44 @@ class DataQualitySpec extends SparkTestBase {
       assert(violations == 0L, s"$name found $violations on clean data")
     }
   }
+
+  test("drift flags RATE regressions only — not count growth, not first runs") {
+    // planted history for one check across four runs:
+    //   run 1: 1/100          (baseline — no prior, never flagged)
+    //   run 2: 4/100          (rate 4× worse  → regressed)
+    //   run 3: 8/400          (MORE violations but rate halved → clean)
+    //   run 4: 2/100 vs 8/400 (same 2% rate — not strictly worse → clean)
+    val history = Seq(
+      (1, "c", 100L, 1L), (2, "c", 100L, 4L),
+      (3, "c", 400L, 8L), (4, "c", 100L, 2L),
+      // independent check: its own lag chain, its own baseline row
+      (1, "d", 50L, 0L), (2, "d", 50L, 1L))
+      .toDF("run_id", "check_name", "n_checked", "n_violations")
+    val out = DataQuality.drift(history)
+      .select(col("check_name"), col("run_id"), col("regressed"),
+        col("prev_violations"))
+      .as[(String, Int, Int, Option[Long])].collect().toSet
+    assert(out == Set(
+      ("c", 1, 0, None), ("c", 2, 1, Some(1L)),
+      ("c", 3, 0, Some(4L)), ("c", 4, 0, Some(8L)),
+      ("d", 1, 0, None), ("d", 2, 1, Some(0L))))
+  }
+
+  test("checkRulesByRun equals checkRules applied per run, in one scan") {
+    val df = Seq((1, 10, "a"), (1, -5, "b"), (2, 3, "c"), (2, 7, null))
+      .toDF("run", "v", "s")
+    val grouped = DataQuality.checkRulesByRun(df, col("run"),
+      Seq("v_pos" -> (col("v") > 0), "s_set" -> col("s").isNotNull))
+      .select(col("run_id"), col("check_name"), col("n_checked"),
+        col("n_violations"))
+      .as[(Int, String, Long, Long)].collect().toSet
+    assert(grouped == Set(
+      (1, "v_pos", 2L, 1L), (1, "s_set", 2L, 0L),
+      (2, "v_pos", 2L, 0L), (2, "s_set", 2L, 1L)))
+    val plan = DataQuality.checkRulesByRun(df, col("run"),
+      Seq("v_pos" -> (col("v") > 0), "s_set" -> col("s").isNotNull))
+      .queryExecution.executedPlan.toString
+    val scans = "(LocalTableScan|Scan parquet|BatchScan)".r.findAllIn(plan).size
+    assert(scans == 1, s"expected one fused scan, got $scans:\n$plan")
+  }
 }
