@@ -342,6 +342,18 @@ object Relational {
       "event_type", "ts", "event_id", "value")
       .orderBy(col("event_type"), col("event_id"))
 
+  /** Sweep-line peak concurrency: each event opens a 30-minute activity
+    * interval; the answer is the per-type maximum number of
+    * simultaneously-open intervals and when it is first reached — see
+    * [[graft.operators.TimeSeries.peakConcurrency]] for the tie
+    * discipline that keeps the hash oracle exact.
+    */
+  def qPeakConcurrency(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries.peakConcurrency(Tables.events(s, dir),
+      "event_type", unix_micros(col("ts")),
+      unix_micros(col("ts")) + lit(1800000000L))
+      .orderBy(col("event_type"))
+
   /** ROLLUP hierarchy totals; NULL group markers normalized via coalesce so
     * null-ordering differences between engines cannot matter.
     */
@@ -828,6 +840,7 @@ object Relational {
     "q_window_running" -> (qWindowRunning _),
     "q_events_sessions" -> (qEventsSessions _),
     "q_funnel_steps" -> (qFunnelSteps _),
+    "q_peak_concurrency" -> (qPeakConcurrency _),
     "q_ts_ewma" -> (qTsEwma _),
     "q_rollup" -> (qRollup _),
     "q_cube" -> (qCube _),
@@ -1246,6 +1259,23 @@ object Relational {
       graft.operators.Funnel.conversionSql("events",
         "user_id", "ts", "event_id", "event_type",
         Seq("view", "click", "purchase")),
+    "q_peak_concurrency" ->
+      """WITH pts AS (
+        |  SELECT event_type, epoch_us(ts) AS us, 1 AS delta FROM events
+        |  UNION ALL
+        |  SELECT event_type, epoch_us(ts) + 1800000000, -1 FROM events),
+        |sw AS (
+        |  SELECT event_type, us,
+        |    CAST(sum(delta) OVER (PARTITION BY event_type
+        |      ORDER BY us, delta) AS BIGINT) AS run
+        |  FROM pts),
+        |pk AS (
+        |  SELECT event_type, us, run,
+        |    max(run) OVER (PARTITION BY event_type) AS peak
+        |  FROM sw)
+        |SELECT event_type, max(run) AS peak, min(us) AS peak_at_us
+        |FROM pk WHERE run = peak
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_ts_ewma" ->
       (graft.operators.TimeSeries.ewmaAnomalySql("events",
         "event_type", "ts", "event_id", "value") +

@@ -97,6 +97,32 @@ class TimeSeriesSpec extends SparkTestBase {
       s"shuffle not keyed on series key:\n$hashExchanges")
   }
 
+  test("peakConcurrency: sweep-line counts overlaps, half-open at the boundary") {
+    def iv(key: String, s: Long, e: Long) = (key, s, e)
+    val df = Seq(
+      // key a: [0,10) [5,15) [20,30) -> peak 2, first at t=5
+      iv("a", 0L, 10L), iv("a", 5L, 15L), iv("a", 20L, 30L),
+      // key b: back-to-back [0,10) [10,20) NEVER overlap (half-open) -> peak 1 at 0
+      iv("b", 0L, 10L), iv("b", 10L, 20L),
+      // key c: three spanning one instant -> peak 3 at 7
+      iv("c", 0L, 10L), iv("c", 5L, 10L), iv("c", 7L, 9L))
+      .toDF("k", "s", "e").repartition(5)
+    val out = TimeSeries.peakConcurrency(df, "k", col("s"), col("e"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(out == Set(("a", 2L, 5L), ("b", 1L, 0L), ("c", 3L, 7L)), s"got $out")
+  }
+
+  test("peakConcurrency plan: one key shuffle feeding both window passes") {
+    val df = TimeSeries.peakConcurrency(
+      Tables.events(spark, "/root/testdata/sf0.001"), "event_type",
+      unix_micros(col("ts")), unix_micros(col("ts")) + lit(1800000000L))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"sweep-line must not join:\n$plan")
+    val hashExchanges = plan.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(hashExchanges.nonEmpty && hashExchanges.forall(_.contains("event_type")),
+      s"every exchange keyed on the sweep key:\n$hashExchanges")
+  }
+
   test("generated EWMA oracle SQL forces doubles and mirrors both window passes") {
     val sql = TimeSeries.ewmaAnomalySql("events", "event_type", "ts",
       "event_id", "value")
