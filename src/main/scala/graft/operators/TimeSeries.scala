@@ -160,6 +160,35 @@ object TimeSeries {
       .agg(max(col("run")).as("peak"), min(col("us")).as("peak_at_us"))
   }
 
+  /** Gaps-and-islands: group each key's sequence into maximal runs of
+    * consecutive rows sharing the same `valCol` (streaks) — the classic
+    * row_number-difference trick. Two row_numbers over the same sort —
+    * one global per key, one per (key, value) — differ by a constant
+    * within a run and only within a run, so their difference is a
+    * stable island id; everything reduces to ONE key shuffle, two
+    * stacked window passes on the same sort, and a map-side-combined
+    * groupBy. (Time-GAP grouping is sessionization — `q_events_sessions`;
+    * this is value-CHANGE grouping: "how long did the state hold".)
+    *
+    * Output: one row per island — (key, value, island_len BIGINT,
+    * start_id, end_id) with ids from `idCol` — all exact, full hash
+    * oracle.
+    */
+  def islands(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valCol: String): DataFrame = {
+    val wAll = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    val wVal = Window.partitionBy(col(keyCol), col(valCol))
+      .orderBy(col(tsCol), col(idCol))
+    events
+      .withColumn("_grp",
+        row_number().over(wAll) - row_number().over(wVal))
+      .groupBy(col(keyCol), col(valCol), col("_grp"))
+      .agg(count(lit(1)).as("island_len"),
+        min(col(idCol)).as("start_id"), max(col(idCol)).as("end_id"))
+      .select(col(keyCol), col(valCol), col("island_len"),
+        col("start_id"), col("end_id"))
+  }
+
   /** The matching ANSI SQL for [[ewmaAnomaly]], generated from the SAME
     * coefficient list so the two engines evaluate identical literal
     * polynomials. Doubles are written in `e`-notation: DuckDB parses a

@@ -342,6 +342,15 @@ object Relational {
       "event_type", "ts", "event_id", "value")
       .orderBy(col("event_type"), col("event_id"))
 
+  /** Gaps-and-islands over each user's event sequence: maximal streaks
+    * of the same event type ([[graft.operators.TimeSeries.islands]]) —
+    * value-change grouping, complementing time-gap sessionization.
+    */
+  def qGapIslands(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries.islands(Tables.events(s, dir),
+      "user_id", "ts", "event_id", "event_type")
+      .orderBy(col("user_id"), col("start_id"))
+
   /** Sweep-line peak concurrency: each event opens a 30-minute activity
     * interval; the answer is the per-type maximum number of
     * simultaneously-open intervals and when it is first reached — see
@@ -841,6 +850,7 @@ object Relational {
     "q_events_sessions" -> (qEventsSessions _),
     "q_funnel_steps" -> (qFunnelSteps _),
     "q_peak_concurrency" -> (qPeakConcurrency _),
+    "q_gap_islands" -> (qGapIslands _),
     "q_ts_ewma" -> (qTsEwma _),
     "q_rollup" -> (qRollup _),
     "q_cube" -> (qCube _),
@@ -1259,6 +1269,17 @@ object Relational {
       graft.operators.Funnel.conversionSql("events",
         "user_id", "ts", "event_id", "event_type",
         Seq("view", "click", "purchase")),
+    "q_gap_islands" ->
+      """WITH g AS (
+        |  SELECT user_id, event_type, event_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      - row_number() OVER (PARTITION BY user_id, event_type
+        |                           ORDER BY ts, event_id) AS grp
+        |  FROM events)
+        |SELECT user_id, event_type, count(*) AS island_len,
+        |  min(event_id) AS start_id, max(event_id) AS end_id
+        |FROM g GROUP BY user_id, event_type, grp
+        |ORDER BY user_id, start_id""".stripMargin,
     "q_peak_concurrency" ->
       """WITH pts AS (
         |  SELECT event_type, epoch_us(ts) AS us, 1 AS delta FROM events

@@ -123,6 +123,23 @@ class TimeSeriesSpec extends SparkTestBase {
       s"every exchange keyed on the sweep key:\n$hashExchanges")
   }
 
+  test("islands: value-change runs split correctly, revisited values start new islands") {
+    val df = Seq(
+      // user a: A A B A -> islands (A,2) (B,1) (A,1) — the return to A is NEW
+      (1L, "a", "A"), (2L, "a", "A"), (3L, "a", "B"), (4L, "a", "A"),
+      // user b: one long streak
+      (5L, "b", "C"), (6L, "b", "C"), (7L, "b", "C"))
+      .toDF("event_id", "user", "state")
+      .withColumn("t", expr("timestamp_micros(event_id * 1000000)"))
+      .repartition(4)
+    val out = TimeSeries.islands(df, "user", "t", "event_id", "state")
+      .select($"user", $"state", $"island_len", $"start_id", $"end_id")
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      ("a", "A", 2L, 1L, 2L), ("a", "B", 1L, 3L, 3L), ("a", "A", 1L, 4L, 4L),
+      ("b", "C", 3L, 5L, 7L)), s"got $out")
+  }
+
   test("generated EWMA oracle SQL forces doubles and mirrors both window passes") {
     val sql = TimeSeries.ewmaAnomalySql("events", "event_type", "ts",
       "event_id", "value")
