@@ -33,21 +33,20 @@ import org.apache.spark.sql.SparkSession
   *    one-glance noise diagnosis possible.
   *
   * Output hand-off, built so driver tail-capture truncation can never
-  * hide a number. The driver keeps the TAIL of stdout (rounds 3-5 each
-  * lost the artifact when the parseable line scrolled out of the capture
-  * window), so:
-  *  - the LAST stdout line is the contract line: the compact summary
-  *    JSON — per-query MEDIANS rounded to 3 decimals (~40% shorter than
-  *    full-precision doubles), alphabetical. Tail-capture always keeps
-  *    the final line.
-  *  - the line above it: raw per-rep triples, heaviest query first, so
-  *    a head-truncation keeps the interesting numbers legible.
-  *  - both lines duplicated to stderr (raw first, summary last there
-  *    too).
-  *  - full JSON (summary + raw) written to `$TMPDIR/graft_bench_out.json`
-  *    (override: SPARK_GRAFT_BENCH_OUT) AND to the legacy `./bench_out
-  *    .json` cwd path (gitignored) for drivers that rely on the old
-  *    file fallback.
+  * hide a number. The driver keeps only the LAST ~2000 CHARS of stdout
+  * (measured: every BENCH_r1–r6 tail is exactly 2000 chars), so a
+  * per-query line — ~20 chars × 130 queries ≈ 2.6 KB — can NEVER fit,
+  * even printed last: its head is truncated mid-line and the JSON never
+  * parses (six rounds of `parsed: null`). Hence:
+  *  - the LAST stdout line is a SHORT totals-only JSON (<200 chars):
+  *    `{"metric":"total","value":T,"unit":"sec","total_s":T,
+  *    "queries":N,"sf":"…"}` — fits the tail window with room for
+  *    sbt's trailing `[success]` line.
+  *  - per-query MEDIANS and raw per-rep triples go to STDERR ONLY
+  *    (medians last there), plus the file artifacts below.
+  *  - full JSON (summary + per-query medians + raw triples) written to
+  *    `$TMPDIR/graft_bench_out.json` (override: SPARK_GRAFT_BENCH_OUT)
+  *    AND to the legacy `./bench_out.json` cwd path (gitignored).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -128,17 +127,18 @@ object Bench {
       .mkString("{", ",", "}")
     val rawJson =
       s"""{"metric":"raw_reps","unit":"sec","order":"heaviest_first","raw":$rawHeaviestFirst}"""
-    // the bare contract line must be the FINAL stdout line — the driver
-    // keeps the tail of stdout, so anything printed after it risks
-    // pushing it out of the capture window (this exact failure ate the
-    // round 3-5 artifacts); raw triples go above it. Duplicated to
-    // stderr (same order) and to files. sbt's [info] decoration broke
-    // the stdout parse in rounds 1-2, hence the bare blank-line lead-in.
+    // STDOUT gets exactly one short line, LAST: the totals-only summary.
+    // The driver's tail window is ~2000 chars; the per-query median line
+    // is ~2.6 KB at 130 queries, so printing it to stdout at all risks
+    // pushing the parseable line out (this exact failure ate rounds
+    // 1-6's artifacts). Per-query detail lives on stderr + the files.
+    val shortJson =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","total_s":${f3(total)},"queries":${medians.size},"sf":"$sfDir"}"""
     println()
-    println(rawJson)
-    println(json)
+    println(shortJson)
     Console.err.println(rawJson)
     Console.err.println(json)
+    Console.err.println(shortJson)
     // full artifact (summary + raw triples) to tmpdir (override via
     // SPARK_GRAFT_BENCH_OUT) and to the legacy cwd path `bench_out.json`
     // (gitignored) — four chances for the driver's parser

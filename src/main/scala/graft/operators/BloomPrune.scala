@@ -82,7 +82,13 @@ object BloomPrune {
   def semiJoin(big: DataFrame, small: DataFrame, bigKey: String,
       smallKey: String, expectedItems: Long = 0L): DataFrame = {
     val keys = small.select(small(smallKey)).distinct()
-    val est = if (expectedItems > 0) expectedItems else math.max(keys.count(), 64L)
+    val cnt = keys.count()
+    // empty key side: the plain semi join this is bit-identical to
+    // returns zero rows — short-circuit instead of requiring a non-null
+    // sketch (BloomFilterAggregate yields null over zero rows, and an
+    // empty dimension filter must not crash the query)
+    if (cnt == 0) return big.limit(0)
+    val est = if (expectedItems > 0) expectedItems else math.max(cnt, 64L)
     val sketch = bloomOf(keys, smallKey, est)
     big.filter(mightContain(sketch, big(bigKey)))
       .join(keys, big(bigKey) === keys(smallKey), "left_semi")

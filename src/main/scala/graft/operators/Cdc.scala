@@ -37,14 +37,24 @@ object Cdc {
   def apply(base: DataFrame, changelog: DataFrame, keyCol: String,
       ordCols: Seq[String], opCol: String,
       payloadCols: Seq[String]): DataFrame = {
-    // base rows re-enter as upserts that sort below every log row with
-    // an equal-or-later ordering key (they already won their epoch).
+    // base rows re-enter as upserts with epoch 0; changelog rows carry
+    // epoch 1. The max_by ordering is (ordCols..., epoch, op), so ties
+    // are broken DETERMINISTICALLY: at equal ordering keys a changelog
+    // row always beats the re-entered base row (it is the later epoch —
+    // without this, a delete at the same ord as the base row won in
+    // partition order, silently sometimes), and between two changelog
+    // rows at a full ordering tie the upsert wins ("U" > "D"
+    // lexically) — the documented "a delete only wins if it is
+    // genuinely the last op" contract, now total, which is also what
+    // keeps chunked application associative at equal keys.
     val logCols = Seq(col(keyCol), col(opCol)) ++
       (ordCols ++ payloadCols).map(col)
-    val asLog = base.withColumn(opCol, lit("U")).select(logCols: _*)
-    val log = changelog.select(logCols: _*).unionByName(asLog)
+    val asLog = base.withColumn(opCol, lit("U"))
+      .select(logCols: _*).withColumn("_epoch", lit(0))
+    val log = changelog.select(logCols: _*).withColumn("_epoch", lit(1))
+      .unionByName(asLog)
     val winner = struct((ordCols :+ opCol) ++ payloadCols map col: _*)
-    val ord = struct(ordCols.map(col): _*)
+    val ord = struct(ordCols.map(col) ++ Seq(col("_epoch"), col(opCol)): _*)
     log.groupBy(col(keyCol))
       .agg(max_by(winner, ord).as("_w"))
       .filter(col(s"_w.$opCol") =!= "D")

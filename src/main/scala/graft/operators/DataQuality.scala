@@ -102,9 +102,12 @@ object DataQuality {
     */
   def checkReferential(child: DataFrame, parent: DataFrame, name: String,
       fkCol: String, pkCol: String): DataFrame = {
+    // alias the parent key: when fkCol and pkCol share a name (the common
+    // FK case, order_id = order_id) bare col() is ambiguous across the
+    // two frames and fails analysis
     val orphans = child.filter(col(fkCol).isNotNull)
-      .join(parent.select(col(pkCol)), col(fkCol) === col(pkCol),
-        "left_anti")
+      .join(parent.select(col(pkCol).as("_graft_pk")),
+        col(fkCol) === col("_graft_pk"), "left_anti")
     child.filter(col(fkCol).isNotNull).agg(count(lit(1)).as("n_checked"))
       .crossJoin(orphans.agg(count(lit(1)).as("n_violations")))
       .select(lit(name).as("check_name"), col("n_checked"),

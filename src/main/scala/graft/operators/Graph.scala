@@ -18,6 +18,23 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Eagerly materialize a node-sized result and sever its plan lineage
+    * (same recipe as Similarity.materializeSevered) so the edge-sized
+    * persisted intermediates can be released before returning. Without
+    * this, every call leaked its persisted edge frames into the block
+    * store for the session lifetime (round-6 ADVICE), and repeated
+    * calls — benchmark reps, long-lived services — accumulated
+    * edge-sized cache entries whose eviction storms showed up as 1.7×
+    * run-to-run swings on the graph family. The results here are
+    * node-sized (ranks, per-node counts), so materializing them costs
+    * one small cached RDD that the context cleaner reclaims when the
+    * caller drops the frame.
+    */
+  private def materialized(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint() // eager: runs the job now
+    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+  }
+
   /** PageRank with a FIXED iteration count and per-iteration rounding.
     *
     * Fixed iterations + round(pr, 10) after every superstep make the
@@ -59,7 +76,11 @@ object Graph {
         .select(col("id"), col("deg"),
           round(lit(teleport) + lit(damping) * col("_s"), 10).as("pr"))
     }
-    pr.select(col("id").as("node_id"), col("pr").as("pagerank"))
+    val out = materialized(
+      pr.select(col("id").as("node_id"), col("pr").as("pagerank")))
+    e.unpersist(blocking = false)
+    deg.unpersist(blocking = false)
+    out
   }
 
   /** Per-node triangle counts via the ordered-edge (node-iterator) join —
@@ -85,6 +106,16 @@ object Graph {
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val eCnt = e.count() // materializes the persist, sizes the sketch
+    val out = materialized(trianglesPlan(e, eCnt))
+    e.unpersist(blocking = false)
+    out
+  }
+
+  /** The lazy wedge-join plan over a canonicalized, persisted edge set —
+    * split out so the spec can pin the bloom-probe plan shape before
+    * [[triangles]] materializes it.
+    */
+  private[graft] def trianglesPlan(e: DataFrame, eCnt: Long): DataFrame = {
     val wedges = e.join(
       e.select(col("a").as("b"), col("b").as("c")), "b")
       .select(col("a"), col("b"), col("c"))

@@ -284,14 +284,74 @@ object Multimodal {
     }
   }
 
-  /** Batched REAL audio decode: `javax.sound.sampled.AudioSystem` parses
-    * each payload's container (WAV/AIFF/AU — the JDK's registered
-    * readers), reports true sample rate and frame count, and RMS is
-    * computed over the actual decoded PCM samples (normalized to
-    * [-1, 1] by /32768). Undecodable payloads yield a `decoded = false`
-    * row with zeroed features rather than failing the batch — the same
-    * poison-row policy as [[decodeImages]]. Non-16-bit or multi-channel
-    * audio is handled: RMS runs over every channel's samples.
+  /** Parsed RIFF/WAVE PCM header: everything [[decodeAudio]]'s fast path
+    * needs to read samples without touching the `AudioSystem` SPI.
+    */
+  private[graft] final case class WavPcm(sampleRate: Int, bits: Int,
+      channels: Int, blockAlign: Int, dataOff: Int, dataLen: Int)
+
+  /** Direct little-endian RIFF/WAVE chunk walk for uncompressed PCM
+    * (format code 1, 8- or 16-bit). Returns None for anything else —
+    * non-WAV magic, float/compressed WAV, exotic bit depths — so the
+    * caller can fall back to the `AudioSystem` SPI.
+    *
+    * Why this exists: `AudioSystem.getAudioInputStream` resolves its
+    * reader through the `javax.sound.sampled.spi` provider registry,
+    * whose lookup synchronizes globally — under 32 concurrent decode
+    * tasks that lock serializes the whole stage (round-6 bench:
+    * `mm_audio_decode` raw reps [1.2, 30.2, 14.1] s on payloads a
+    * header parse handles in microseconds). WAV is a 44-byte header
+    * away from the PCM; parsing it inline keeps the hot path
+    * lock-free and allocation-free.
+    */
+  private[graft] def parseWavPcm(b: Array[Byte]): Option[WavPcm] = {
+    def u16(i: Int): Int = (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
+    def u32(i: Int): Long =
+      (u16(i).toLong | (u16(i + 2).toLong << 16)) & 0xFFFFFFFFL
+    if (b.length < 44) return None
+    if (b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+        b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return None
+    var pos = 12
+    var fmt: WavPcm = null
+    var dataOff = -1
+    var dataLen = -1
+    while (pos + 8 <= b.length && (fmt == null || dataOff < 0)) {
+      val size = u32(pos + 4)
+      if (size > Int.MaxValue - 8 || pos + 8 + size > b.length.toLong) return None
+      val sz = size.toInt
+      if (b(pos) == 'f' && b(pos + 1) == 'm' && b(pos + 2) == 't' && b(pos + 3) == ' ') {
+        if (sz < 16) return None
+        val code = u16(pos + 8)
+        if (code != 1) return None // not uncompressed PCM → SPI fallback
+        val channels = u16(pos + 10)
+        val rate = u32(pos + 12)
+        val blockAlign = u16(pos + 20)
+        val bits = u16(pos + 22)
+        if ((bits != 8 && bits != 16) || channels < 1 || blockAlign < 1) return None
+        fmt = WavPcm(rate.toInt, bits, channels, blockAlign, -1, -1)
+      } else if (b(pos) == 'd' && b(pos + 1) == 'a' && b(pos + 2) == 't' && b(pos + 3) == 'a') {
+        dataOff = pos + 8
+        dataLen = sz
+      }
+      pos += 8 + sz + (sz & 1) // RIFF chunks are word-aligned
+    }
+    if (fmt == null || dataOff < 0) None
+    else Some(fmt.copy(dataOff = dataOff, dataLen = dataLen))
+  }
+
+  /** Batched REAL audio decode. WAV PCM payloads (the overwhelmingly
+    * common container at corpus scale, and everything [[renderWavs]]
+    * emits) take a direct header-parse fast path ([[parseWavPcm]]) that
+    * reads the RIFF chunks and PCM samples in place — no `AudioSystem`
+    * SPI-registry lookup, whose global lock serialized 32 concurrent
+    * tasks in round 6. Everything else (AIFF/AU, compressed WAV) falls
+    * back to `javax.sound.sampled.AudioSystem`, preserving the full
+    * JDK container coverage. Both paths report true sample rate and
+    * frame count, and RMS over the actual PCM samples (normalized to
+    * [-1, 1] by /32768; multi-channel RMS runs over every channel's
+    * samples). Undecodable payloads yield a `decoded = false` row with
+    * zeroed features rather than failing the batch — the same
+    * poison-row policy as [[decodeImages]].
     */
   def decodeAudio(media: Dataset[MediaRecord], partitions: Int = 0): Dataset[DecodedAudio] = {
     val spark = media.sparkSession
@@ -299,49 +359,86 @@ object Multimodal {
     val balanced = if (partitions > 0) media.repartition(partitions, col("media_id")) else media
     balanced.mapPartitions { batch =>
       batch.map { m =>
-        try {
-          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(m.content))
-          try {
-            val fmt = ais.getFormat
-            val n = ais.getFrameLength
-            val bytes = ais.readAllBytes()
-            val bits = fmt.getSampleSizeInBits
+        val wav = try parseWavPcm(m.content) catch { case NonFatal(_) => None }
+        wav match {
+          case Some(w) =>
+            val b = m.content
+            val end = math.min(b.length, w.dataOff + w.dataLen)
             var sumSq = 0.0
             var count = 0L
-            if (bits == 16) {
-              val le = !fmt.isBigEndian
-              var i = 0
-              while (i + 1 < bytes.length) {
-                val s =
-                  if (le) ((bytes(i + 1) << 8) | (bytes(i) & 0xFF)).toShort
-                  else ((bytes(i) << 8) | (bytes(i + 1) & 0xFF)).toShort
+            if (w.bits == 16) {
+              var i = w.dataOff
+              while (i + 1 < end) {
+                val s = ((b(i + 1) << 8) | (b(i) & 0xFF)).toShort
                 sumSq += s.toDouble * s.toDouble
                 count += 1
                 i += 2
               }
-            } else if (bits == 8) {
-              // 8-bit WAV PCM is unsigned, centered at 128
-              var i = 0
-              while (i < bytes.length) {
-                val s = ((bytes(i) & 0xFF) - 128) * 256.0
+            } else { // 8-bit WAV PCM is unsigned, centered at 128
+              var i = w.dataOff
+              while (i < end) {
+                val s = ((b(i) & 0xFF) - 128) * 256.0
                 sumSq += s * s
                 count += 1
                 i += 1
               }
             }
+            val n = w.dataLen.toLong / w.blockAlign
             val rms =
               if (count == 0) 0.0 else math.sqrt(sumSq / count) / 32768.0
-            DecodedAudio(m.media_id, fmt.getSampleRate.toInt, n, rms, decoded = true)
-          } finally ais.close()
-        } catch {
-          // NonFatal (not just UnsupportedAudioFileException/IOException):
-          // codec internals can throw RuntimeExceptions on malformed
-          // payloads, and those must also become poison rows
-          case NonFatal(_) =>
-            DecodedAudio(m.media_id, 0, 0L, 0.0, decoded = false)
+            DecodedAudio(m.media_id, w.sampleRate, n, rms, decoded = true)
+          case None => decodeAudioViaSpi(m)
         }
       }
+    }
+  }
+
+  /** SPI fallback for non-PCM-WAV containers (AIFF/AU, compressed WAV):
+    * the original `AudioSystem` path, byte-for-byte the same feature
+    * math as the fast path.
+    */
+  private def decodeAudioViaSpi(m: MediaRecord): DecodedAudio = {
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(m.content))
+      try {
+        val fmt = ais.getFormat
+        val n = ais.getFrameLength
+        val bytes = ais.readAllBytes()
+        val bits = fmt.getSampleSizeInBits
+        var sumSq = 0.0
+        var count = 0L
+        if (bits == 16) {
+          val le = !fmt.isBigEndian
+          var i = 0
+          while (i + 1 < bytes.length) {
+            val s =
+              if (le) ((bytes(i + 1) << 8) | (bytes(i) & 0xFF)).toShort
+              else ((bytes(i) << 8) | (bytes(i + 1) & 0xFF)).toShort
+            sumSq += s.toDouble * s.toDouble
+            count += 1
+            i += 2
+          }
+        } else if (bits == 8) {
+          // 8-bit WAV PCM is unsigned, centered at 128
+          var i = 0
+          while (i < bytes.length) {
+            val s = ((bytes(i) & 0xFF) - 128) * 256.0
+            sumSq += s * s
+            count += 1
+            i += 1
+          }
+        }
+        val rms =
+          if (count == 0) 0.0 else math.sqrt(sumSq / count) / 32768.0
+        DecodedAudio(m.media_id, fmt.getSampleRate.toInt, n, rms, decoded = true)
+      } finally ais.close()
+    } catch {
+      // NonFatal (not just UnsupportedAudioFileException/IOException):
+      // codec internals can throw RuntimeExceptions on malformed
+      // payloads, and those must also become poison rows
+      case NonFatal(_) =>
+        DecodedAudio(m.media_id, 0, 0L, 0.0, decoded = false)
     }
   }
 

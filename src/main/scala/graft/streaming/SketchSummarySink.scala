@@ -67,19 +67,55 @@ object SketchSummarySink {
   def summary(spark: SparkSession, path: String, groupCol: String): DataFrame =
     SketchRollup.estimates(mergedSketches(spark, path, groupCol), groupCol)
 
-  /** Squash all partial generations into a single one (batch_id −1) so
-    * the file count stays bounded no matter how long the stream runs.
-    * Safe to run between triggers: writes the merged generation to a
-    * staging directory first, then swaps it in.
+  /** Squash the partial generations into a single one so the file count
+    * stays bounded no matter how long the stream runs.
+    *
+    * Safe to run CONCURRENTLY with an appending stream — no
+    * coordination needed, because the protocol never swaps the
+    * directory out:
+    *  1. snapshot the current data-file list;
+    *  2. merge exactly those files into one generation (batch_id
+    *     strictly below every existing one — −1 on first compaction,
+    *     decreasing after — so [[mergedSketches]]' per-batch dedup
+    *     never collides across compactions) and APPEND it via a
+    *     staging dir + per-file rename into `path`;
+    *  3. delete only the snapshotted files.
+    * A partial appended by a concurrent trigger between (1) and (3) is
+    * not in the snapshot, so it survives untouched; readers always see
+    * a live directory, and during the (2)-(3) overlap they see the
+    * snapshot files AND their merged generation together — harmless,
+    * because HLL union is idempotent (max-of-registers), so unioning
+    * the same data twice yields the identical summary.
     */
   def compact(spark: SparkSession, path: String, groupCol: String): Unit = {
+    val fs = FileSystem.get(new URI(path), spark.sparkContext.hadoopConfiguration)
+    val dir = new Path(path)
+    if (!fs.exists(dir)) return
+    val snapshot = fs.listStatus(dir)
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+        !f.getPath.getName.startsWith("."))
+      .map(_.getPath)
+    if (snapshot.isEmpty) return
+    val parts = spark.read.parquet(snapshot.map(_.toString): _*)
+    val minId = parts.agg(min(col("batch_id"))).head().getLong(0)
+    val gen = math.min(minId, 0L) - 1L
+    val merged = parts
+      .groupBy(col(groupCol), col("batch_id"))
+      .agg(first(col("sketch")).as("sketch"))
+      .groupBy(col(groupCol))
+      .agg(hll_union_agg(col("sketch"), lit(false)).as("sketch"))
+      .withColumn("batch_id", lit(gen))
     val staged = path + "_compacting"
-    mergedSketches(spark, path, groupCol)
-      .withColumn("batch_id", lit(-1L))
-      .write.mode("overwrite").parquet(staged)
-    val fs = FileSystem.get(new URI(staged), spark.sparkContext.hadoopConfiguration)
-    fs.delete(new Path(path), true)
-    fs.rename(new Path(staged), new Path(path))
+    merged.write.mode("overwrite").parquet(staged)
+    // append the merged generation file-by-file (part names carry a
+    // fresh UUID, so no collision with live files), then retire the
+    // snapshot; the directory itself is never deleted or renamed
+    fs.listStatus(new Path(staged))
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+        !f.getPath.getName.startsWith("."))
+      .foreach(f => fs.rename(f.getPath, new Path(dir, f.getPath.getName)))
+    snapshot.foreach(p => fs.delete(p, false))
+    fs.delete(new Path(staged), true)
     ()
   }
 }

@@ -18,6 +18,14 @@ class BloomPruneSpec extends SparkTestBase {
     assert(pruned.nonEmpty && (pruned.toSeq == plain.toSeq))
   }
 
+  test("an empty key side yields zero rows, matching the plain semi join, not a crash") {
+    val big = (0L until 100L).map(i => (i, s"row$i")).toDF("k", "payload")
+    val none = Seq.empty[Long].toDF("j")
+    val out = BloomPrune.semiJoin(big, none, "k", "j")
+    assert(out.count() == 0)
+    assert(out.columns.toSeq == Seq("k", "payload"), "schema must survive the short-circuit")
+  }
+
   test("a deliberately tiny sketch floods false positives; the verify join kills them all") {
     val big = (0L until 4000L).map(i => (i, s"row$i")).toDF("k", "payload")
     val keys = (0L until 4000L by 40).map(Tuple1(_)).toDF("j")  // 100 true keys

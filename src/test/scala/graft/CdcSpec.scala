@@ -42,6 +42,22 @@ class CdcSpec extends SparkTestBase {
     assert(out.toSeq == Seq((1L, 5L, "old1"), (2L, 6L, "new2")))
   }
 
+  test("equal ordering keys break deterministically: changelog beats base, upsert beats delete") {
+    // key 1: base row and a DELETE share ord 5 — the delete is the later
+    // epoch and must win (the key disappears), not partition-order luck.
+    // key 2: base row and an UPSERT share ord 5 — the upsert wins.
+    // key 3: a delete and an upsert tie at ord 5 within the changelog —
+    // the upsert wins the full-tie ("U" > "D" in the ord struct).
+    val base = stateDf((1L, 5L, "old1"), (2L, 5L, "old2"))
+    val log = logDf(
+      (1L, 5L, "D", ""),
+      (2L, 5L, "U", "new2"),
+      (3L, 5L, "D", ""), (3L, 5L, "U", "c"))
+    val out = applyLog(base, log)
+      .select("k", "ord", "v").as[(Long, Long, String)].collect().sorted
+    assert(out.toSeq == Seq((2L, 5L, "new2"), (3L, 5L, "c")))
+  }
+
   test("chunked application equals one-shot application (associativity)") {
     // 40 keys, 6 ops each in commit order; chunk boundary mid-history.
     val ops = for {

@@ -69,8 +69,12 @@ class GraphSpec extends SparkTestBase {
   }
 
   test("triangles plan probes the edge bloom sketch before the closing semi join") {
+    // pin the lazy plan (the public triangles() materializes its result
+    // eagerly so it can release the persisted edge set before returning)
     val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
-    val plan = Graph.triangles(e).queryExecution.executedPlan.toString
+      .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
+      .distinct()
+    val plan = Graph.trianglesPlan(e, 4L).queryExecution.executedPlan.toString
     assert(plan.contains("might_contain"),
       s"wedge stream must be bloom-pruned map-side before the shuffle:\n$plan")
   }

@@ -233,4 +233,55 @@ class MultimodalSpec extends SparkTestBase {
     assert(a(0) == Multimodal.DecodedAudio(1L, 16000, 100L, 0.0, decoded = true))
     assert(a(1) == Multimodal.DecodedAudio(2L, 0, 0L, 0.0, decoded = false))
   }
+
+  test("parseWavPcm fast path matches the AudioSystem reader on rendered payloads") {
+    // the direct header parse must report exactly what the SPI reader
+    // reports — rate, frame count, layout — for every payload renderWavs
+    // emits, and reject non-WAV bytes so they fall back to the SPI
+    val media = Seq.tabulate(25)(i =>
+      Multimodal.MediaRecord(i.toLong, "text/plain",
+        s"doc payload $i".getBytes("UTF-8"), Map.empty)).toDS()
+    val wavs = Multimodal.renderWavs(media).collect()
+    wavs.foreach { w =>
+      val parsed = Multimodal.parseWavPcm(w.content)
+        .getOrElse(fail(s"fast path rejected a rendered WAV (id ${w.media_id})"))
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(w.content))
+      try {
+        val fmt = ais.getFormat
+        assert(parsed.sampleRate == fmt.getSampleRate.toInt)
+        assert(parsed.bits == fmt.getSampleSizeInBits)
+        assert(parsed.channels == fmt.getChannels)
+        assert(parsed.dataLen.toLong / parsed.blockAlign == ais.getFrameLength)
+      } finally ais.close()
+    }
+    assert(Multimodal.parseWavPcm("RIFFxxxxJUNK".getBytes).isEmpty)
+    assert(Multimodal.parseWavPcm(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("decodeAudio fast path and SPI fallback agree on an AIFF payload") {
+    // AIFF is not RIFF/WAVE, so it must take the SPI branch and still
+    // decode the same features a WAV of the same PCM would
+    val fmtBE = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, true)
+    val n = 64
+    val pcm = new Array[Byte](2 * n)
+    var i = 0
+    while (i < n) { // alternating ±4096 square wave, big-endian
+      val s = if ((i & 1) == 0) 4096 else -4096
+      pcm(2 * i) = ((s >> 8) & 0xFF).toByte
+      pcm(2 * i + 1) = (s & 0xFF).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmtBE, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.AIFF, out)
+    assert(Multimodal.parseWavPcm(out.toByteArray).isEmpty, "AIFF must not parse as WAV")
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "audio/aiff", out.toByteArray, Map.empty)).toDS()
+    val a = Multimodal.decodeAudio(media).collect().head
+    assert(a == Multimodal.DecodedAudio(1L, 8000, n.toLong, 4096.0 / 32768.0,
+      decoded = true))
+  }
 }
