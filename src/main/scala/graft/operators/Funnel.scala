@@ -77,6 +77,95 @@ object Funnel {
       .orderBy(col("step_idx"))
   }
 
+  /** Session-scoped first/last-touch attribution: every conversion event
+    * is credited to the FIRST and the LAST touch-channel event that
+    * strictly precedes it inside the same activity session (gap
+    * sessionization, `gapUs` of inactivity closes a session — the same
+    * session contract as `q_events_sessions`). Conversions with no
+    * preceding touch in their session land in the `(none)` channel, so
+    * credit totals always equal the conversion count.
+    *
+    * Output: one row per channel — `channel`, `n_first_touch`,
+    * `n_last_touch` (BIGINT conversion counts), ordered by channel.
+    *
+    * Scale shape: ONE hash shuffle on the user key does all the work.
+    * The sessionization windows partition by user; the attribution
+    * windows partition by (user, session) — `HashPartitioning(user)`
+    * already satisfies the clustered distribution on the wider key, so
+    * Catalyst inserts only a re-sort, never a second exchange. The
+    * session-local first/last touch is a running `first/last(…, ignore
+    * nulls)` over the strictly-preceding frame — no event×event
+    * self-join, no per-conversion lookup join, so hot users cost one
+    * sort-merge pass instead of a skewed O(touches × conversions)
+    * blow-up. The final channel rollup aggregates a handful of rows.
+    */
+  def attribution(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String, touches: Seq[String],
+      conversion: String, gapUs: Long = 1800000000L): DataFrame = {
+    require(touches.nonEmpty, "attribution needs at least one touch channel")
+    val us = unix_micros(col(tsCol))
+    val wUser = Window.partitionBy(col(userCol)).orderBy(us, col(idCol))
+    val wRun = wUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val touchType = when(col(typeCol).isin(touches: _*), col(typeCol))
+    val sess = events
+      .withColumn("_prev_us", lag(us, 1).over(wUser))
+      .withColumn("_sess",
+        sum(when(col("_prev_us").isNull || us - col("_prev_us") > lit(gapUs),
+          1L).otherwise(0L)).over(wRun))
+    val wPrior = Window.partitionBy(col(userCol), col("_sess"))
+      .orderBy(us, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sess
+      .withColumn("_ft", first(touchType, ignoreNulls = true).over(wPrior))
+      .withColumn("_lt", last(touchType, ignoreNulls = true).over(wPrior))
+      .filter(col(typeCol) === conversion)
+      .select(explode(array(
+        struct(coalesce(col("_ft"), lit("(none)")).as("channel"),
+          lit(1L).as("f"), lit(0L).as("l")),
+        struct(coalesce(col("_lt"), lit("(none)")).as("channel"),
+          lit(0L).as("f"), lit(1L).as("l")))).as("_e"))
+      .groupBy(col("_e.channel").as("channel"))
+      .agg(sum(col("_e.f")).as("n_first_touch"),
+        sum(col("_e.l")).as("n_last_touch"))
+      .orderBy(col("channel"))
+  }
+
+  /** Matching ANSI SQL for [[attribution]], generated from the same
+    * channel list (DuckDB spells ignore-nulls as `first_value(x IGNORE
+    * NULLS)`; BIGINT sums are cast back from HUGEINT).
+    */
+  def attributionSql(table: String, userCol: String, tsCol: String,
+      idCol: String, typeCol: String, touches: Seq[String],
+      conversion: String, gapUs: Long = 1800000000L): String = {
+    val touchList = touches.map(t => s"'$t'").mkString(", ")
+    val touchCase = s"CASE WHEN $typeCol IN ($touchList) THEN $typeCol END"
+    val wPrior = s"(PARTITION BY $userCol, sess ORDER BY us, $idCol " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+    s"""WITH g AS (
+       |  SELECT $userCol, $idCol, $typeCol, epoch_us($tsCol) AS us,
+       |    lag(epoch_us($tsCol)) OVER (PARTITION BY $userCol
+       |      ORDER BY epoch_us($tsCol), $idCol) AS prev_us
+       |  FROM $table),
+       |s AS (
+       |  SELECT *, sum(CASE WHEN prev_us IS NULL OR us - prev_us > $gapUs
+       |                     THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY $userCol ORDER BY us, $idCol
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+       |  FROM g),
+       |a AS (
+       |  SELECT $typeCol,
+       |    first_value($touchCase IGNORE NULLS) OVER $wPrior AS ft,
+       |    last_value($touchCase IGNORE NULLS) OVER $wPrior AS lt
+       |  FROM s),
+       |p AS (SELECT coalesce(ft, '(none)') AS ft, coalesce(lt, '(none)') AS lt
+       |      FROM a WHERE $typeCol = '$conversion'),
+       |u AS (SELECT ft AS channel, 1 AS f, 0 AS l FROM p
+       |      UNION ALL SELECT lt, 0, 1 FROM p)
+       |SELECT channel, CAST(sum(f) AS BIGINT) AS n_first_touch,
+       |  CAST(sum(l) AS BIGINT) AS n_last_touch
+       |FROM u GROUP BY channel ORDER BY channel""".stripMargin
+  }
+
   /** Matching ANSI SQL, generated from the same step list. Window-over-
     * window needs one CTE level per step chain link; DuckDB's
     * `sum(BIGINT)` widens to HUGEINT, so journey sums are cast back.

@@ -333,6 +333,15 @@ object Relational {
       "user_id", "ts", "event_id", "event_type",
       Seq("view", "click", "purchase"))
 
+  /** Session-scoped first/last-touch conversion attribution over the
+    * events stream — see [[graft.operators.Funnel.attribution]] for the
+    * one-user-shuffle window shape and the `(none)` channel contract.
+    */
+  def qFunnelAttrib(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.attribution(Tables.events(s, dir),
+      "user_id", "ts", "event_id", "event_type",
+      Seq("view", "click"), "purchase")
+
   /** Finite-window EWMA + spike flags over the events stream, one series
     * per event type — see [[graft.operators.TimeSeries]] for the numeric
     * contract that lets unrounded doubles carry a full hash oracle.
@@ -849,6 +858,7 @@ object Relational {
     "q_window_running" -> (qWindowRunning _),
     "q_events_sessions" -> (qEventsSessions _),
     "q_funnel_steps" -> (qFunnelSteps _),
+    "q_funnel_attrib" -> (qFunnelAttrib _),
     "q_peak_concurrency" -> (qPeakConcurrency _),
     "q_gap_islands" -> (qGapIslands _),
     "q_ts_ewma" -> (qTsEwma _),
@@ -1269,6 +1279,10 @@ object Relational {
       graft.operators.Funnel.conversionSql("events",
         "user_id", "ts", "event_id", "event_type",
         Seq("view", "click", "purchase")),
+    "q_funnel_attrib" ->
+      graft.operators.Funnel.attributionSql("events",
+        "user_id", "ts", "event_id", "event_type",
+        Seq("view", "click"), "purchase"),
     "q_gap_islands" ->
       """WITH g AS (
         |  SELECT user_id, event_type, event_id,

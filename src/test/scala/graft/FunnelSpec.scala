@@ -64,6 +64,70 @@ class FunnelSpec extends SparkTestBase {
       s"every hash exchange must be keyed on user_id:\n$hashExchanges")
   }
 
+  private def runAttrib(df: org.apache.spark.sql.DataFrame) =
+    Funnel.attribution(df, "user_id", "ts", "event_id", "event_type",
+      Seq("view", "click"), "purchase")
+      .as[(String, Long, Long)].collect().toSeq
+
+  test("attribution credits first and last preceding touch within the session") {
+    val out = runAttrib(ev(
+      // user 1, one session: view(10) → click(20) → purchase(30)
+      // first touch view, last touch click
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"),
+      // user 2, one session: click only → both credits to click
+      (2L, 10L, "click"), (2L, 15L, "purchase")))
+    assert(out == Seq(
+      ("click", 1L, 2L),   // last-touch for u1, first+last for u2
+      ("view", 1L, 0L)))
+  }
+
+  test("attribution resets at session boundaries; orphan conversions land in (none)") {
+    val out = runAttrib(ev(
+      // user 1: view at 10, then >30 min of silence — the purchase at
+      // 10+2000 s opens a NEW session with no touch before it
+      (1L, 10L, "view"), (1L, 2010L, "purchase"),
+      // user 2: purchase with no touch at all
+      (2L, 10L, "purchase"),
+      // user 3: same-session touch 100 s before purchase still counts
+      (3L, 10L, "click"), (3L, 110L, "purchase")))
+    assert(out == Seq(
+      ("(none)", 2L, 2L),
+      ("click", 1L, 1L)))
+  }
+
+  test("attribution looks strictly BACKWARD — touches after the conversion don't count") {
+    val out = runAttrib(ev(
+      (1L, 10L, "purchase"), (1L, 20L, "view"), (1L, 30L, "purchase")))
+    // first purchase unattributed; second credits the view both ways
+    assert(out == Seq(("(none)", 1L, 1L), ("view", 1L, 1L)))
+  }
+
+  test("attribution credit totals always equal the conversion count") {
+    val df = Funnel.attribution(Tables.events(spark, "/root/testdata/sf0.001"),
+      "user_id", "ts", "event_id", "event_type", Seq("view", "click"), "purchase")
+    val (f, l) = df.agg(sum($"n_first_touch"), sum($"n_last_touch"))
+      .as[(Long, Long)].head()
+    val purchases = Tables.events(spark, "/root/testdata/sf0.001")
+      .filter($"event_type" === "purchase").count()
+    assert(f == purchases && l == purchases)
+  }
+
+  test("attribution plan: windows re-use the single user_id exchange, no self-join") {
+    val df = Funnel.attribution(Tables.events(spark, "/root/testdata/sf0.001"),
+      "user_id", "ts", "event_id", "event_type", Seq("view", "click"), "purchase")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"attribution must not self-join:\n$plan")
+    // the (user, session) windows must NOT add a second event-sized
+    // exchange: hash(user_id) already satisfies the wider clustering,
+    // so the only exchanges are the user one + the tiny channel rollup
+    val userExchanges = plan.linesIterator
+      .filter(_.contains("hashpartitioning"))
+      .filter(_.contains("user_id")).toSeq
+    assert(userExchanges.size == 1,
+      s"expected exactly one user_id exchange:\n$plan")
+  }
+
   test("generated oracle SQL chains one CTE per step link and casts HUGEINT sums") {
     val sql = Funnel.conversionSql("events", "user_id", "ts", "event_id",
       "event_type", Seq("view", "click", "purchase"))
