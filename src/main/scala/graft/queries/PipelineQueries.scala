@@ -231,6 +231,28 @@ object PipelineQueries {
   def textVocab(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.vocabulary(Tables.documents(s, dir), "text", 200)
 
+  /** BPE merges learned this query runs over. 16 keeps the unrolled
+    * DuckDB oracle tractable while exercising multi-character merges
+    * (merged tokens re-merging with neighbors).
+    */
+  private val BpeMerges = 16
+
+  /** BPE tokenizer training over the corpus ([[graft.operators.Bpe]]):
+    * the learned merge table after 16 rounds — one corpus-scale word
+    * count, then vocabulary-scale bounded-driver-loop rounds; the
+    * oracle unrolls the identical argmax + greedy-merge iteration.
+    */
+  def textBpeTrain(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Bpe.train(Tables.documents(s, dir), "text", BpeMerges)
+
+  /** Corpus encoding under the merges [[textBpeTrain]] learns: per-doc
+    * word and BPE-token counts via one join of corpus words against the
+    * vocabulary-scale segmentation table.
+    */
+  def textBpeEncode(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Bpe.trainAndEncode(Tables.documents(s, dir),
+      "doc_id", "text", BpeMerges)
+
   /** Int8 absmax quantization of the embedding store ([[Quantize]] — the
     * 4× storage cut every 100 TB vector deployment applies), exploded to
     * oracle-hashable scalars; the packed tinyint[] form is the production
@@ -1001,6 +1023,8 @@ object PipelineQueries {
     "emb_quantize" -> (embQuantize _),
     "dedup_incremental" -> (dedupIncremental _),
     "text_vocab" -> (textVocab _),
+    "text_bpe_train" -> (textBpeTrain _),
+    "text_bpe_encode" -> (textBpeEncode _),
     "dedup_clusters" -> (dedupClusters _),
     "emb_centroids" -> (embCentroids _),
     "dedup_clusters_star" -> (dedupClustersStar _),
@@ -1849,6 +1873,10 @@ object PipelineQueries {
          |  AND d.doc_id NOT IN (SELECT doc_id FROM losers_near)
          |  AND d.doc_id NOT IN (SELECT doc_id FROM losers_exact)
          |ORDER BY d.doc_id""".stripMargin,
+    "text_bpe_train" ->
+      graft.operators.Bpe.trainSql("documents", "text", BpeMerges),
+    "text_bpe_encode" ->
+      graft.operators.Bpe.encodeSql("documents", "doc_id", "text", BpeMerges),
     "text_vocab" ->
       """WITH t AS (
         |  SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')
