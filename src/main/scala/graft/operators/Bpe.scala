@@ -167,15 +167,38 @@ object Bpe {
       nMerges: Int): DataFrame = {
     val (_, words) = trainWithSegments(docs, textCol, nMerges)
     val segSizes = words.select(col("word"), size(col("syms")).cast("long").as("_n"))
-    docs.select(col(idCol),
+    val out = docs.select(col(idCol),
         explode(graft.functions.Text.tokens(col(textCol))).as("word"))
       .join(segSizes, Seq("word"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_words"), sum(col("_n")).as("n_bpe_tokens"))
       .orderBy(col(idCol))
-    // note: the checkpointed segment table stays pinned until this
-    // result is consumed; Bench's family barrier / releaseCheckpoint in
-    // train() covers the training-only path
+      // eager: the per-doc result (docs-sized, two longs per row) is far
+      // smaller than the segment table it joins against; materializing
+      // it here lets the vocabulary-scale checkpoint release immediately
+      // instead of staying pinned until the caller consumes the plan
+      .localCheckpoint(true)
+    unpersistSegments(words)
+    out
+  }
+
+  /** The symbol vocabulary after training: every surviving symbol with
+    * its frequency-weighted occurrence count and raw position count
+    * across the segmented word table — the tokenizer artifact a serving
+    * stack ships (vocabulary-scale: base characters + ≤ nMerges merged
+    * tokens).
+    */
+  def vocab(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    val (_, words) = trainWithSegments(docs, textCol, nMerges)
+    val out = words
+      .select(explode(col("syms")).as("token"), col("freq"))
+      .groupBy(col("token"))
+      .agg(sum(col("freq")).as("n_occurrences"),
+        count(lit(1)).as("n_positions"))
+      .orderBy(col("token"))
+      .localCheckpoint(true) // tiny; frees the segment table eagerly
+    unpersistSegments(words)
+    out
   }
 
   // ---------------------------------------------------------- oracle SQL
@@ -241,6 +264,19 @@ object Bpe {
         s"a || b AS merged, cnt AS n_pairs FROM m$i"
     }.mkString(" UNION ALL ")
     s"WITH $ctes\nSELECT * FROM ($rows) ORDER BY merge_idx"
+  }
+
+  /** Full unrolled vocabulary oracle: re-derives the same merges, then
+    * explodes the final segmentation table.
+    */
+  def vocabSql(table: String, textCol: String, nMerges: Int): String = {
+    val ctes = (baseCte(table, textCol) +:
+      (0 until nMerges).map(iterCtes)).mkString(",\n")
+    s"""WITH $ctes
+       |SELECT s AS token, CAST(sum(freq) AS BIGINT) AS n_occurrences,
+       |  count(*) AS n_positions
+       |FROM (SELECT freq, unnest(syms) AS s FROM w$nMerges)
+       |GROUP BY s ORDER BY token""".stripMargin
   }
 
   /** Full unrolled encode oracle: re-derives the same merges, then joins

@@ -253,6 +253,12 @@ object PipelineQueries {
     graft.operators.Bpe.trainAndEncode(Tables.documents(s, dir),
       "doc_id", "text", BpeMerges)
 
+  /** The trained symbol vocabulary (base chars + merged tokens) with
+    * weighted occurrence counts — the shippable tokenizer artifact.
+    */
+  def textBpeVocab(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Bpe.vocab(Tables.documents(s, dir), "text", BpeMerges)
+
   /** Int8 absmax quantization of the embedding store ([[Quantize]] — the
     * 4× storage cut every 100 TB vector deployment applies), exploded to
     * oracle-hashable scalars; the packed tinyint[] form is the production
@@ -1025,6 +1031,7 @@ object PipelineQueries {
     "text_vocab" -> (textVocab _),
     "text_bpe_train" -> (textBpeTrain _),
     "text_bpe_encode" -> (textBpeEncode _),
+    "text_bpe_vocab" -> (textBpeVocab _),
     "dedup_clusters" -> (dedupClusters _),
     "emb_centroids" -> (embCentroids _),
     "dedup_clusters_star" -> (dedupClustersStar _),
@@ -1877,6 +1884,8 @@ object PipelineQueries {
       graft.operators.Bpe.trainSql("documents", "text", BpeMerges),
     "text_bpe_encode" ->
       graft.operators.Bpe.encodeSql("documents", "doc_id", "text", BpeMerges),
+    "text_bpe_vocab" ->
+      graft.operators.Bpe.vocabSql("documents", "text", BpeMerges),
     "text_vocab" ->
       """WITH t AS (
         |  SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')

@@ -36,7 +36,10 @@ object ScaleCurve {
     "text_ngram_lm", "dedup_containment", "q_resample_ffill",
     "mm_image_resize", "mm_frame_sample", "text_knn_jaccard",
     "graph_triangles", "text_lm_score", "chunk_cdc", "ann_topk_pca",
-    "ann_topk_pq", "ann_topk_ivfpq")
+    "ann_topk_pq", "ann_topk_ivfpq",
+    // round-7 additions: the seven >1 s queries without measured curves
+    "mm_audio_decode", "q_fuzzy_join", "q_mad", "q_group_percentile",
+    "q_percentile", "text_pii_redact", "text_stats")
 
   /** SPARK_GRAFT_SCALE_ONLY: comma-separated exact names — run a subset
     * (new-row refresh) without re-measuring the whole table.
@@ -55,10 +58,14 @@ object ScaleCurve {
     * is identical either way; this only keeps the printed n honest.
     */
   private val LineitemDriven = Set("q_skew_join", "q_table_profile",
-    "graph_pagerank", "graph_triangles")
+    "graph_pagerank", "graph_triangles", "q_mad", "q_group_percentile",
+    "q_percentile")
 
   /** Queries driven by the events table — labeled by its row count. */
   private val EventsDriven = Set("q_resample_ffill")
+
+  /** Queries driven by the customer table — labeled by its row count. */
+  private val CustomerDriven = Set("q_fuzzy_join")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -83,6 +90,7 @@ object ScaleCurve {
     // same way at every size
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet(s"$base/events.parquet")
+    val cust = spark.read.parquet(s"$base/customer.parquet")
     val n = docs.count()
     val nLi = li.count()
 
@@ -102,7 +110,8 @@ object ScaleCurve {
       "embeddings" -> emb.filter(col("vec_id") % 2 === 0),
       "lineitem" -> li.filter(col("l_orderkey") % 2 === 0),
       "orders" -> ord.filter(col("o_orderkey") % 2 === 0),
-      "events" -> ev.filter(col("user_id") % 2 === 0))
+      "events" -> ev.filter(col("user_id") % 2 === 0),
+      "customer" -> cust.filter(col("c_custkey") % 2 === 0))
     val mangledCopy = docs
       .withColumn("doc_id", col("doc_id") + lit(1000000L))
       .withColumn("text", array_join(
@@ -130,7 +139,14 @@ object ScaleCurve {
         ord.withColumn("o_orderkey", col("o_orderkey") + keyOff)),
       "events" -> ev.unionByName(
         ev.withColumn("user_id", col("user_id") + keyOff)
-          .withColumn("event_id", col("event_id") + keyOff)))
+          .withColumn("event_id", col("event_id") + keyOff)),
+      // fuzzy-join copy: "qq"-suffixed names under offset keys — TPC-H
+      // customer names share one length, so dist(orig, copy) >= 2 > the
+      // query's maxDist (no cross-copy matches), while intra-copy edit
+      // distances are exactly the originals' -> true pairs grow 2x
+      "customer" -> cust.unionByName(
+        cust.withColumn("c_custkey", col("c_custkey") + keyOff)
+          .withColumn("c_name", concat(col("c_name"), lit("qq")))))
 
     val sizes = Seq(n / 2 -> half, n -> base, 2 * n -> double)
     val liSizes = Seq(half, base, double).map { dir =>
@@ -138,6 +154,9 @@ object ScaleCurve {
     }.toMap
     val evSizes = Seq(half, base, double).map { dir =>
       dir -> spark.read.parquet(s"$dir/events.parquet").count()
+    }.toMap
+    val custSizes = Seq(half, base, double).map { dir =>
+      dir -> spark.read.parquet(s"$dir/customer.parquet").count()
     }.toMap
 
     def runOnce(name: String, dir: String): Double = {
@@ -157,7 +176,8 @@ object ScaleCurve {
     val results = Queries.map { q =>
       q -> sizes.map { case (sz, dir) =>
         val label = if (LineitemDriven(q)) liSizes(dir)
-          else if (EventsDriven(q)) evSizes(dir) else sz
+          else if (EventsDriven(q)) evSizes(dir)
+          else if (CustomerDriven(q)) custSizes(dir) else sz
         label -> median((0 until reps).map(_ => runOnce(q, dir)))
       }
     }

@@ -75,6 +75,13 @@ class BpeSpec extends SparkTestBase {
     assert(enc == Seq((0L, 3L, 5L), (1L, 2L, 3L)))
   }
 
+  test("vocab: surviving symbols with weighted occurrence and position counts") {
+    // words: aaab×3 → [aa, ab], ab×2 → [ab], a×1 → [a] after 2 merges
+    val v = Bpe.vocab(docs("aaab aaab aaab ab ab a"), "text", 2)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(v == Seq(("a", 1L, 1L), ("aa", 3L, 1L), ("ab", 5L, 2L)))
+  }
+
   test("fold-apply is equivalent to a driver-side greedy reference on random inputs") {
     def refGreedy(syms: Seq[String], a: String, b: String): Seq[String] = {
       val out = scala.collection.mutable.ArrayBuffer[String]()
