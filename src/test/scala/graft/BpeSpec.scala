@@ -111,6 +111,21 @@ class BpeSpec extends SparkTestBase {
     }
   }
 
+  test("round-trip invariant on the real corpus: segmentations concatenate back to their words") {
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+    val (merges, words) = Bpe.trainWithSegments(corpus, "text", 8)
+    try {
+      assert(merges.size == 8, "sf0.001 corpus must support 8 merges")
+      val broken = words
+        .filter(array_join(col("syms"), "") =!= col("word")).count()
+      assert(broken == 0, "every word must re-assemble from its symbols")
+      // merges strictly ordered by priority with non-increasing counts
+      // is NOT required (a merged pair can create a new frequent pair),
+      // but counts must all be positive and indexes contiguous
+      assert(merges.map(_.idx) == (0L until 8L) && merges.forall(_.cnt > 0))
+    } finally Bpe.unpersistSegments(words)
+  }
+
   test("training plan: pair counting is a map-side-combined agg, no joins") {
     val words = Bpe.wordCounts(docs("aa ab aa b"), "text")
     val plan = words.queryExecution.executedPlan.toString
