@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt runMain graft.Bench` as
+// JSON. Two sbt behaviors have defeated that for 7 rounds: the forked
+// process's stdout is re-logged with an "[info] " prefix, and sbt appends
+// "[success] Total time: …" after it. StdoutOutput passes the forked
+// process's stdout/stderr through verbatim (no log-prefix), and
+// showSuccess drops the epilogue — so the bare JSON is the literal last
+// line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
