@@ -99,10 +99,31 @@ object Dedup {
       .withColumn("_rn", row_number().over(w))
       .join(sizes, "_id")
       .filter(col("_rn") <= floor((lit(1.0) - tau) * col("_n")).cast("long") + 1)
-      .select(col("_id"), col("_h"))
-    val cands = prefix.select(col("_id").as("_ida"), col("_h"))
-      .join(prefix.select(col("_id").as("_idb"), col("_h")), "_h")
+      .select(col("_id"), col("_h"), col("_rn"), col("_n"))
+    // The prefix self-join alone degenerates on low-entropy corpora: with
+    // a saturated shingle space (tiny vocabulary), posting lists are dense
+    // and prefix collisions approach all-pairs. Two further PPJoin filters
+    // — both candidate-complete, applied BEFORE the distinct + exact
+    // verification — keep the candidate set near the true-pair set:
+    //  - length filter: J(a,b) ≥ τ forces min(|a|,|b|) ≥ τ·max(|a|,|b|)
+    //    (|a∩b| ≤ min and ≥ τ·union ≥ τ·max);
+    //  - positional filter: for a shared prefix shingle at ranks
+    //    (_rna,_rnb) under the global rarity order, the overlap is at most
+    //    min(|a|−_rna, |b|−_rnb)+1, which must reach the equivalent
+    //    overlap threshold α = ⌈τ/(1+τ)·(|a|+|b|)⌉. A true pair's FIRST
+    //    shared prefix shingle always passes, so keeping pairs where ANY
+    //    collision passes loses nothing.
+    // The 1e-9 slack keeps double rounding from pruning exact-boundary
+    // pairs (e.g. J exactly τ); exact verification removes any extras.
+    val alpha = ceil(lit(tau / (1.0 + tau)) * (col("_na") + col("_nb")) - lit(1e-9))
+    val cands = prefix.select(col("_id").as("_ida"), col("_h"),
+        col("_rn").as("_rna"), col("_n").as("_na"))
+      .join(prefix.select(col("_id").as("_idb"), col("_h"),
+        col("_rn").as("_rnb"), col("_n").as("_nb")), "_h")
       .filter(col("_ida") < col("_idb"))
+      .filter(col("_na") >= lit(tau) * col("_nb") - lit(1e-9) &&
+        col("_nb") >= lit(tau) * col("_na") - lit(1e-9))
+      .filter(least(col("_na") - col("_rna"), col("_nb") - col("_rnb")) + 1 >= alpha)
       .select(col("_ida"), col("_idb"))
       .distinct()
     verifyPairs(cands, sh, tau, ordered)

@@ -825,7 +825,19 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy(col("regionkey"))
 
+  /** Column-level lineage of [[q3TopkJoin]] as a governance artifact
+    * ([[graft.plans.Lineage.report]]): one row per (output column, source
+    * table, source column). The traced query is fixed, so its lineage is
+    * a deterministic schema-sized relation and the oracle pins it as a
+    * golden VALUES table — the same driver-checkable bar as data queries.
+    * Driver-side plan walk; identical output at any data scale.
+    */
+  def qLineageReport(s: SparkSession, dir: String): DataFrame =
+    graft.plans.Lineage.report(q3TopkJoin(s, dir))
+      .orderBy(col("output_col"), col("source_table"), col("source_col"))
+
   val queries: Map[String, Q] = Map(
+    "q_lineage_report" -> (qLineageReport _),
     "q_window_analytics" -> (qWindowAnalytics _),
     "q_array_fn" -> (qArrayFn _),
     "q_string_agg" -> (qStringAgg _),
@@ -886,6 +898,15 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_lineage_report" ->
+      """SELECT * FROM (VALUES
+        |  ('o_orderdate', 'orders', 'o_orderdate'),
+        |  ('o_orderkey', 'orders', 'o_orderkey'),
+        |  ('o_orderpriority', 'orders', 'o_orderpriority'),
+        |  ('revenue', 'lineitem', 'l_discount'),
+        |  ('revenue', 'lineitem', 'l_extendedprice')
+        |) AS t(output_col, source_table, source_col)
+        |ORDER BY output_col, source_table, source_col""".stripMargin,
     "q_window_range" ->
       """SELECT c_custkey, c_mktsegment, c_acctbal,
         |  round(sum(c_acctbal) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal
