@@ -39,7 +39,10 @@ object ScaleCurve {
     "ann_topk_pq", "ann_topk_ivfpq",
     // round-7 additions: the seven >1 s queries without measured curves
     "mm_audio_decode", "q_fuzzy_join", "q_mad", "q_group_percentile",
-    "q_percentile", "text_pii_redact", "text_stats")
+    "q_percentile", "text_pii_redact", "text_stats",
+    // round-8 additions: the BPE family (corpus shuffle once, then
+    // vocabulary-scale rounds — exponent expected well under 1)
+    "text_bpe_train", "text_bpe_vocab", "text_bpe_encode")
 
   /** SPARK_GRAFT_SCALE_ONLY: comma-separated exact names — run a subset
     * (new-row refresh) without re-measuring the whole table.

@@ -77,6 +77,92 @@ object StreamBench {
     run("faithful_v2", ds => StreamingReorder.faithfulV2(ds, graceMs).toDF())
   }
 
+  /** Fact row for the as-of throughput bench (events-table shape). */
+  final case class AFact(k: String, ts: Long, tb: Long, v: Double)
+  /** Dimension-version row: every 16th event becomes a version update. */
+  final case class ADim(k: String, ts: Long, tb: Long, tag: String)
+  /** Event row for the sketch-summary-sink throughput bench. */
+  final case class SEv(event_type: String, user_id: Long, ts: Long)
+
+  /** Stream-stream as-of join throughput: events as facts, every 16th
+    * event reissued as a dimension-version update for its key, both fed
+    * in event-time order through [[graft.streaming.StreamingAsOf.join]]
+    * (10 s watermark delay). Reports end-to-end records/second.
+    *
+    * Run: SPARK_GRAFT_ASOF=1 runMain graft.tools.StreamBench
+    */
+  private def asofBench(spark: SparkSession, sfDir: String,
+      batchSize: Int): Unit = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val facts = graft.Tables.events(spark, sfDir)
+      .selectExpr("cast(user_id as string) AS k",
+        "unix_micros(ts) div 1000 AS ts", "event_id AS tb", "value AS v")
+      .orderBy("ts").as[AFact].collect()
+    val fin = MemoryStream[AFact]
+    val din = MemoryStream[ADim]
+    val q = graft.streaming.StreamingAsOf.join[AFact, ADim](
+        fin.toDS(), _.k, _.ts, _.tb,
+        din.toDS(), _.k, _.ts, _.tb, "10 seconds")
+      .toDF()
+      .writeStream.format("memory").queryName("sb_asof")
+      .outputMode(OutputMode.Append).start()
+    val t0 = System.nanoTime()
+    facts.grouped(batchSize).foreach { b =>
+      din.addData(b.filter(_.tb % 16 == 0)
+        .map(f => ADim(f.k, f.ts, f.tb, s"v${f.tb}")))
+      fin.addData(b)
+      q.processAllAvailable()
+    }
+    q.processAllAvailable()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val emitted = spark.table("sb_asof").count()
+    q.stop()
+    val n = facts.length + facts.count(_.tb % 16 == 0)
+    println(f"""{"metric":"stream_asof_throughput","batch":$batchSize,""" +
+      f""""records_in":$n,"facts_out":$emitted,"sec":$secs%.2f,""" +
+      f""""records_per_sec":${(n / secs).toLong}}""")
+  }
+
+  /** Sketch-summary-sink throughput: events streamed through
+    * `foreachBatch(appendPartials)` into a parquet partials directory,
+    * then one [[graft.streaming.SketchSummarySink.compact]] +
+    * [[graft.streaming.SketchSummarySink.summary]] read. Reports ingest
+    * records/second (the write path a 100 TB/day stream must sustain —
+    * per batch one map-side-combined sketch agg, groups-sized append).
+    *
+    * Run: SPARK_GRAFT_SKETCH_SINK=1 runMain graft.tools.StreamBench
+    */
+  private def sketchSinkBench(spark: SparkSession, sfDir: String,
+      batchSize: Int): Unit = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.SketchSummarySink
+    val events = graft.Tables.events(spark, sfDir)
+      .selectExpr("event_type", "user_id", "unix_micros(ts) div 1000 AS ts")
+      .as[SEv].collect()
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_sketch_sink").toString + "/partials"
+    val input = MemoryStream[SEv]
+    val q = input.toDS().toDF()
+      .writeStream
+      .foreachBatch(SketchSummarySink.appendPartials("event_type", "user_id", path))
+      .start()
+    val t0 = System.nanoTime()
+    events.grouped(batchSize).foreach { b => input.addData(b); q.processAllAvailable() }
+    q.processAllAvailable()
+    val ingestSecs = (System.nanoTime() - t0) / 1e9
+    q.stop()
+    val t1 = System.nanoTime()
+    SketchSummarySink.compact(spark, path, "event_type")
+    val rows = SketchSummarySink.summary(spark, path, "event_type").count()
+    val readSecs = (System.nanoTime() - t1) / 1e9
+    println(f"""{"metric":"stream_sketch_sink_throughput","batch":$batchSize,""" +
+      f""""records_in":${events.length},"ingest_sec":$ingestSecs%.2f,""" +
+      f""""records_per_sec":${(events.length / ingestSecs).toLong},""" +
+      f""""compact_plus_summary_sec":$readSecs%.2f,"summary_rows":$rows}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -95,6 +181,16 @@ object StreamBench {
 
     if (sys.env.get("SPARK_GRAFT_DEEP").contains("1")) {
       deepBench(spark, args.headOption.map(_.toInt).getOrElse(5000))
+      spark.stop()
+      return
+    }
+    if (sys.env.get("SPARK_GRAFT_ASOF").contains("1")) {
+      asofBench(spark, sfDir, args.headOption.map(_.toInt).getOrElse(20000))
+      spark.stop()
+      return
+    }
+    if (sys.env.get("SPARK_GRAFT_SKETCH_SINK").contains("1")) {
+      sketchSinkBench(spark, sfDir, args.headOption.map(_.toInt).getOrElse(20000))
       spark.stop()
       return
     }
