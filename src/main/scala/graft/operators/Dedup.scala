@@ -306,14 +306,32 @@ object Dedup {
     val dfreq = sh.groupBy(col("_h")).agg(count(lit(1)).as("_df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_id")).orderBy(col("_df"), col("_h"))
-    val prefix = sh.join(dfreq, "_h")
+    val ranked = sh.join(dfreq, "_h")
       .withColumn("_rn", row_number().over(w))
       .join(sizes, "_id")
+    val prefix = ranked
       .filter(col("_rn") <= floor((lit(1.0) - tau) * col("_n")).cast("long") + 1)
-      .select(col("_id"), col("_h"))
-    val cands = prefix.select(col("_id").as("_ida"), col("_h"))
-      .join(sh.select(col("_id").as("_idb"), col("_h")), "_h")
+    // Same round-8 pruning idea as [[ngramJaccardPairs]], restated for
+    // the asymmetric relation. Containment ≥ τ needs overlap
+    // α = ⌈τ·|inner|⌉, so before the candidate distinct:
+    //  - outer-size filter: |outer| ≥ α (it must hold α of inner's
+    //    shingles);
+    //  - positional filter: at a shared shingle ranked (_rna, _rnb)
+    //    under the global rarity order, overlap ≤ min(|inner|−_rna,
+    //    |outer|−_rnb)+1, which must reach α. The FIRST shared shingle
+    //    of a true pair passes, and pairs survive on ANY passing
+    //    collision, so completeness is preserved. The outer side reuses
+    //    the already-ranked table (the window ran for the prefix anyway),
+    //    so the only new cost is arithmetic in the join — on saturated
+    //    shingle spaces the candidate cut is the whole game.
+    val alpha = ceil(lit(tau) * col("_na") - lit(1e-9))
+    val cands = prefix.select(col("_id").as("_ida"), col("_h"),
+        col("_rn").as("_rna"), col("_n").as("_na"))
+      .join(ranked.select(col("_id").as("_idb"), col("_h"),
+        col("_rn").as("_rnb"), col("_n").as("_nb")), "_h")
       .filter(col("_ida") =!= col("_idb"))
+      .filter(col("_nb") >= alpha)
+      .filter(least(col("_na") - col("_rna"), col("_nb") - col("_rnb")) + 1 >= alpha)
       .select(col("_ida"), col("_idb"))
       .distinct()
     val sets = sh.groupBy(col("_id")).agg(collect_set(col("_h")).as("_set"))

@@ -79,6 +79,35 @@ class GraphSpec extends SparkTestBase {
       s"wedge stream must be bloom-pruned map-side before the shuffle:\n$plan")
   }
 
+  test("trianglesDegreeOrdered equals triangles on a skewed hub graph and caps hub out-degree") {
+    // hub 1 touches everyone (degree 9); triangles live on hub+pairs and
+    // one hub-free triangle 6-7-8. A low-ID hub is id-ordering's worst
+    // case: all its neighbors are higher-id, so every neighbor pair forms
+    // a wedge at the hub.
+    val pairs = (2L to 9L).map(v => (1L, v)) ++
+      Seq((2L, 3L), (4L, 5L), (6L, 7L), (7L, 8L), (6L, 8L))
+    val e = pairs.toDF("src", "dst")
+    val a = Graph.triangles(e).as[(Long, Long)].collect().toMap
+    val b = Graph.trianglesDegreeOrdered(e).as[(Long, Long)].collect().toMap
+    assert(a == b, s"orientation must not change counts: $a vs $b")
+    // hub triangles: (1,2,3),(1,4,5),(1,6,7),(1,7,8),(1,6,8); hub-free: (6,7,8)
+    assert(a(1L) == 5L && a(6L) == 3L, s"sanity: hub closes 5, node 6 closes 3: $a")
+    // the wedge bound the orientation buys: under (deg, id) order the
+    // hub's out-neighbors are only its (rare) higher-degree peers
+    val canon = e.select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b")).distinct()
+    val idOrderHubOut = canon.filter($"a" === 1L).count()
+    assert(idOrderHubOut == 8L, "id order: the hub pairs all 8 neighbors")
+    val deg = canon.select(explode(array($"a", $"b")).as("id"))
+      .groupBy($"id").agg(count(lit(1)).as("deg"))
+      .as[(Long, Long)].collect().toMap
+    val ord = Ordering.Tuple2[Long, Long]
+    val degOrderHubOut = pairs.map { case (u, v) =>
+      if (ord.lt((deg(u), u), (deg(v), v))) (u, v) else (v, u)
+    }.count(_._1 == 1L)
+    assert(degOrderHubOut == 0L,
+      "degree order: the max-degree hub has NO out-neighbors — its wedges vanish")
+  }
+
   test("coOccurrenceEdges links entities sharing a group, canonical and distinct") {
     val rel = Seq((10L, 1L), (10L, 2L), (10L, 3L), // group 10: triangle 1-2-3
       (20L, 2L), (20L, 1L), // group 20: repeats 1-2 — still one edge
