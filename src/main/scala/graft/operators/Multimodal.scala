@@ -147,8 +147,8 @@ object Multimodal {
     * ingestion (production reads `format("binaryFile")`): renders a w×h
     * RGB image whose dimensions and fill color derive from the payload's
     * MD5 (w = 1 + byte0 % 64, h = 1 + byte1 % 64 — a SQL oracle can
-    * recompute both), PNG-encoded with javax.imageio. Real bytes out, so
-    * [[decodeImages]] downstream exercises a genuine decode.
+    * recompute both), PNG-encoded directly ([[FastPng]]). Real bytes
+    * out, so [[decodeImages]] downstream exercises a genuine decode.
     */
   def renderImages(media: Dataset[MediaRecord]): Dataset[MediaRecord] = {
     val spark = media.sparkSession
@@ -160,15 +160,11 @@ object Multimodal {
         val d = md.digest(m.content)
         def b(i: Int): Int = d(i) & 0xFF
         val (w, h) = (1 + b(0) % 64, 1 + b(1) % 64)
-        val img = new java.awt.image.BufferedImage(w, h,
-          java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
         val rgb = (b(2) << 16) | (b(3) << 8) | b(4)
-        val g = img.createGraphics()
-        try { g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, w, h) }
-        finally g.dispose()
-        val out = new java.io.ByteArrayOutputStream(256)
-        javax.imageio.ImageIO.write(img, "png", out)
-        MediaRecord(m.media_id, "image/png", out.toByteArray, m.meta)
+        // direct PNG assembly ([[FastPng]]): same bytes-semantics as the
+        // former ImageIO.write path (spec round-trips them through
+        // ImageIO), without the per-call writer-SPI overhead
+        MediaRecord(m.media_id, "image/png", FastPng.encodeSolid(w, h, rgb), m.meta)
       }
     }
   }
@@ -198,9 +194,7 @@ object Multimodal {
               java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
             g.drawImage(img, 0, 0, w, h, null)
           } finally g.dispose()
-          val out = new java.io.ByteArrayOutputStream(256)
-          javax.imageio.ImageIO.write(dst, "png", out)
-          MediaRecord(m.media_id, "image/png", out.toByteArray, m.meta)
+          MediaRecord(m.media_id, "image/png", FastPng.encodeImage(dst), m.meta)
         }
       }
     }
@@ -462,15 +456,9 @@ object Multimodal {
         def b(i: Int): Int = d(i) & 0xFF
         val frames = (0 until 1 + b(0) % 6).map { i =>
           val (w, h) = (1 + b(2 * i + 2) % 64, 1 + b(2 * i + 3) % 64)
-          val img = new java.awt.image.BufferedImage(w, h,
-            java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
           val rgb = (b(2 * i + 2) << 16) | (b(2 * i + 3) << 8) | b(i)
-          val g = img.createGraphics()
-          try { g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, w, h) }
-          finally g.dispose()
-          val out = new java.io.ByteArrayOutputStream(256)
-          javax.imageio.ImageIO.write(img, "png", out)
-          out.toByteArray
+          // direct PNG assembly ([[FastPng]]) — see [[renderImages]]
+          FastPng.encodeSolid(w, h, rgb)
         }
         MediaRecord(m.media_id, "video/gvid", Gvid.write(frames), m.meta)
       }

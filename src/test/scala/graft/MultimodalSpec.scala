@@ -234,6 +234,33 @@ class MultimodalSpec extends SparkTestBase {
     assert(a(1) == Multimodal.DecodedAudio(2L, 0, 0L, 0.0, decoded = false))
   }
 
+  test("FastPng bytes round-trip through ImageIO pixel-for-pixel") {
+    // the direct encoder replaced ImageIO.write in the synthesis stages;
+    // its output must remain an ordinary PNG that the UNCHANGED decode
+    // stages (genuine ImageIO.read) see pixel-identically
+    val rnd = new scala.util.Random(8)
+    for (_ <- 1 to 20) {
+      val (w, h) = (1 + rnd.nextInt(64), 1 + rnd.nextInt(64))
+      val rgb = rnd.nextInt(1 << 24)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(graft.operators.FastPng.encodeSolid(w, h, rgb)))
+      assert(img != null, "ImageIO must accept the direct encoder's bytes")
+      assert(img.getWidth == w && img.getHeight == h)
+      assert(img.getRaster.getNumBands == 3, "truecolor decodes to 3 bands")
+      for ((x, y) <- Seq((0, 0), (w - 1, 0), (0, h - 1), (w - 1, h - 1)))
+        assert((img.getRGB(x, y) & 0xFFFFFF) == rgb, s"pixel ($x,$y)")
+    }
+    // encodeImage: arbitrary (non-solid) TYPE_3BYTE_BGR content
+    val src = new java.awt.image.BufferedImage(23, 17,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (x <- 0 until 23; y <- 0 until 17)
+      src.setRGB(x, y, rnd.nextInt(1 << 24))
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      graft.operators.FastPng.encodeImage(src)))
+    for (x <- 0 until 23; y <- 0 until 17)
+      assert(back.getRGB(x, y) == src.getRGB(x, y), s"pixel ($x,$y)")
+  }
+
   test("parseWavPcm fast path matches the AudioSystem reader on rendered payloads") {
     // the direct header parse must report exactly what the SPI reader
     // reports — rate, frame count, layout — for every payload renderWavs
