@@ -69,6 +69,17 @@ object PipelineQueries {
         count(lit(1)).as("n"))
       .orderBy(col("grp"), col("dim"))
 
+  /** Distributed k-means assignments, k = 8, 2 fixed Lloyd iterations
+    * ([[graft.operators.KMeans]] — determinism contract and 100 TB
+    * shape documented there; the full iterative companion of
+    * [[embCentroids]]). The DuckDB oracle unrolls the same two
+    * iterations in SQL, so assignments hash-match at every sf.
+    */
+  def embKmeans(s: SparkSession, dir: String): DataFrame =
+    graft.operators.KMeans.assign(
+      Tables.embeddings(s, dir), "vec_id", "embedding", k = 8, iters = 2)
+      .orderBy(col("vec_id"))
+
   private val AnnK = 5
   private val AnnDim = 64
 
@@ -1062,6 +1073,7 @@ object PipelineQueries {
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_near_keep" -> (dedupNearKeep _),
     "dedup_embed_cosine" -> (dedupEmbedCosine _),
+    "emb_kmeans" -> (embKmeans _),
     "ann_topk_brute" -> (annTopkBrute _),
     "ann_topk_lsh" -> (annTopkLsh _),
     "ann_topk_ivf" -> (annTopkIvf _),
@@ -2048,6 +2060,51 @@ object PipelineQueries {
         |SELECT c.doc_id, count(*) AS n_overlap
         |FROM c JOIN b ON c.g = b.g
         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+    // two unrolled Lloyd iterations (the graph_pagerank recipe): seeds =
+    // the 8 lowest-id vectors; distances rounded to 4 dp before the
+    // argmin (ties -> lowest cluster), centroid coords to 6 dp; empty
+    // clusters keep their previous centroid via the LEFT JOIN coalesce
+    "emb_kmeans" ->
+      """WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+        |c0 AS (SELECT vec_id AS cluster,
+        |         list_transform(v, x -> CAST(x AS DOUBLE)) AS c
+        |       FROM e WHERE vec_id < 8),
+        |a1 AS (SELECT e.vec_id,
+        |         (SELECT c.cluster FROM c0 c
+        |          ORDER BY round(list_sum(list_transform(range(1, len(e.v) + 1),
+        |            i -> (CAST(e.v[i] AS DOUBLE) - c.c[i])
+        |               * (CAST(e.v[i] AS DOUBLE) - c.c[i]))), 4), c.cluster
+        |          LIMIT 1) AS cluster, e.v
+        |       FROM e),
+        |m1x AS (SELECT cluster, unnest(range(1, len(v) + 1)) AS i, v FROM a1),
+        |m1 AS (SELECT cluster, i, round(avg(CAST(v[i] AS DOUBLE)), 6) AS cv
+        |       FROM m1x GROUP BY cluster, i),
+        |c1 AS (SELECT c0.cluster, coalesce(u.c, c0.c) AS c
+        |       FROM c0 LEFT JOIN
+        |         (SELECT cluster, list(cv ORDER BY i) AS c FROM m1 GROUP BY cluster) u
+        |       USING (cluster)),
+        |a2 AS (SELECT e.vec_id,
+        |         (SELECT c.cluster FROM c1 c
+        |          ORDER BY round(list_sum(list_transform(range(1, len(e.v) + 1),
+        |            i -> (CAST(e.v[i] AS DOUBLE) - c.c[i])
+        |               * (CAST(e.v[i] AS DOUBLE) - c.c[i]))), 4), c.cluster
+        |          LIMIT 1) AS cluster, e.v
+        |       FROM e),
+        |m2x AS (SELECT cluster, unnest(range(1, len(v) + 1)) AS i, v FROM a2),
+        |m2 AS (SELECT cluster, i, round(avg(CAST(v[i] AS DOUBLE)), 6) AS cv
+        |       FROM m2x GROUP BY cluster, i),
+        |c2 AS (SELECT c1.cluster, coalesce(u.c, c1.c) AS c
+        |       FROM c1 LEFT JOIN
+        |         (SELECT cluster, list(cv ORDER BY i) AS c FROM m2 GROUP BY cluster) u
+        |       USING (cluster)),
+        |a3 AS (SELECT e.vec_id,
+        |         (SELECT c.cluster FROM c2 c
+        |          ORDER BY round(list_sum(list_transform(range(1, len(e.v) + 1),
+        |            i -> (CAST(e.v[i] AS DOUBLE) - c.c[i])
+        |               * (CAST(e.v[i] AS DOUBLE) - c.c[i]))), 4), c.cluster
+        |          LIMIT 1) AS cluster
+        |       FROM e)
+        |SELECT vec_id, cluster FROM a3 ORDER BY vec_id""".stripMargin,
     "emb_centroids" ->
       """WITH d AS (SELECT vec_id % 8 AS grp, embedding AS e FROM embeddings),
         |x AS (SELECT grp, unnest(range(1, len(e) + 1)) AS i, e FROM d)
