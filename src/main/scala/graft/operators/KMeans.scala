@@ -29,16 +29,16 @@ object KMeans {
 
   /** Final (id, cluster) assignment after `iters` Lloyd updates; the
     * output is the assignment under the FINAL centroids. `vecCol` is an
-    * array<float> column; `idCol` must be numeric with at least `k`
-    * distinct values below `k` used as seeds (ids 0..k-1).
+    * array<float> column; the k LOWEST-id vectors seed clusters 0..k-1
+    * positionally (id-gap tolerant, so subsampled corpora still seed).
     */
   def assign(df: DataFrame, idCol: String, vecCol: String, k: Int,
       iters: Int): DataFrame = {
     val emb = df.select(col(idCol).as("_id"), col(vecCol).as("_v"))
-    var centroids: Array[Array[Double]] = emb.filter(col("_id") < k)
-      .orderBy(col("_id")).select(col("_v")).collect()
+    var centroids: Array[Array[Double]] = emb
+      .orderBy(col("_id")).limit(k).select(col("_v")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    require(centroids.length == k, s"need ids 0..${k - 1} as seeds")
+    require(centroids.length == k, s"need at least $k vectors to seed")
 
     def assigned(): DataFrame = {
       val dists = centroids.map { c =>

@@ -2061,14 +2061,15 @@ object PipelineQueries {
         |FROM c JOIN b ON c.g = b.g
         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
     // two unrolled Lloyd iterations (the graph_pagerank recipe): seeds =
-    // the 8 lowest-id vectors; distances rounded to 4 dp before the
-    // argmin (ties -> lowest cluster), centroid coords to 6 dp; empty
-    // clusters keep their previous centroid via the LEFT JOIN coalesce
+    // the 8 lowest-id vectors (positional cluster labels, id-gap
+    // tolerant); distances rounded to 4 dp before the argmin (ties ->
+    // lowest cluster), centroid coords to 6 dp; empty clusters keep
+    // their previous centroid via the LEFT JOIN coalesce
     "emb_kmeans" ->
       """WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
-        |c0 AS (SELECT vec_id AS cluster,
+        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
         |         list_transform(v, x -> CAST(x AS DOUBLE)) AS c
-        |       FROM e WHERE vec_id < 8),
+        |       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8) s),
         |a1 AS (SELECT e.vec_id,
         |         (SELECT c.cluster FROM c0 c
         |          ORDER BY round(list_sum(list_transform(range(1, len(e.v) + 1),

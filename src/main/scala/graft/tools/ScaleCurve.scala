@@ -41,8 +41,9 @@ object ScaleCurve {
     "mm_audio_decode", "q_fuzzy_join", "q_mad", "q_group_percentile",
     "q_percentile", "text_pii_redact", "text_stats",
     // round-8 additions: the BPE family (corpus shuffle once, then
-    // vocabulary-scale rounds — exponent expected well under 1)
-    "text_bpe_train", "text_bpe_vocab", "text_bpe_encode")
+    // vocabulary-scale rounds — exponent expected well under 1), and
+    // k-means (iters+1 linear scans, k·d driver state)
+    "text_bpe_train", "text_bpe_vocab", "text_bpe_encode", "emb_kmeans")
 
   /** SPARK_GRAFT_SCALE_ONLY: comma-separated exact names — run a subset
     * (new-row refresh) without re-measuring the whole table.
