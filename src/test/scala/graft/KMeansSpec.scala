@@ -53,6 +53,20 @@ class KMeansSpec extends SparkTestBase {
       s"diff=${got.filter { case (id, c) => expected(id).toLong != c }.take(5)}")
   }
 
+  test("assignment plan is a pure projection — no join or aggregate before the rows emerge") {
+    // the 100 TB claim: per-iteration assignment broadcasts k×d centroid
+    // LITERALS into one codegen'd projection; nothing vector-sized ever
+    // shuffles and no join materializes. Pin the physical plan.
+    val rnd = new scala.util.Random(3)
+    val df = Seq.tabulate(30)(i => (i.toLong, Array.fill(4)(rnd.nextFloat())))
+      .toDF("vec_id", "embedding")
+    val plan = KMeans.assign(df, "vec_id", "embedding", 2, 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"assignment must not join:\n$plan")
+    assert(!plan.contains("HashAggregate"),
+      s"the final assignment pass must not aggregate:\n$plan")
+  }
+
   test("assignment is deterministic across runs") {
     val rnd = new scala.util.Random(11)
     val df = Seq.tabulate(50)(i => (i.toLong, Array.fill(6)(rnd.nextFloat())))
