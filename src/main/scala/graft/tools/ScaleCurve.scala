@@ -43,7 +43,10 @@ object ScaleCurve {
     // round-8 additions: the BPE family (corpus shuffle once, then
     // vocabulary-scale rounds — exponent expected well under 1), and
     // k-means (iters+1 linear scans, k·d driver state)
-    "text_bpe_train", "text_bpe_vocab", "text_bpe_encode", "emb_kmeans")
+    "text_bpe_train", "text_bpe_vocab", "text_bpe_encode", "emb_kmeans",
+    // round-8 closing sweep: the remaining >1 s queries without curves
+    "dedup_clusters_star", "mm_image_decode", "pipeline_curate",
+    "text_langid")
 
   /** SPARK_GRAFT_SCALE_ONLY: comma-separated exact names — run a subset
     * (new-row refresh) without re-measuring the whole table.
