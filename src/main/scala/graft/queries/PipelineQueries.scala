@@ -2064,19 +2064,23 @@ object PipelineQueries {
     // the 8 lowest-id vectors (positional cluster labels, id-gap
     // tolerant); distances rounded to 4 dp before the argmin (ties ->
     // lowest cluster), centroid coords to 6 dp; empty clusters keep
-    // their previous centroid via the LEFT JOIN coalesce
+    // their previous centroid via the LEFT JOIN coalesce. Each
+    // assignment is a CROSS JOIN (n x k rows) + min over a
+    // [dist, cluster] list (lexicographic => lowest-cluster tiebreak) —
+    // NOT a correlated ORDER BY/LIMIT subquery, which DuckDB fails to
+    // decorrelate (measured quadratic: 100+ CPU-minutes at 32k vectors)
     "emb_kmeans" ->
       """WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
         |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
         |         list_transform(v, x -> CAST(x AS DOUBLE)) AS c
         |       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8) s),
         |a1 AS (SELECT e.vec_id,
-        |         (SELECT c.cluster FROM c0 c
-        |          ORDER BY round(list_sum(list_transform(range(1, len(e.v) + 1),
-        |            i -> (CAST(e.v[i] AS DOUBLE) - c.c[i])
-        |               * (CAST(e.v[i] AS DOUBLE) - c.c[i]))), 4), c.cluster
-        |          LIMIT 1) AS cluster, e.v
-        |       FROM e),
+        |         CAST(min([round(list_sum(list_transform(range(1, len(e.v) + 1),
+        |           i -> (CAST(e.v[i] AS DOUBLE) - c.c[i])
+        |              * (CAST(e.v[i] AS DOUBLE) - c.c[i]))), 4),
+        |           CAST(c.cluster AS DOUBLE)])[2] AS BIGINT) AS cluster,
+        |         any_value(e.v) AS v
+        |       FROM e CROSS JOIN c0 c GROUP BY e.vec_id),
         |m1x AS (SELECT cluster, unnest(range(1, len(v) + 1)) AS i, v FROM a1),
         |m1 AS (SELECT cluster, i, round(avg(CAST(v[i] AS DOUBLE)), 6) AS cv
         |       FROM m1x GROUP BY cluster, i),
@@ -2085,12 +2089,12 @@ object PipelineQueries {
         |         (SELECT cluster, list(cv ORDER BY i) AS c FROM m1 GROUP BY cluster) u
         |       USING (cluster)),
         |a2 AS (SELECT e.vec_id,
-        |         (SELECT c.cluster FROM c1 c
-        |          ORDER BY round(list_sum(list_transform(range(1, len(e.v) + 1),
-        |            i -> (CAST(e.v[i] AS DOUBLE) - c.c[i])
-        |               * (CAST(e.v[i] AS DOUBLE) - c.c[i]))), 4), c.cluster
-        |          LIMIT 1) AS cluster, e.v
-        |       FROM e),
+        |         CAST(min([round(list_sum(list_transform(range(1, len(e.v) + 1),
+        |           i -> (CAST(e.v[i] AS DOUBLE) - c.c[i])
+        |              * (CAST(e.v[i] AS DOUBLE) - c.c[i]))), 4),
+        |           CAST(c.cluster AS DOUBLE)])[2] AS BIGINT) AS cluster,
+        |         any_value(e.v) AS v
+        |       FROM e CROSS JOIN c1 c GROUP BY e.vec_id),
         |m2x AS (SELECT cluster, unnest(range(1, len(v) + 1)) AS i, v FROM a2),
         |m2 AS (SELECT cluster, i, round(avg(CAST(v[i] AS DOUBLE)), 6) AS cv
         |       FROM m2x GROUP BY cluster, i),
@@ -2099,12 +2103,11 @@ object PipelineQueries {
         |         (SELECT cluster, list(cv ORDER BY i) AS c FROM m2 GROUP BY cluster) u
         |       USING (cluster)),
         |a3 AS (SELECT e.vec_id,
-        |         (SELECT c.cluster FROM c2 c
-        |          ORDER BY round(list_sum(list_transform(range(1, len(e.v) + 1),
-        |            i -> (CAST(e.v[i] AS DOUBLE) - c.c[i])
-        |               * (CAST(e.v[i] AS DOUBLE) - c.c[i]))), 4), c.cluster
-        |          LIMIT 1) AS cluster
-        |       FROM e)
+        |         CAST(min([round(list_sum(list_transform(range(1, len(e.v) + 1),
+        |           i -> (CAST(e.v[i] AS DOUBLE) - c.c[i])
+        |              * (CAST(e.v[i] AS DOUBLE) - c.c[i]))), 4),
+        |           CAST(c.cluster AS DOUBLE)])[2] AS BIGINT) AS cluster
+        |       FROM e CROSS JOIN c2 c GROUP BY e.vec_id)
         |SELECT vec_id, cluster FROM a3 ORDER BY vec_id""".stripMargin,
     "emb_centroids" ->
       """WITH d AS (SELECT vec_id % 8 AS grp, embedding AS e FROM embeddings),
