@@ -46,5 +46,21 @@ object Tables {
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+  /** `embeddings.embedding` is float32[] today, but the same upstream
+    * drift that re-encoded `events.ts` (see [[events]]) could ship it as
+    * double[] — and every consumer (`getSeq[Float]` collects, codegen
+    * DotProduct, quantizers) assumes float elements. Normalize any
+    * numeric element type to array<float> at the scan boundary so drift
+    * costs one cast projection, not 20 broken operators.
+    */
+  def embeddings(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val raw = load(s, d, "embeddings")
+    raw.schema("embedding").dataType match {
+      case ArrayType(FloatType, _) => raw
+      case _ => raw.withColumn("embedding",
+        col("embedding").cast(ArrayType(FloatType)))
+    }
+  }
 }

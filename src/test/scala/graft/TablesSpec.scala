@@ -64,6 +64,28 @@ class TablesSpec extends SparkTestBase {
     assert(fromLtz.map(_.getLong(1)) === expected)
   }
 
+  test("embeddings loader normalizes float and double element encodings identically") {
+    val vals = Seq((0L, Array(0.5f, -1.25f, 3.75f)), (1L, Array(2.5f, 0.125f, -0.625f)))
+    def writeEnc(asDouble: Boolean): String = {
+      val dir = Files.createTempDirectory("graft-emb-enc").toString
+      val base = vals.toDF("vec_id", "embedding")
+      val df = if (asDouble)
+        base.withColumn("embedding", $"embedding".cast(ArrayType(DoubleType)))
+      else base
+      df.coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      dir
+    }
+    def canonEmb(dir: String): Seq[(Long, Seq[Float])] = {
+      val df = Tables.embeddings(spark, dir)
+      assert(df.schema("embedding").dataType === ArrayType(FloatType),
+        "loader must normalize to array<float>")
+      df.collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+    }
+    // exactly-representable values -> the double round trip is lossless
+    assert(canonEmb(writeEnc(asDouble = false)) === canonEmb(writeEnc(asDouble = true)))
+  }
+
   test("events loader against the driver's current testdata analyzes and preserves micros") {
     val sf = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$sf/events.parquet").exists())
