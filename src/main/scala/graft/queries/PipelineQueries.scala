@@ -2066,9 +2066,10 @@ object PipelineQueries {
     // lowest cluster), centroid coords to 6 dp; empty clusters keep
     // their previous centroid via the LEFT JOIN coalesce. Each
     // assignment is a CROSS JOIN (n x k rows) + min over a
-    // [dist, cluster] list (lexicographic => lowest-cluster tiebreak) —
-    // NOT a correlated ORDER BY/LIMIT subquery, which DuckDB fails to
-    // decorrelate (measured quadratic: 100+ CPU-minutes at 32k vectors)
+    // [dist, cluster] list (lexicographic => lowest-cluster tiebreak)
+    // rather than a correlated ORDER BY/LIMIT subquery — the join form
+    // is guaranteed O(n*k) under any planner, where the correlated form
+    // is at the mercy of subquery decorrelation
     "emb_kmeans" ->
       """WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
         |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
