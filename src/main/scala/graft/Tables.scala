@@ -52,6 +52,13 @@ object Tables {
     * DotProduct, quantizers) assumes float elements. Normalize any
     * numeric element type to array<float> at the scan boundary so drift
     * costs one cast projection, not 20 broken operators.
+    *
+    * When the cast branch fires it LOGS LOUDLY (round-8 advice): the
+    * DuckDB oracles read the raw parquet at full precision, so a
+    * double[] shipment makes Spark compute on float-truncated values
+    * while every oracle computes on doubles — the gate would then fail
+    * confusingly unless the oracles gain a matching CAST-to-FLOAT. The
+    * warning makes that mismatch attributable in one grep.
     */
   def embeddings(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.col
@@ -59,8 +66,15 @@ object Tables {
     val raw = load(s, d, "embeddings")
     raw.schema("embedding").dataType match {
       case ArrayType(FloatType, _) => raw
-      case _ => raw.withColumn("embedding",
-        col("embedding").cast(ArrayType(FloatType)))
+      case other =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"embeddings.embedding arrived as $other, normalizing to " +
+            "array<float> — DuckDB oracles read the RAW parquet at full " +
+            "precision, so float-vs-double gate mismatches are now " +
+            "attributable to this upstream re-encoding (add a matching " +
+            "CAST to FLOAT in the embedding oracles if this persists)")
+        raw.withColumn("embedding",
+          col("embedding").cast(ArrayType(FloatType)))
     }
   }
 }

@@ -94,15 +94,33 @@ private[graft] object FastPng {
   /** Any BufferedImage → truecolor PNG. TYPE_3BYTE_BGR (what the
     * synthesis/resize stages build) goes through its backing byte
     * buffer directly; everything else falls back to per-pixel getRGB.
+    *
+    * The direct path's layout assumptions (pixel stride 3, scanline
+    * stride 3·w, band order B,G,R, zero buffer/raster offsets) are each
+    * CHECKED against the raster's SampleModel rather than inferred from
+    * getType alone (round-8 advice: a custom SampleModel image could
+    * share the type constant and buffer length yet order channels
+    * differently — such images now take the getRGB fallback, which is
+    * layout-agnostic by construction).
     */
   def encodeImage(img: java.awt.image.BufferedImage): Array[Byte] = {
     val w = img.getWidth
     val h = img.getHeight
     val stride = 1 + 3 * w
     val raw = new Array[Byte](h * stride)
-    val direct = img.getType == java.awt.image.BufferedImage.TYPE_3BYTE_BGR &&
+    val layoutOk = img.getType == java.awt.image.BufferedImage.TYPE_3BYTE_BGR &&
+      img.getRaster.getSampleModelTranslateX == 0 &&
+      img.getRaster.getSampleModelTranslateY == 0 &&
+      (img.getRaster.getSampleModel match {
+        case sm: java.awt.image.PixelInterleavedSampleModel =>
+          sm.getPixelStride == 3 && sm.getScanlineStride == 3 * w &&
+            java.util.Arrays.equals(sm.getBandOffsets, Array(2, 1, 0))
+        case _ => false
+      })
+    val direct = layoutOk &&
       (img.getRaster.getDataBuffer match {
-        case db: java.awt.image.DataBufferByte if db.getData.length == w * h * 3 =>
+        case db: java.awt.image.DataBufferByte
+            if db.getOffset == 0 && db.getData.length == w * h * 3 =>
           val src = db.getData
           var r = 0
           while (r < h) {

@@ -85,32 +85,108 @@ object Graph {
 
   /** Per-node triangle counts via the ordered-edge (node-iterator) join —
     * the standard distributed triangle algorithm: canonicalize each
-    * undirected edge to (a < b), build wedges a→b→c with a < b < c by
-    * self-joining on the middle node, then confirm the closing (a, c)
+    * undirected edge to (a < b), build wedges a→b→c under a total order
+    * by self-joining on the middle node, then confirm the closing (a, c)
     * edge with a semi join. The ordering means each triangle is generated
-    * exactly once, and only low-to-high adjacency is ever joined — the
-    * classic defense against high-degree hubs blowing up the wedge count
-    * (a hub contributes wedges only through its HIGHER-id neighbors).
+    * exactly once, and only low-to-high adjacency is ever joined.
     *
-    * Skewed graphs (power-law web/domain graphs) should use
-    * [[trianglesDegreeOrdered]] — same plan under a (degree, id) total
-    * order, which bounds the wedge count at O(m^1.5) regardless of skew.
-    * It is NOT the default because the orientation costs a node-sized
-    * degree join, and on near-regular graphs it buys nothing: the
-    * registered co-supplier graph at sf0.1 is complete (C(1000,2) edges,
-    * all degrees equal), where both orders produce the identical
-    * 166,167,000 wedges and the degree join is pure overhead (measured
-    * +30% runtime).
+    * ORIENTATION IS AUTO-DISPATCHED on a measured skew statistic
+    * (round-9 hardening — the manual choice was the one place a 100 TB
+    * user could silently get a quadratic plan): the id order lets a
+    * low-id hub pair up ALL its higher-id neighbors (wedges quadratic in
+    * hub degree), while the (degree, id) order bounds out-degrees at
+    * O(√m) and wedges at O(m^1.5) regardless of skew, at the cost of two
+    * extra node-sized orientation joins. The dispatch statistic is
+    * max_degree/√m from the node-sized degree aggregation (one map-side-
+    * combined scan of the canonical edge set, reused as the orientation
+    * input when the degree path is taken):
+    *
+    *  - every REGULAR graph sits at ratio √(2d/n) ≤ √2 ≈ 1.414, the
+    *    complete graph's exact value — there both orders generate the
+    *    identical wedge set and the orientation joins are pure overhead
+    *    (measured +30% on the round-7 co-supplier graph, which was
+    *    complete; the current registered part co-occurrence graph
+    *    measures ratio 0.20 at sf0.1 — deep in id-order territory);
+    *  - a power-law hub sits far above: a star's ratio is √m, web-graph
+    *    hubs typically 10–100×√m̄.
+    *
+    * Threshold 2.0 cleanly separates the regimes (spec-pinned both ways:
+    * the complete/regular fixtures stay id-ordered, a planted hub graph
+    * dispatches to degree order and its output matches both manual
+    * variants). At ratio 2 the worst hub contributes ≤ 2m wedges under
+    * id order — the break-even band where either plan is fine; beyond it
+    * the id-order blowup grows as ratio² while the degree path stays
+    * O(m^1.5).
     *
     * Output: (node_id, triangles) — one row per node that closes at
     * least one triangle; each triangle credits all three corners.
     */
   def triangles(edges: DataFrame): DataFrame = {
-    val e = edges
-      .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .filter(col("a") < col("b"))
-      .distinct()
+    val canon = canonicalEdges(edges)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val eCnt = canon.count() // materializes the persist, sizes the sketch
+    // node-sized degree table: the dispatch statistic AND (if the degree
+    // path is taken) the orientation input — built once, reused
+    val deg = canon.select(explode(array(col("a"), col("b"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val maxDeg = deg.agg(max(col("deg"))).head().getLong(0)
+    val out =
+      if (useDegreeOrder(maxDeg, eCnt)) {
+        val e = orientByDegree(canon, deg)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        e.count() // materialize before dropping canon
+        canon.unpersist(blocking = false)
+        deg.unpersist(blocking = false)
+        val r = materialized(trianglesPlan(e, eCnt))
+        e.unpersist(blocking = false)
+        r
+      } else {
+        deg.unpersist(blocking = false)
+        val r = materialized(trianglesPlan(canon, eCnt))
+        canon.unpersist(blocking = false)
+        r
+      }
+    out
+  }
+
+  /** Canonical undirected edge set: (a < b), direction- and
+    * duplicate-collapsed.
+    */
+  private[graft] def canonicalEdges(edges: DataFrame): DataFrame = edges
+    .select(least(col("src"), col("dst")).as("a"),
+      greatest(col("src"), col("dst")).as("b"))
+    .filter(col("a") < col("b"))
+    .distinct()
+
+  /** The [[triangles]] dispatch predicate: degree-ordered orientation iff
+    * max_degree > 2·√m. Regular graphs max out at √2·√m (complete graph);
+    * skewed hubs sit at 10×+ — see the [[triangles]] scaladoc.
+    */
+  private[graft] def useDegreeOrder(maxDeg: Long, edgeCnt: Long): Boolean =
+    maxDeg.toDouble > 2.0 * math.sqrt(math.max(edgeCnt, 1L).toDouble)
+
+  /** Re-orient a canonical edge set low→high in the (degree, id) total
+    * order. Two node-sized joins — broadcast at cluster scale where the
+    * node table is ~√ of the edge table or smaller.
+    */
+  private def orientByDegree(canon: DataFrame, deg: DataFrame): DataFrame = {
+    val aFirst = col("_da") < col("_db") ||
+      (col("_da") === col("_db") && col("a") < col("b"))
+    canon
+      .join(deg.select(col("id").as("a"), col("deg").as("_da")), "a")
+      .join(deg.select(col("id").as("b"), col("deg").as("_db")), "b")
+      .select(when(aFirst, col("a")).otherwise(col("b")).as("a"),
+        when(aFirst, col("b")).otherwise(col("a")).as("b"))
+  }
+
+  /** [[triangles]] forced to id-order orientation — the regular-graph
+    * fast path, kept callable for specs and for callers that KNOW their
+    * degree distribution (the auto-dispatch in [[triangles]] costs one
+    * node-sized aggregation to find out).
+    */
+  def trianglesIdOrdered(edges: DataFrame): DataFrame = {
+    val e = canonicalEdges(edges)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val eCnt = e.count() // materializes the persist, sizes the sketch
     val out = materialized(trianglesPlan(e, eCnt))
@@ -118,32 +194,16 @@ object Graph {
     out
   }
 
-  /** [[triangles]] under degree-ordered orientation — the 100 TB-scale
-    * variant for SKEWED graphs. Each edge is oriented low→high in the
-    * (degree, id) total order, so a node's out-neighbors are only its
-    * higher-degree peers: out-degrees are bounded by O(√m) and the wedge
-    * count by O(m^1.5) regardless of hub size, where id-ordering lets a
-    * low-id hub pair up ALL its higher-id neighbors (quadratic in hub
-    * degree). Costs one node-sized degree aggregation + two node-sized
-    * joins (broadcast at cluster scale). Triangle counts are
-    * orientation-invariant, so output is identical to [[triangles]]
-    * (spec-pinned on a planted skewed graph).
+  /** [[triangles]] forced to degree-ordered orientation — the O(m^1.5)
+    * skew-proof variant the auto-dispatch selects on hub graphs. Triangle
+    * counts are orientation-invariant, so output is identical to
+    * [[trianglesIdOrdered]] (spec-pinned on a planted skewed graph).
     */
   def trianglesDegreeOrdered(edges: DataFrame): DataFrame = {
-    val canon = edges
-      .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .filter(col("a") < col("b"))
-      .distinct()
+    val canon = canonicalEdges(edges)
     val deg = canon.select(explode(array(col("a"), col("b"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("deg"))
-    val aFirst = col("_da") < col("_db") ||
-      (col("_da") === col("_db") && col("a") < col("b"))
-    val e = canon
-      .join(deg.select(col("id").as("a"), col("deg").as("_da")), "a")
-      .join(deg.select(col("id").as("b"), col("deg").as("_db")), "b")
-      .select(when(aFirst, col("a")).otherwise(col("b")).as("a"),
-        when(aFirst, col("b")).otherwise(col("a")).as("b"))
+    val e = orientByDegree(canon, deg)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val eCnt = e.count() // materializes the persist, sizes the sketch
     val out = materialized(trianglesPlan(e, eCnt))

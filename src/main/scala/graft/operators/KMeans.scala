@@ -15,6 +15,29 @@ import org.apache.spark.sql.functions._
   * same unrolled iterations reproduces every assignment (the
   * `emb_kmeans` DuckDB oracle does exactly that).
   *
+  * Why the contract is robust, not just empirically green (round-9
+  * hardening of the round-8 advice):
+  *
+  *  - Centroid sums are ORDER-INDEPENDENT: each coordinate is summed as
+  *    DECIMAL(30,15) — exact integer arithmetic, so partition order and
+  *    engine fold order cannot move the sum by even 1 ulp — then cast to
+  *    double and divided by the count in one IEEE op each. A plain
+  *    double `avg()` (the round-8 form) was summed in partition order
+  *    and could in principle flip a 6 dp rounding between runs/engines.
+  *    The per-element double→decimal cast is itself tie-free (below),
+  *    so both engines produce the IDENTICAL decimal sum.
+  *  - The decimal roundings cannot tie: every intermediate (a float
+  *    coordinate, a fold of products of doubles, a double quotient) is a
+  *    dyadic rational m/2^k, while a HALF_UP tie at d decimals requires
+  *    the value to sit exactly on odd/(2·10^d) — whose reduced
+  *    denominator contains 5^d and is therefore NOT dyadic. So
+  *    round(·, 4) / round(·, 6) / the decimal cast have no ties, and
+  *    round-to-nearest agrees across engines whatever their tie-break
+  *    mode. The residual (shared with every rounded query in this repo)
+  *    is an engine rounding a double it computed DIFFERENTLY — excluded
+  *    here because both sides fix the op order (sequential fold for
+  *    distances, exact decimal for sums).
+  *
   * Scale shape: centroids are k×d DRIVER state (the bounded-collect
   * discipline of the IVF/PQ trainers — k·d doubles, e.g. 512 for
   * k=8 d=64), broadcast into each pass as literal arrays. Each
@@ -59,7 +82,12 @@ object KMeans {
       val upd = assigned()
         .select(col("cluster"), posexplode(col("_v")).as(Seq("dim", "x")))
         .groupBy(col("cluster"), col("dim"))
-        .agg(round(avg(col("x").cast("double")), 6).as("c"))
+        // exact decimal sum (order-independent) ÷ count as ONE double op,
+        // instead of a partition-order-dependent double avg — see the
+        // determinism contract above
+        .agg(round(
+          sum(col("x").cast("double").cast("decimal(30,15)")).cast("double")
+            / count(lit(1)), 6).as("c"))
         .collect()
         .groupBy(_.getLong(0))
         .map { case (cl, rows) =>

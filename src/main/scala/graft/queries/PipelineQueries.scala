@@ -2083,7 +2083,9 @@ object PipelineQueries {
         |         any_value(e.v) AS v
         |       FROM e CROSS JOIN c0 c GROUP BY e.vec_id),
         |m1x AS (SELECT cluster, unnest(range(1, len(v) + 1)) AS i, v FROM a1),
-        |m1 AS (SELECT cluster, i, round(avg(CAST(v[i] AS DOUBLE)), 6) AS cv
+        |m1 AS (SELECT cluster, i,
+        |         round(CAST(sum(CAST(CAST(v[i] AS DOUBLE) AS DECIMAL(30,15)))
+        |           AS DOUBLE) / count(*), 6) AS cv
         |       FROM m1x GROUP BY cluster, i),
         |c1 AS (SELECT c0.cluster, coalesce(u.c, c0.c) AS c
         |       FROM c0 LEFT JOIN
@@ -2097,7 +2099,9 @@ object PipelineQueries {
         |         any_value(e.v) AS v
         |       FROM e CROSS JOIN c1 c GROUP BY e.vec_id),
         |m2x AS (SELECT cluster, unnest(range(1, len(v) + 1)) AS i, v FROM a2),
-        |m2 AS (SELECT cluster, i, round(avg(CAST(v[i] AS DOUBLE)), 6) AS cv
+        |m2 AS (SELECT cluster, i,
+        |         round(CAST(sum(CAST(CAST(v[i] AS DOUBLE) AS DECIMAL(30,15)))
+        |           AS DOUBLE) / count(*), 6) AS cv
         |       FROM m2x GROUP BY cluster, i),
         |c2 AS (SELECT c1.cluster, coalesce(u.c, c1.c) AS c
         |       FROM c1 LEFT JOIN

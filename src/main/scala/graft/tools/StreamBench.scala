@@ -141,8 +141,8 @@ object StreamBench {
     val events = graft.Tables.events(spark, sfDir)
       .selectExpr("event_type", "user_id", "unix_micros(ts) div 1000 AS ts")
       .as[SEv].collect()
-    val path = java.nio.file.Files
-      .createTempDirectory("graft_sketch_sink").toString + "/partials"
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_sketch_sink")
+    val path = tmpRoot.toString + "/partials"
     val input = MemoryStream[SEv]
     val q = input.toDS().toDF()
       .writeStream
@@ -161,6 +161,11 @@ object StreamBench {
       f""""records_in":${events.length},"ingest_sec":$ingestSecs%.2f,""" +
       f""""records_per_sec":${(events.length / ingestSecs).toLong},""" +
       f""""compact_plus_summary_sec":$readSecs%.2f,"summary_rows":$rows}""")
+    // repeated bench runs must not accumulate parquet partials on disk
+    // (round-8 advice): the summary has been read, drop the temp tree
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(tmpRoot).iterator().asScala.toSeq.reverse
+      .foreach(p => java.nio.file.Files.deleteIfExists(p))
   }
 
   def main(args: Array[String]): Unit = {

@@ -79,6 +79,30 @@ class GraphSpec extends SparkTestBase {
       s"wedge stream must be bloom-pruned map-side before the shuffle:\n$plan")
   }
 
+  test("triangle orientation auto-dispatch: skewed graphs pick degree order, regular graphs stay id-ordered") {
+    // the dispatch statistic is max_degree/√m with threshold 2: every
+    // regular graph sits at √(2d/n) ≤ √2 (the complete graph's exact
+    // value), a hub star at √m
+    // planted hub graph from the test below: m = 13, maxDeg = 9 → 2.50
+    assert(Graph.useDegreeOrder(maxDeg = 9L, edgeCnt = 13L),
+      "hub graph (ratio 2.50) must dispatch to degree order")
+    // K4 + pendant: m = 7, maxDeg = 4 → 1.51 — regular-ish, id order
+    assert(!Graph.useDegreeOrder(maxDeg = 4L, edgeCnt = 7L),
+      "near-regular K4 must stay id-ordered")
+    // a complete graph is the regular-family maximum: K1000 —
+    // maxDeg = 999, m = 499500 → ratio √2 = 1.414, id order (where the
+    // orientation joins were measured +30% pure overhead on round 7's
+    // complete co-supplier graph). The current registered part
+    // co-occurrence graph measures ratio 0.20 at sf0.1 — same branch.
+    assert(!Graph.useDegreeOrder(maxDeg = 999L, edgeCnt = 499500L),
+      "complete graphs (ratio √2) must stay id-ordered")
+    assert(!Graph.useDegreeOrder(maxDeg = 222L, edgeCnt = 1196000L),
+      "the registered part co-occurrence graph (ratio 0.20) must stay id-ordered")
+    // a CommonCrawl-shaped hub: degree 10^5 in a 10^8-edge graph → 10.0
+    assert(Graph.useDegreeOrder(maxDeg = 100000L, edgeCnt = 100000000L),
+      "power-law hub must dispatch to degree order")
+  }
+
   test("trianglesDegreeOrdered equals triangles on a skewed hub graph and caps hub out-degree") {
     // hub 1 touches everyone (degree 9); triangles live on hub+pairs and
     // one hub-free triangle 6-7-8. A low-ID hub is id-ordering's worst
@@ -87,9 +111,12 @@ class GraphSpec extends SparkTestBase {
     val pairs = (2L to 9L).map(v => (1L, v)) ++
       Seq((2L, 3L), (4L, 5L), (6L, 7L), (7L, 8L), (6L, 8L))
     val e = pairs.toDF("src", "dst")
-    val a = Graph.triangles(e).as[(Long, Long)].collect().toMap
+    val a = Graph.trianglesIdOrdered(e).as[(Long, Long)].collect().toMap
     val b = Graph.trianglesDegreeOrdered(e).as[(Long, Long)].collect().toMap
     assert(a == b, s"orientation must not change counts: $a vs $b")
+    // the auto-dispatching entry point must agree with both manual paths
+    val auto = Graph.triangles(e).as[(Long, Long)].collect().toMap
+    assert(auto == a, s"auto-dispatch changed counts: $auto vs $a")
     // hub triangles: (1,2,3),(1,4,5),(1,6,7),(1,7,8),(1,6,8); hub-free: (6,7,8)
     assert(a(1L) == 5L && a(6L) == 3L, s"sanity: hub closes 5, node 6 closes 3: $a")
     // the wedge bound the orientation buys: under (deg, id) order the
