@@ -895,20 +895,29 @@ object PipelineQueries {
     * grouped companion of [[Quantize.clipBounds]]'s rank trick and the
     * exact alternative to `q_approx_percentile`): value at rank
     * ⌈n/4⌉ / ⌈n/2⌉ / ⌈3n/4⌉ within each group — actual data values, no
-    * interpolation, so nothing to round. One ranking window per group.
+    * interpolation, so nothing to round. All three ranks resolve through
+    * [[graft.operators.Percentiles.ranksCore]]'s shared-scan kernel.
     */
   def qGroupPercentile(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    // all three quartile ranks through the bounded-memory rank kernel in
+    // ONE scan set (round-9 scan fusion) — the previous row_number
+    // formulation sorted each group inside a single task; l_quantity's
+    // ~50 distinct values take the kernel's low-cardinality fast path
+    // (stats scan + one distinct-value resolve, no refinement pass)
     val li = Tables.lineitem(s, dir)
       .select(col("l_returnflag"), col("l_quantity"))
-    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
-    li.withColumn("_rn", row_number().over(w).cast("long"))
-      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("l_returnflag"))))
-      .groupBy(col("l_returnflag"))
-      .agg(max(col("_n")).as("n"),
-        min(when(col("_rn") === expr("(_n + 3) div 4"), col("l_quantity"))).as("p25"),
-        min(when(col("_rn") === expr("(_n + 1) div 2"), col("l_quantity"))).as("median"),
-        min(when(col("_rn") === expr("(_n * 3 + 3) div 4"), col("l_quantity"))).as("p75"))
+    val rs = graft.operators.Percentiles.ranksCore(li, "l_returnflag",
+      "l_quantity", n => Seq("p25" -> (n + 3) / 4, "median" -> (n + 1) / 2,
+        "p75" -> (n * 3 + 3) / 4))
+    val rows = rs.map { g =>
+      org.apache.spark.sql.Row(g.group, g.n, g.values("p25"),
+        g.values("median"), g.values("p75"))
+    }
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("l_returnflag", li.schema("l_returnflag").dataType)
+      .add("n", "long").add("p25", "double").add("median", "double")
+      .add("p75", "double")
+    s.createDataFrame(s.sparkContext.parallelize(rows.toList, 1), schema)
       .orderBy(col("l_returnflag"))
   }
 

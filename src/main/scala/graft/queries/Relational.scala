@@ -231,26 +231,42 @@ object Relational {
     * inflate 3σ variance): median and MAD are both value-at-rank ⌈n/2⌉
     * order statistics (low median, actual data values, nothing to round
     * — quantities are integer-valued so the deviations are exact
-    * doubles). Two ranking windows per group plus one broadcast join of
-    * the group-count-sized median table.
+    * doubles). Both stages resolve through
+    * [[graft.operators.Percentiles.ranksCore]]'s bounded-memory rank
+    * kernel; stage 2 derives its stats from stage 1, so the whole query
+    * is three light aggregation scans and zero group sorts.
     */
   def qMad(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    // two-stage exact low-median order statistics WITHOUT per-group sort
+    // windows (round-9 scan fusion — the row_number formulation sorted
+    // each group inside one task, twice): stage 1 resolves each group's
+    // median through the bounded-memory rank kernel; stage 2 reuses
+    // stage 1's stats — the deviation count is unchanged and
+    // [0, max(mx−med, med−mn)] brackets |v − med| exactly — so its
+    // stats scan is FREE, and the deviations reach the scan as one
+    // codegen'd CASE projection instead of a broadcast-join column.
     val li = Tables.lineitem(s, dir).select(col("l_returnflag"), col("l_quantity"))
-    val byGroup = Window.partitionBy(col("l_returnflag"))
-    val med = li
-      .withColumn("_rn", row_number().over(byGroup.orderBy(col("l_quantity"))).cast("long"))
-      .withColumn("_n", count(lit(1)).over(byGroup))
-      .groupBy(col("l_returnflag"))
-      .agg(min(when(col("_rn") === expr("(_n + 1) div 2"), col("l_quantity"))).as("median_qty"))
-    val dev = li.join(broadcast(med), "l_returnflag")
-      .withColumn("_d", abs(col("l_quantity") - col("median_qty")))
-    dev
-      .withColumn("_rn", row_number().over(byGroup.orderBy(col("_d"))).cast("long"))
-      .withColumn("_n", count(lit(1)).over(byGroup))
-      .groupBy(col("l_returnflag"))
-      .agg(max(col("_n")).as("n"), max(col("median_qty")).as("median_qty"),
-        min(when(col("_rn") === expr("(_n + 1) div 2"), col("_d"))).as("mad_qty"))
+    val med = Percentiles.ranksCore(li, "l_returnflag", "l_quantity",
+      n => Seq("m" -> (n + 1) / 2))
+    val medExpr = med.foldLeft(lit(null).cast("double")) { case (acc, g) =>
+      when(col("l_returnflag") === lit(g.group), lit(g.values("m"))).otherwise(acc)
+    }
+    val dev = li.withColumn("_dev", abs(col("l_quantity") - medExpr))
+    val devStats = med.map { g =>
+      val m = g.values("m")
+      Percentiles.GroupStats(g.group, g.n, 0.0,
+        math.max(g.mx - m, m - g.mn), 0L)
+    }
+    val mad = Percentiles.ranksCoreGivenStats(dev, "l_returnflag", "_dev",
+        devStats, n => Seq("mad" -> (n + 1) / 2))
+      .map(g => g.group -> g.values("mad")).toMap
+    val rows = med.map { g =>
+      org.apache.spark.sql.Row(g.group, g.n, g.values("m"), mad(g.group))
+    }
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("l_returnflag", li.schema("l_returnflag").dataType)
+      .add("n", "long").add("median_qty", "double").add("mad_qty", "double")
+    s.createDataFrame(s.sparkContext.parallelize(rows.toList, 1), schema)
       .orderBy(col("l_returnflag"))
   }
 
@@ -450,11 +466,13 @@ object Relational {
     */
   def qPercentile(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
-    val price = Percentiles.exact(li, "l_returnflag", "l_extendedprice",
-      Seq(0.5 -> "p50_price", 0.9 -> "p90_price", 0.99 -> "p99_price"))
-    val qty = Percentiles.exact(li, "l_returnflag", "l_quantity",
-      Seq(0.5 -> "med_qty"))
-    price.join(qty, Seq("l_returnflag"))
+    // one FUSED call (round-9 scan fusion): price and quantity ranks
+    // share the stats scan, every histogram pass, and the resolve scan —
+    // 3 scans total where the round-8 pair of calls paid 6
+    Percentiles.exactMulti(li, "l_returnflag", Seq(
+        "l_extendedprice" -> Seq(0.5 -> "p50_price", 0.9 -> "p90_price",
+          0.99 -> "p99_price"),
+        "l_quantity" -> Seq(0.5 -> "med_qty")))
       .select(col("l_returnflag"), col("p50_price"), col("p90_price"),
         col("p99_price"), col("med_qty"))
       .orderBy(col("l_returnflag"))

@@ -40,6 +40,54 @@ class PercentilesSpec extends SparkTestBase {
     assert(out.getDouble(1) == 8.0)
   }
 
+  test("exactMulti fuses columns without changing any value") {
+    val df = Seq(("a", 3.0, 30.0), ("a", 1.0, 10.0), ("a", 10.0, 100.0),
+      ("a", 2.0, 20.0), ("b", 5.0, 50.0)).toDF("g", "x", "y")
+    val fused = Percentiles.exactMulti(df, "g", Seq(
+        "x" -> Seq(0.5 -> "x50", 0.9 -> "x90"), "y" -> Seq(0.5 -> "y50")))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val x = Percentiles.exact(df, "g", "x", Seq(0.5 -> "x50", 0.9 -> "x90"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val y = Percentiles.exact(df, "g", "y", Seq(0.5 -> "y50"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    fused.foreach { case (g, (x50, x90, y50)) =>
+      assert((x50, x90) == x(g) && y50 == y(g), s"fusion changed $g")
+    }
+  }
+
+  test("ranksCore matches a sort-based oracle, incl. duplicate plateaus and the fast path") {
+    // values with heavy duplicates; ranks = the q_group_percentile family
+    val vals = Seq(5.0, 1.0, 3.0, 3.0, 3.0, 9.0, 7.0, 1.0, 3.0, 5.0)
+    val df = vals.map(("g", _)).toDF("g", "v")
+    val sorted = vals.sorted
+    def want(r1: Long) = sorted((r1 - 1).toInt)
+    for (thr <- Seq(2L, 16384L)) { // tiny thr forces refinement; big takes fast path
+      val rs = Percentiles.ranksCore(df, "g", "v",
+        n => Seq("p25" -> (n + 3) / 4, "med" -> (n + 1) / 2,
+          "p75" -> (n * 3 + 3) / 4), buckets = 4, collectThreshold = thr)
+      assert(rs.size == 1 && rs.head.n == 10)
+      val got = rs.head.values
+      val n = 10L
+      assert(got("p25") == want((n + 3) / 4), s"thr=$thr p25")
+      assert(got("med") == want((n + 1) / 2), s"thr=$thr med")
+      assert(got("p75") == want((n * 3 + 3) / 4), s"thr=$thr p75")
+    }
+  }
+
+  test("ranksCoreGivenStats (the MAD stage-2 shape) matches recomputed stats") {
+    val vals = Seq(2.0, 4.0, 4.0, 6.0, 10.0)
+    val df = vals.map(("g", _)).toDF("g", "v")
+    val med = 4.0
+    val dev = df.withColumn("_d", abs($"v" - med))
+    val given = Seq(Percentiles.GroupStats("g", 5L, 0.0,
+      math.max(10.0 - med, med - 2.0), 0L))
+    val got = Percentiles.ranksCoreGivenStats(dev, "g", "_d", given,
+      n => Seq("mad" -> (n + 1) / 2), buckets = 4, collectThreshold = 2)
+    // devs sorted: [0, 0, 2, 2, 6] -> rank 3 (1-based) = 2.0
+    assert(got.head.values("mad") == 2.0)
+  }
+
   test("agrees with Spark's built-in exact percentile on lineitem at sf0.01") {
     val li = Tables.lineitem(spark, "/root/testdata/sf0.01")
     val builtin = li.groupBy("l_returnflag")
