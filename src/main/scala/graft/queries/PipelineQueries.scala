@@ -123,6 +123,44 @@ object PipelineQueries {
     Similarity.ivfPqTopK(annQueries(s, dir), Tables.embeddings(s, dir),
       "vec_id", "embedding", AnnK, AnnDim)
 
+  /** Driver-visible ANN quality report: every approximate top-k leg
+    * measured against [[annTopkBrute]] on the same queries, one row per
+    * leg — `(leg, k, recall_floor, recall_pct)`. The floors are the
+    * cross-SF contract minima from `SimilaritySpec`/`SimilarityScaleSpec`
+    * (the weakest bound that must hold at ANY tested scale), so the
+    * `recall_pct >= recall_floor` invariant is part of the emitted data,
+    * not just a test assertion. Recall itself is engine-specific (it
+    * depends on the fixed-seed hyperplanes / k-means sample order), so
+    * there is no SQL oracle — the driver records rows+schema; the hard
+    * gate lives in the specs AND is now visible in every verify artifact.
+    *
+    * Scale shape: each leg's top-k set is |queries| × k rows (bounded by
+    * the standing "query set is broadcastable" precondition of every ANN
+    * operator here), so the joins below are trivially driver-adjacent; the
+    * expensive parts are the leg pipelines themselves, each individually
+    * audited for 100 TB shape in [[graft.operators.Similarity]].
+    */
+  def annRecallReport(s: SparkSession, dir: String): DataFrame = {
+    val brute = annTopkBrute(s, dir)
+      .select(col("query_id"), col("neighbor_id")).cache()
+    val legs: Seq[(String, Double, DataFrame)] = Seq(
+      ("lsh", 0.50, annTopkLsh(s, dir)),
+      ("ivf", 0.30, annTopkIvf(s, dir)),
+      ("pca", 0.40, annTopkPca(s, dir)),
+      ("pq", 0.25, annTopkPq(s, dir)),
+      ("ivfpq", 0.30, annTopkIvfPq(s, dir)))
+    val reports = legs.map { case (name, floor, df) =>
+      val hits = df.select(col("query_id"), col("neighbor_id"))
+        .join(brute, Seq("query_id", "neighbor_id"), "left_semi")
+      hits.agg(count(lit(1)).as("_hits"))
+        .crossJoin(brute.agg(count(lit(1)).as("_total")))
+        .select(lit(name).as("leg"), lit(AnnK.toLong).as("k"),
+          lit(floor).as("recall_floor"),
+          round(col("_hits") / col("_total"), 4).as("recall_pct"))
+    }
+    reports.reduce(_.unionByName(_)).orderBy(col("leg"))
+  }
+
   /** Mergeable sketch rollup over events: per-event-type distinct users
     * (HLL) and value percentiles (KLL) from materialized sketches, plus
     * the union-of-sketches `__all__` row — the summary-table pattern
@@ -1089,6 +1127,7 @@ object PipelineQueries {
     "ann_topk_pca" -> (annTopkPca _),
     "ann_topk_pq" -> (annTopkPq _),
     "ann_topk_ivfpq" -> (annTopkIvfPq _),
+    "ann_recall_report" -> (annRecallReport _),
     "sketch_rollup" -> (sketchRollup _),
     "sketch_overlap" -> (sketchOverlap _),
     "q_cdc_apply" -> (qCdcApply _),

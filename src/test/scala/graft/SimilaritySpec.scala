@@ -58,6 +58,22 @@ class SimilaritySpec extends SparkTestBase {
       "nprobe/nlist = 4/16 probes a quarter of the corpus)")
   }
 
+  test("ann_recall_report covers all five legs and self-satisfies its emitted floors at sf0.01") {
+    val rep = graft.queries.PipelineQueries
+      .annRecallReport(spark, "/root/testdata/sf0.01")
+      .select("leg", "k", "recall_floor", "recall_pct")
+      .as[(String, Long, Double, Double)].collect().toSeq
+    assert(rep.map(_._1).sorted == Seq("ivf", "ivfpq", "lsh", "pca", "pq"),
+      s"report legs: ${rep.map(_._1)}")
+    rep.foreach { case (leg, k, floor, pct) =>
+      assert(k == 5L)
+      assert(pct >= floor,
+        s"$leg recall_pct $pct below its own emitted floor $floor — the " +
+          "report's invariant column would be lying in the verify artifact")
+      assert(pct <= 1.0)
+    }
+  }
+
   test("buildIvf/queryIvf equals one-shot ivfTopK; the on-disk index round-trips AND prunes cells") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
     val queries = emb.filter($"vec_id" < 10)
