@@ -37,7 +37,8 @@ object Tables {
     import org.apache.spark.sql.functions.{col, expr}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = load(s, d, "events")
+    val raw = normalizeStrings(load(s, d, "events"), "events",
+      Set("event_type", "props"))
     raw.schema("ts").dataType match {
       case LongType      => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case TimestampType => raw
@@ -45,7 +46,37 @@ object Tables {
       case _             => raw.withColumn("ts", col("ts").cast(TimestampType))
     }
   }
-  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  /** String columns of driver-owned tables can drift the same way
+    * `events.ts` did (see [[events]]): parquet has no string type, only
+    * BYTE_ARRAY + a UTF8 annotation, and a producer that drops the
+    * annotation (plain arrow binary, some Java writers) ships bytes that
+    * Spark reads as `BinaryType` — every string function downstream then
+    * dies at ANALYSIS time across the whole text family. Cast such
+    * columns back to string at the scan boundary (Spark's binary→string
+    * cast decodes UTF-8, exactly the annotation's meaning) and log
+    * loudly so an upstream re-encoding is attributable in one grep.
+    * Encodings Spark CANNOT distinguish need no pin: arrow
+    * string-vs-large_string, dictionary/DELTA_BYTE_ARRAY page encodings
+    * all land as the same UTF8 BYTE_ARRAY logical type.
+    */
+  private def normalizeStrings(raw: DataFrame, table: String,
+      cols: Set[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{BinaryType, StringType}
+    raw.schema.fields
+      .filter(f => cols(f.name) && f.dataType == BinaryType)
+      .foldLeft(raw) { (df, f) =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"$table.${f.name} arrived as BINARY (BYTE_ARRAY without the " +
+            "UTF8 annotation), normalizing to string — if this persists " +
+            "the upstream writer dropped the parquet logical type")
+        df.withColumn(f.name, col(f.name).cast(StringType))
+      }
+  }
+
+  def documents(s: SparkSession, d: String): DataFrame =
+    normalizeStrings(load(s, d, "documents"), "documents",
+      Set("text", "lang", "source"))
   /** `embeddings.embedding` is float32[] today, but the same upstream
     * drift that re-encoded `events.ts` (see [[events]]) could ship it as
     * double[] — and every consumer (`getSeq[Float]` collects, codegen

@@ -86,6 +86,51 @@ class TablesSpec extends SparkTestBase {
     assert(canonEmb(writeEnc(asDouble = false)) === canonEmb(writeEnc(asDouble = true)))
   }
 
+  test("documents loader normalizes UTF8-annotated and bare-BYTE_ARRAY string encodings identically") {
+    // parquet strings are BYTE_ARRAY + UTF8 annotation; a producer that
+    // drops the annotation ships bytes Spark reads as BinaryType and the
+    // whole text family dies at analysis time — same drift class as
+    // events.ts. (Encodings Spark CANNOT see differ — arrow
+    // string/large_string, dict vs DELTA_BYTE_ARRAY pages — need no pin:
+    // they all land as this same annotated BYTE_ARRAY logical type.)
+    val rows = Seq(
+      (0L, "plain ascii", "en", "web", 11L),
+      (1L, "unicode é中文 text", "zh", "books", 15L))
+    def writeEnc(asBinary: Boolean): String = {
+      val dir = Files.createTempDirectory("graft-docs-enc").toString
+      val base = rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      val df = if (asBinary)
+        base.withColumn("text", $"text".cast(BinaryType))
+          .withColumn("lang", $"lang".cast(BinaryType))
+          .withColumn("source", $"source".cast(BinaryType))
+      else base
+      df.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    def canonDocs(dir: String): Seq[(Long, String, String, String)] = {
+      val df = Tables.documents(spark, dir)
+      Seq("text", "lang", "source").foreach(c =>
+        assert(df.schema(c).dataType === StringType,
+          s"loader must normalize documents.$c to string"))
+      df.select($"doc_id", $"text", $"lang", $"source")
+        .as[(Long, String, String, String)].collect().toSeq.sortBy(_._1)
+    }
+    assert(canonDocs(writeEnc(asBinary = false)) === canonDocs(writeEnc(asBinary = true)))
+  }
+
+  test("events loader normalizes bare-BYTE_ARRAY event_type/props to string") {
+    val asBinary = writeEncoding(
+      _.withColumn("ts", timestamp_micros($"us"))
+        .withColumn("event_type", $"event_type".cast(BinaryType))
+        .withColumn("props", $"props".cast(BinaryType)))
+    val ev = Tables.events(spark, asBinary)
+    assert(ev.schema("event_type").dataType === StringType)
+    assert(ev.schema("props").dataType === StringType)
+    val got = ev.select($"event_id", $"event_type", $"props")
+      .as[(Long, String, String)].collect().toSeq.sortBy(_._1)
+    assert(got === micros.indices.map(i => (i.toLong, s"type_$i", s"""{"k":$i}""")))
+  }
+
   test("events loader against the driver's current testdata analyzes and preserves micros") {
     val sf = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$sf/events.parquet").exists())
