@@ -174,6 +174,60 @@ object StreamBench {
       .foreach(p => java.nio.file.Files.deleteIfExists(p))
   }
 
+  /** Streaming near-dup dedup throughput
+    * ([[graft.streaming.StreamingNearDedup]]): the sf corpus replayed
+    * `SPARK_GRAFT_DEDUP_COPIES` times (default 20 → 10k docs at sf0.1) —
+    * each replay a near-identical copy (one appended generation token),
+    * ascending event times, far-future sentinel flush. Reports ingest →
+    * final-verdict records/second on the RocksDB provider, plus how many
+    * docs deduped. The replay construction makes the stream dup-HEAVY
+    * (every bucket hot), which is the expensive regime: retained-list
+    * compares grow with bucket occupancy.
+    *
+    * Run: SPARK_GRAFT_NEARDEDUP=1 runMain graft.tools.StreamBench
+    */
+  private def nearDedupBench(spark: SparkSession, sfDir: String,
+      batchSize: Int): Unit = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingNearDedup
+    import graft.streaming.StreamingNearDedup.NearDupDoc
+    val copies = sys.env.getOrElse("SPARK_GRAFT_DEDUP_COPIES", "20").toInt
+    val texts = graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val base = 1700000000000L
+    val docs = (0 until copies).flatMap { c =>
+      texts.map { case (id, t) =>
+        NearDupDoc(c.toLong * 1000000L + id, s"$t gen$c", base + c * 60000L + id)
+      }
+    }
+    val graceMs = 10L * 60 * 1000
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[NearDupDoc]
+    val q = StreamingNearDedup.nearDedup(input.toDS(), graceMs,
+      retainMs = 86400000L)
+      .writeStream.format("memory").queryName("sb_neardedup")
+      .outputMode(OutputMode.Append).start()
+    val t0 = System.nanoTime()
+    docs.grouped(batchSize).foreach { b => input.addData(b); q.processAllAvailable() }
+    // two far-future sentinels: one to flush the buckets, one so the
+    // second-stage combine sees every band verdict
+    Seq(1, 2).foreach { i =>
+      input.addData(Seq(NearDupDoc(-i.toLong,
+        s"qqxyzzy$i wvutsrq$i ponmlkj$i", docs.map(_.ts).max + i * (graceMs + 60000L))))
+      q.processAllAvailable()
+    }
+    val secs = (System.nanoTime() - t0) / 1e9
+    val out = spark.table("sb_neardedup")
+    val emitted = out.count()
+    val dups = out.filter(!org.apache.spark.sql.functions.col("keep")).count()
+    q.stop()
+    println(f"""{"metric":"stream_neardedup_throughput","batch":$batchSize,""" +
+      f""""docs_in":${docs.length},"verdicts_out":$emitted,"dups":$dups,""" +
+      f""""sec":$secs%.2f,"records_per_sec":${(docs.length / secs).toLong}}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -202,6 +256,11 @@ object StreamBench {
     }
     if (sys.env.get("SPARK_GRAFT_SKETCH_SINK").contains("1")) {
       sketchSinkBench(spark, sfDir, args.headOption.map(_.toInt).getOrElse(20000))
+      spark.stop()
+      return
+    }
+    if (sys.env.get("SPARK_GRAFT_NEARDEDUP").contains("1")) {
+      nearDedupBench(spark, sfDir, args.headOption.map(_.toInt).getOrElse(20000))
       spark.stop()
       return
     }
