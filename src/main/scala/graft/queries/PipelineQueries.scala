@@ -38,6 +38,26 @@ object PipelineQueries {
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
       .orderBy(col("doc_id"))
 
+  /** First-wins keep over the SIMHASH near-dup relation (Hamming ≤ 3 —
+    * exact via 4×16 banding): drop every doc with a lower-id doc within
+    * distance 3, keep the rest. The Jaccard-relation sibling of
+    * [[dedupNearKeep]] and the registered BATCH TWIN of the streaming
+    * operator ([[graft.streaming.StreamingNearDedup]]): with event time
+    * = doc_id, `StreamingNearDedupSpec` pins the streamed kept-set equal
+    * to this query, so the ingest-time and batch dedup paths provably
+    * take the same decisions. Fully hash-oracled (the SimHash fingerprint
+    * is md5-based precisely so SQL can recompute it — see
+    * [[graft.operators.Dedup.simhash]]).
+    */
+  def dedupSimhashKeep(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val dupIds = Dedup.simhashPairs(docs, "doc_id", "text")
+      .select(col("doc_b").as("doc_id")).distinct()
+    docs.join(dupIds, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Exact embedding-cosine pairs at tau = 0.4 via the BLOCKED brute-force
     * join ([[Similarity.blockedCosinePairs]]) — the registered scale path
     * for this corpus's regime. The corpus's true pairs sit at cosine
@@ -1118,6 +1138,7 @@ object PipelineQueries {
     "text_lang_drift" -> (textLangDrift _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
+    "dedup_simhash_keep" -> (dedupSimhashKeep _),
     "dedup_near_keep" -> (dedupNearKeep _),
     "dedup_embed_cosine" -> (dedupEmbedCosine _),
     "emb_kmeans" -> (embKmeans _),
@@ -1798,6 +1819,34 @@ object PipelineQueries {
         |FROM fp a, fp b
         |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // same fingerprint CTE as dedup_simhash, anti-joined: keep docs with
+    // no lower-id doc within hamming 3
+    "dedup_simhash_keep" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS toks
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(list_distinct(toks)) AS tk FROM t),
+        |h AS (SELECT doc_id,
+        |    ('0x' || substring(md5(tk), 1, 8))::BIGINT AS hi,
+        |    ('0x' || substring(md5(tk), 9, 8))::BIGINT AS lo
+        |  FROM tok),
+        |v AS (SELECT doc_id, r.i,
+        |    sum((CASE WHEN r.i < 32 THEN (lo >> r.i) & 1
+        |              ELSE (hi >> (r.i - 32)) & 1 END) * 2 - 1) AS vote
+        |  FROM h CROSS JOIN (SELECT unnest(range(64)) AS i) r
+        |  GROUP BY doc_id, r.i),
+        |fp AS (SELECT doc_id,
+        |    CAST(sum(CASE WHEN vote > 0 THEN
+        |      CASE WHEN i = 63 THEN -9223372036854775808 ELSE (1::BIGINT << i) END
+        |      ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM v GROUP BY doc_id),
+        |dup AS (SELECT DISTINCT b.doc_id FROM fp a, fp b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND bit_count(xor(a.simhash, b.simhash)) <= 3)
+        |SELECT d.doc_id, d.lang, d.source, d.n_chars
+        |FROM documents d ANTI JOIN dup USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     // all five curation stages in one statement; every sub-expression is
     // the lockstep copy of its stage's own green oracle (quality formula
     // from text_stats, md5 row_number from dedup_exact_docs, shingle

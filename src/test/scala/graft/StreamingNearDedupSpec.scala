@@ -101,6 +101,24 @@ class StreamingNearDedupSpec extends SparkTestBase {
     assert(got(101L) == (false, Some(0L)) && got(102L) == (false, Some(0L)))
   }
 
+  test("streamed kept-set equals the registered dedup_simhash_keep batch query on sf0.001", Slow) {
+    // event time = doc_id => the streaming first-wins order IS the batch
+    // query's lower-id-wins order; grace covers the whole corpus, so the
+    // two paths must take identical decisions on every doc
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, t) => NearDupDoc(id, t, Base + id) }
+    val got = runStream(Seq(docs.toSeq) ++ sentinels(docs.map(_.ts).max).map(Seq(_)),
+      retainMs = 86400000L, "neardedup_batchtwin")
+    val streamedKept = docs.map(_.doc_id).filter(id => got(id)._1).toSet
+    val batchKept = graft.queries.PipelineQueries
+      .dedupSimhashKeep(spark, "/root/testdata/sf0.001")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(streamedKept == batchKept,
+      s"streamed-only: ${(streamedKept -- batchKept).take(5)}, " +
+        s"batch-only: ${(batchKept -- streamedKept).take(5)}")
+  }
+
   test("cross-flush history within retainMs catches dups; beyond it is forgotten") {
     val text = Tables.documents(spark, "/root/testdata/sf0.001")
       .orderBy($"doc_id").limit(1).select($"text").as[String].head()
