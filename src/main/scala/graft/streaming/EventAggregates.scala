@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.functions.ThetaSketchAgg
+import graft.functions.{FreqItemsAgg, ThetaSketchAgg}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -105,4 +105,28 @@ object EventAggregates {
       .select(col("w.start").as("window_start"),
         round(ThetaSketchAgg.estimate(col("sk")))
           .cast("long").as("distinct_users"))
+
+  /** Tumbling-window heavy hitters via the Misra–Gries frequent-items
+    * sketch ([[graft.functions.FreqItemsAgg]], the batch
+    * `sketch_heavy_hitters` aggregate): WHICH items exceed `minShare` of
+    * each window's stream, in bounded per-window state — the trending-
+    * topics / hot-keys monitor a 100 TB/day event stream runs
+    * continuously. Exact COUNT+filter needs per-window state linear in
+    * item cardinality (and Spark would reject the two-level streaming
+    * aggregation anyway); the sketch keeps one mergeable maxMapSize-
+    * bounded blob per window, exact below map capacity, watermark-
+    * evicted like any windowed agg. Output: one row per (window, item)
+    * over the threshold, with the sketch's frequency estimate.
+    */
+  def tumblingHeavyHitters(events: DataFrame, tsCol: String, itemCol: String,
+      windowLen: String, watermark: String, minShare: Double,
+      maxMapSize: Int = 1024): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen).as("w"))
+      .agg(FreqItemsAgg.freqItems(col(itemCol), maxMapSize).as("sk"))
+      .select(col("w.start").as("window_start"),
+        explode(FreqItemsAgg.itemsAbove(col("sk"), lit(minShare))))
+      .select(col("window_start"), col("key").as("item"),
+        col("value").as("freq"))
 }

@@ -153,6 +153,35 @@ class EventAggregatesSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming heavy hitters per window equal the batch run and the true hot items") {
+    implicit val sqlCtx = spark.sqlContext
+    // skewed item stream: one hot event_type per window plus singletons
+    val hh = Seq.tabulate(40)(i => ev(100 + i, 1 + i % 8, i % 3, "hot_a", 1.0)) ++
+      Seq(ev(200, 2, 9, "rare_x", 1.0), ev(201, 4, 9, "rare_y", 1.0)) ++
+      Seq.tabulate(20)(i => ev(300 + i, 41 + i % 8, i % 3, "hot_b", 1.0)) ++
+      Seq(ev(400, 42, 9, "rare_z", 1.0))
+    val input = MemoryStream[Ev]
+    val q = EventAggregates.tumblingHeavyHitters(input.toDF(), "ts",
+      "event_type", "10 minutes", "30 minutes", minShare = 0.2)
+      .writeStream.format("memory").queryName("thh")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      input.addData(hh)
+      q.processAllAvailable()
+      val streaming = spark.table("thh")
+        .orderBy("window_start", "item").as[(Timestamp, String, Long)].collect().toSeq
+      val batchRun = EventAggregates.tumblingHeavyHitters(hh.toDF(), "ts",
+        "event_type", "10 minutes", "30 minutes", minShare = 0.2)
+        .orderBy("window_start", "item").as[(Timestamp, String, Long)].collect().toSeq
+      assert(streaming == batchRun)
+      // exact regime (items << map capacity): the sketch reports exactly
+      // the items above the share with their true counts, nothing else
+      assert(streaming == Seq(
+        (Timestamp.valueOf("2024-01-01 10:00:00"), "hot_a", 40L),
+        (Timestamp.valueOf("2024-01-01 10:40:00"), "hot_b", 20L)))
+    } finally q.stop()
+  }
+
   test("stream-static dim enrichment equals the batch join; dim side broadcast") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
