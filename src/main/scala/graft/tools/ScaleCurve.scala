@@ -46,7 +46,12 @@ object ScaleCurve {
     "text_bpe_train", "text_bpe_vocab", "text_bpe_encode", "emb_kmeans",
     // round-8 closing sweep: the remaining >1 s queries without curves
     "dedup_clusters_star", "mm_image_decode", "pipeline_curate",
-    "text_langid")
+    "text_langid",
+    // round-9: the streaming near-dedup's batch twin (simhashPairs
+    // banding + anti join — the suffixed-copy construction keeps its
+    // fingerprints disjoint from the originals', see the SimHash note
+    // above)
+    "dedup_simhash_keep")
 
   /** SPARK_GRAFT_SCALE_ONLY: comma-separated exact names — run a subset
     * (new-row refresh) without re-measuring the whole table.
