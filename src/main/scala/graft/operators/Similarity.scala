@@ -268,19 +268,67 @@ object Similarity {
     * to its cell in one distributed projection pass (no shuffle: the
     * centroids ride along as broadcast literals).
     */
+  /** Assign vectors to their nearest-centroid cell in one shuffle-free
+    * projection pass (centroids ride along as broadcast literals; argmax
+    * ties → first, deterministic). Shared by [[buildIvf]] and the
+    * incremental [[addToIvf]]/[[appendIvf]] maintenance path — using the
+    * SAME expression for both is what makes "index the daily delta"
+    * provably equivalent to a full re-assignment under fixed centroids.
+    */
+  private def assignCells(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Double]]): DataFrame = {
+    val cents = typedlit(centroids)
+    def bestCell(vec: Column): Column = {
+      val scores = transform(cents, c => VectorOps.dot(c, vec))
+      array_position(scores, array_max(scores))
+    }
+    // _cell derives from the ALIASED _cv, not the raw vecCol attribute:
+    // a `_cell = f(vecCol#N)` constraint over a pruned attribute breaks
+    // Union's constraint rewriting when two assignments are unioned
+    // (addToIvf) — the same leak class materializeSevered documents
+    corpus.select(col(idCol).as("_cid"), col(vecCol).as("_cv"),
+        VectorOps.norm(col(vecCol)).as("_cn"))
+      .withColumn("_cell", bestCell(col("_cv")))
+  }
+
   def buildIvf(corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int = 16): IvfIndex = {
     val centroids = trainCentroids(corpus, idCol, vecCol, nlist)
-    val cents = typedlit(centroids)
-    def cellScores(vec: Column): Column = transform(cents, c => VectorOps.dot(c, vec))
-    // argmax cell: position of the max score (ties → first, deterministic)
-    def bestCell(vec: Column): Column = {
-      val scores = cellScores(vec)
-      array_position(scores, array_max(scores))
-    }
-    val assigned = corpus.select(col(idCol).as("_cid"), col(vecCol).as("_cv"),
-      VectorOps.norm(col(vecCol)).as("_cn"), bestCell(col(vecCol)).as("_cell"))
-    IvfIndex(centroids, assigned)
+    IvfIndex(centroids, assignCells(corpus, idCol, vecCol, centroids))
+  }
+
+  /** Incremental index maintenance: assign a DELTA of new vectors under
+    * the index's EXISTING centroids and union it in — the daily-ingest
+    * path of a production vector store (FAISS `add` after `train`). No
+    * retraining, no touch of the existing assignment: at 100 TB the
+    * delta pass costs O(|delta|) while a rebuild costs O(corpus). Cell
+    * balance degrades only as far as the data distribution drifts from
+    * the training sample — the documented re-train trigger, observable
+    * from cell-size stats on the assignment itself.
+    */
+  def addToIvf(index: IvfIndex, delta: DataFrame, idCol: String,
+      vecCol: String): IvfIndex =
+    IvfIndex(index.centroids,
+      index.assigned.unionByName(assignCells(delta, idCol, vecCol, index.centroids)))
+
+  /** [[addToIvf]] for a [[writeIvf]] on-disk index: appends the delta's
+    * cell-partitioned parquet next to the existing files — new files
+    * land inside the `_cell=N/` directories, so directory-level probe
+    * pruning keeps working unchanged and nothing existing is rewritten.
+    */
+  def appendIvf(path: String, delta: DataFrame, idCol: String,
+      vecCol: String): Unit = {
+    val spark = delta.sparkSession
+    val centroids = readIvfCentroids(spark, path)
+    assignCells(delta, idCol, vecCol, centroids)
+      .write.mode("append").partitionBy("_cell").parquet(s"$path/cells")
+  }
+
+  private def readIvfCentroids(spark: SparkSession,
+      path: String): Seq[Seq[Double]] = {
+    import spark.implicits._
+    spark.read.parquet(s"$path/centroids")
+      .orderBy("cell0").select("centroid").as[Seq[Double]].collect().toSeq
   }
 
   /** Persist an index partitioned by cell (`_cell=N/` directories) plus a
@@ -299,9 +347,7 @@ object Similarity {
   }
 
   def readIvf(spark: SparkSession, path: String): IvfIndex = {
-    import spark.implicits._
-    val centroids = spark.read.parquet(s"$path/centroids")
-      .orderBy("cell0").select("centroid").as[Seq[Double]].collect().toSeq
+    val centroids = readIvfCentroids(spark, path)
     // partition column comes back as its inferred type; normalize so the
     // probe join key matches buildIvf's int cell ids
     val assigned = spark.read.parquet(s"$path/cells")
@@ -484,7 +530,7 @@ object Similarity {
   /** Trained PQ codebooks as plan literals plus the derived column
     * builders shared by [[pqTopK]] and [[ivfPqTopK]].
     */
-  private final case class PqCoder(cb: Column, bias: Column, m: Int, d0: Int) {
+  private[operators] final case class PqCoder(cb: Column, bias: Column, m: Int, d0: Int) {
     private def subv(vec: Column, j: Int): Column = slice(vec, j * d0 + 1, d0)
     // argmin ||x_j - c||^2 = argmax (c . x_j - 0.5||c||^2); 1-based code
     def codes(vec: Column): Column = array((0 until m).map { j =>
@@ -550,19 +596,44 @@ object Similarity {
     ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
   }
 
-  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-      vecCol: String, k: Int, dim: Int, nlist: Int = 16, nprobe: Int = 4,
-      m: Int = 16, ksub: Int = 32): DataFrame = {
-    val index = buildIvf(corpus, idCol, vecCol, nlist)
-    val coder = buildPqCoder(corpus, idCol, vecCol, dim, m, ksub)
+  /** A built IVF-PQ index: coarse centroids + PQ codebooks (both
+    * driver-sized, persisted as plan literals on use) and the encoded
+    * corpus — `(_cid, _cell, _cn, _codes)`, the ~25×-compressed form the
+    * probe scans. Build once / serve many ([[ivfPqTopK]] is the
+    * convenience one-shot); [[writeIvfPq]] persists it cell-partitioned
+    * so a served index is directory-prunable exactly like [[writeIvf]].
+    */
+  final case class IvfPqIndex(centroids: Seq[Seq[Double]],
+      codebooks: Seq[Seq[Seq[Double]]], dim: Int, encoded: DataFrame) {
+    private[operators] def coder: PqCoder =
+      PqCoder(typedlit(codebooks),
+        typedlit(codebooks.map(_.map(c => 0.5 * c.map(x => x * x).sum))),
+        codebooks.size, dim / codebooks.size)
+  }
+
+  def buildIvfPq(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, nlist: Int = 16, m: Int = 16, ksub: Int = 32): IvfPqIndex = {
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val ivf = buildIvf(corpus, idCol, vecCol, nlist)
+    val books = trainPqCodebooks(corpus, idCol, vecCol, dim, m, ksub)
+    val idx = IvfPqIndex(ivf.centroids, books, dim, null)
     // encode once off the cell assignment; vectors are dropped here.
     // Materialized eagerly — this is the index build (FAISS trains and
-    // encodes up front too; the 100 TB shape persists it à la
-    // [[writeIvf]]) — and lineage-severed, which is load-bearing: see
-    // [[materializeSevered]].
+    // encodes up front too) — and lineage-severed, which is
+    // load-bearing: see [[materializeSevered]].
     val encoded = materializeSevered(
-      index.assigned.select(col("_cid"), col("_cell"),
-        col("_cn"), coder.codes(col("_cv")).as("_codes")))
+      ivf.assigned.select(col("_cid"), col("_cell"),
+        col("_cn"), idx.coder.codes(col("_cv")).as("_codes")))
+    idx.copy(encoded = encoded)
+  }
+
+  /** Probe a built IVF-PQ index: rank cells per query, keep nprobe,
+    * derive the per-query ADC lookup table, then score only the probed
+    * cells' codes — m table lookups per candidate, no stored floats.
+    */
+  def queryIvfPq(index: IvfPqIndex, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nprobe: Int = 4): DataFrame = {
+    val coder = index.coder
     val cents = typedlit(index.centroids)
     val wq = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("_score").desc, col("_cell"))
@@ -581,10 +652,47 @@ object Similarity {
       .filter(col("_rn") <= nprobe)
       .select(col("query_id"), col("_qn"), col("_cell"),
         coder.lut(col("_qv")).as("_lut")))
-    val scored = encoded.join(broadcast(qProbes), Seq("_cell"))
+    val scored = index.encoded.join(broadcast(qProbes), Seq("_cell"))
       .filter(col("_cid") =!= col("query_id"))
       .select(col("query_id"), col("_cid"),
         round(coder.adc / (col("_qn") * col("_cn")), 6).as("_score"))
     rankTopK(scored, k)
   }
+
+  /** Persist an IVF-PQ index: codes cell-partitioned (directory-level
+    * probe pruning, same layout as [[writeIvf]]) plus the kilobyte
+    * centroid/codebook tables. The full on-disk footprint is the ~25×-
+    * compressed codes — the raw vectors are NOT stored; at 100 TB that
+    * is the difference between an index that fits hot storage and one
+    * that doesn't.
+    */
+  def writeIvfPq(index: IvfPqIndex, path: String): Unit = {
+    val spark = index.encoded.sparkSession
+    import spark.implicits._
+    index.encoded.write.mode("overwrite").partitionBy("_cell").parquet(s"$path/cells")
+    index.centroids.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("cell0", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    index.codebooks.zipWithIndex.map { case (b, j) => (j, index.dim, b) }
+      .toDF("subspace", "dim", "codebook")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+  }
+
+  def readIvfPq(spark: SparkSession, path: String): IvfPqIndex = {
+    import spark.implicits._
+    val centroids = readIvfCentroids(spark, path)
+    val meta = spark.read.parquet(s"$path/codebooks")
+      .orderBy("subspace").select("dim", "codebook")
+      .as[(Int, Seq[Seq[Double]])].collect()
+    val encoded = spark.read.parquet(s"$path/cells")
+      .withColumn("_cell", col("_cell").cast("int"))
+      .select(col("_cid"), col("_cell"), col("_cn"), col("_codes"))
+    IvfPqIndex(centroids, meta.map(_._2).toSeq, meta.head._1, encoded)
+  }
+
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, dim: Int, nlist: Int = 16, nprobe: Int = 4,
+      m: Int = 16, ksub: Int = 32): DataFrame =
+    queryIvfPq(buildIvfPq(corpus, idCol, vecCol, dim, nlist, m, ksub),
+      queries, idCol, vecCol, k, nprobe)
 }

@@ -117,6 +117,63 @@ class SimilaritySpec extends SparkTestBase {
       s"no dynamic partition pruning on _cell:\n${cellScan.map(_.partitionFilters)}")
   }
 
+  test("buildIvfPq/queryIvfPq equals one-shot ivfPqTopK; the compressed on-disk index round-trips") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val queries = emb.filter($"vec_id" < 10)
+    val oneShot = Similarity.ivfPqTopK(queries, emb, "vec_id", "embedding", 5, dim = 64)
+      .collect().toSeq
+    val idx = Similarity.buildIvfPq(emb, "vec_id", "embedding", dim = 64)
+    val served1 = Similarity.queryIvfPq(idx, queries, "vec_id", "embedding", 5).collect().toSeq
+    val served2 = Similarity.queryIvfPq(idx, queries, "vec_id", "embedding", 5).collect().toSeq
+    assert(served1 == oneShot && served2 == oneShot)
+
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    Similarity.writeIvfPq(idx, path)
+    val loaded = Similarity.readIvfPq(spark, path)
+    assert(loaded.centroids == idx.centroids && loaded.codebooks == idx.codebooks)
+    val fromDisk = Similarity.queryIvfPq(loaded, queries, "vec_id", "embedding", 5)
+      .collect().toSeq
+    assert(fromDisk == oneShot)
+    // the on-disk footprint is codes, not vectors: the cells tree must
+    // not contain any float-array vector column
+    val cellSchema = spark.read.parquet(s"$path/cells").schema
+    assert(!cellSchema.fieldNames.contains("_cv"),
+      "IVF-PQ index must persist codes only — raw vectors defeat the compression")
+    assert(cellSchema.fieldNames.contains("_codes"))
+  }
+
+  test("incremental addToIvf == on-disk appendIvf == deterministic re-assignment under fixed centroids") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val half1 = emb.filter($"vec_id" % 2 === 0)
+    val half2 = emb.filter($"vec_id" % 2 === 1)
+    val queries = emb.filter($"vec_id" < 10)
+    val base = Similarity.buildIvf(half1, "vec_id", "embedding")
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"_cid", $"_cell".cast("int")).as[(Long, Int)].collect().toSet
+
+    // in-memory incremental add: existing assignment untouched, delta
+    // assigned under the SAME centroids, twice -> identical (determinism)
+    val added = Similarity.addToIvf(base, half2, "vec_id", "embedding")
+    assert(added.centroids == base.centroids)
+    val addedRows = rows(added.assigned)
+    assert(rows(Similarity.addToIvf(base, half2, "vec_id", "embedding").assigned) == addedRows)
+    assert(rows(base.assigned).subsetOf(addedRows), "add must not move existing vectors")
+    assert(addedRows.map(_._1) == emb.select($"vec_id").as[Long].collect().toSet,
+      "every corpus id must be indexed after the add")
+
+    // on-disk append: same layout, same rows, same query answers
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-append").toString
+    Similarity.writeIvf(base, path)
+    Similarity.appendIvf(path, half2, "vec_id", "embedding")
+    val loaded = Similarity.readIvf(spark, path)
+    assert(rows(loaded.assigned) == addedRows,
+      "on-disk append must equal the in-memory incremental add")
+    val inMem = Similarity.queryIvf(added, queries, "vec_id", "embedding", 5).collect().toSeq
+    val onDisk = Similarity.queryIvf(loaded, queries, "vec_id", "embedding", 5).collect().toSeq
+    assert(inMem == onDisk)
+  }
+
   test("pcaTopK recall@5 vs brute force at sf0.01 (near-random data, the honest worst case)") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
     val queries = emb.filter($"vec_id" < 10)
