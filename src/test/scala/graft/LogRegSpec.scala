@@ -1,0 +1,96 @@
+package graft
+
+import graft.operators.LogReg
+import org.apache.spark.sql.functions._
+
+class LogRegSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def feats(rows: Seq[(Long, Array[Double], Double)]) =
+    rows.toDF("id", "x", "y")
+
+  /** Linearly separable planted data: y = 1 iff x1 > 0.5. Enough GD
+    * steps must classify every point correctly.
+    */
+  test("separates a planted linear boundary") {
+    val rows = Seq.tabulate(80) { i =>
+      val v = i / 80.0
+      (i.toLong, Array(1.0, v), if (v > 0.5) 1.0 else 0.0)
+    }
+    val out = LogReg.trainAndScore(feats(rows), "id", "x", "y",
+      dim = 2, iters = 40, lr = 8.0)
+      .select(col("id"), col("pred"), col("label"))
+      .as[(Long, Long, Long)].collect()
+    assert(out.length == 80)
+    val acc = out.count { case (_, p, y) => p == y } / 80.0
+    assert(acc >= 0.95, s"accuracy $acc")
+  }
+
+  /** The determinism contract: weights are a pure function of the data —
+    * partitioning must not move them (exact decimal gradient sums).
+    */
+  test("weights are partition-order independent") {
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.tabulate(200) { i =>
+      val x = Array(1.0, rnd.nextDouble(), rnd.nextDouble(), rnd.nextDouble())
+      (i.toLong, x, if (x(1) + 0.3 * x(2) > 0.6) 1.0 else 0.0)
+    }
+    val df = feats(rows)
+    val w1 = LogReg.train(df.repartition(1), "x", "y", dim = 4, iters = 5, lr = 3.0)
+    val w7 = LogReg.train(df.repartition(7), "x", "y", dim = 4, iters = 5, lr = 3.0)
+    assert(w1.toSeq == w7.toSeq, s"${w1.toSeq} vs ${w7.toSeq}")
+  }
+
+  /** Client-side replication of the rounded GD steps — the same harness
+    * shape as KMeansSpec: a sequential driver loop replaying 6 dp
+    * margins/sigmoids and exact-order-free gradient means must produce
+    * the operator's exact weights and scores.
+    */
+  test("matches a client-side replication of the rounded GD iterations") {
+    val rnd = new scala.util.Random(23)
+    val rows = Seq.tabulate(120) { i =>
+      val x = Array(1.0, rnd.nextDouble(), rnd.nextDouble())
+      (i.toLong, x, if (x(1) > x(2)) 1.0 else 0.0)
+    }
+    val iters = 4
+    val lr = 5.0
+    def r6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def prob(x: Array[Double], w: Array[Double]): Double = {
+      val z = r6(x.zip(w).foldLeft(0.0) { case (a, (xi, wi)) => a + xi * wi })
+      r6(1.0 / (1.0 + math.exp(-z)))
+    }
+    var w = Array.fill(3)(0.0)
+    for (_ <- 1 to iters) {
+      val g = Array.fill(3)(BigDecimal(0))
+      rows.foreach { case (_, x, y) =>
+        val p = prob(x, w)
+        for (j <- 0 until 3)
+          g(j) += BigDecimal((p - y) * x(j)).setScale(15, BigDecimal.RoundingMode.HALF_UP)
+      }
+      w = Array.tabulate(3)(j =>
+        r6(w(j) - lr * (g(j).toDouble / rows.length)))
+    }
+    val got = LogReg.train(feats(rows), "x", "y", dim = 3, iters = iters, lr = lr)
+    assert(got.toSeq == w.toSeq, s"${got.toSeq} vs ${w.toSeq}")
+    val scored = LogReg.trainAndScore(feats(rows), "id", "x", "y",
+      dim = 3, iters = iters, lr = lr)
+      .select(col("id"), col("score")).as[(Long, Double)].collect().toMap
+    rows.foreach { case (id, x, _) =>
+      assert(scored(id) == prob(x, w), s"score mismatch at $id")
+    }
+  }
+
+  test("scores carry pred = score >= 0.5 and the input label") {
+    val rows = Seq(
+      (1L, Array(1.0, 0.0), 0.0),
+      (2L, Array(1.0, 1.0), 1.0))
+    val out = LogReg.trainAndScore(feats(rows), "id", "x", "y",
+      dim = 2, iters = 2, lr = 1.0)
+      .as[(Long, Double, Long, Long)].collect().sortBy(_._1)
+    out.foreach { case (_, score, pred, _) =>
+      assert(pred == (if (score >= 0.5) 1L else 0L))
+    }
+    assert(out.map(_._4).toSeq == Seq(0L, 1L))
+  }
+}
