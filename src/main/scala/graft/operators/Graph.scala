@@ -235,6 +235,54 @@ object Graph {
       .orderBy(col("node_id"))
   }
 
+  /** Community detection via SYNCHRONOUS label propagation (Raghavan et
+    * al. 2007, the parallel variant): every node starts as its own label;
+    * each iteration every node simultaneously adopts the most frequent
+    * label among its neighbors, ties broken toward the SMALLEST label.
+    * The synchronous schedule + lowest-label tie-break make the result a
+    * pure integer function of the edge list — no randomness, no floats,
+    * so the oracle hash is exact by construction (the strongest
+    * determinism class in this repo; the k-means/pagerank rounding
+    * contracts aren't even needed). The cost of that determinism is the
+    * known synchronous-LPA oscillation on bipartite structure — a fixed
+    * iteration count takes a defined snapshot instead of spinning.
+    *
+    * Scale shape (the pageRank loop applied to labels): edges persist
+    * once; each iteration joins the node-sized label table to the edges
+    * (broadcast at cluster scale), then ONE map-side-combined
+    * (node, label) count and ONE node-sized argmax — the superstep
+    * shuffle carries (node, label, count) partials, never edges. Labels
+    * only ever DECREASE (ties) or follow neighborhood majorities, and
+    * communities here are label values, so the output is node-sized.
+    *
+    * `edges` must contain both directions of each undirected edge and
+    * every node as a src (same contract as [[pageRank]]).
+    *
+    * Output: (node_id, community) — one row per node.
+    */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    e.count()
+    var labels = e.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+    for (_ <- 1 to iters) {
+      val counts = e
+        .join(labels.select(col("id").as("src"), col("label")), "src")
+        .groupBy(col("dst").as("id"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      // argmax by (count desc, label asc) = min of the (-cnt, label)
+      // struct under lexicographic struct ordering
+      labels = counts.groupBy(col("id"))
+        .agg(min(struct((-col("cnt")).as("nc"), col("label").as("l"))).as("m"))
+        .select(col("id"), col("m").getField("l").as("label"))
+    }
+    val out = materialized(
+      labels.select(col("id").as("node_id"), col("label").as("community")))
+    e.unpersist(blocking = false)
+    out
+  }
+
   /** Co-occurrence edge set: undirected edges between `entityKey` values
     * sharing at least one `groupKey` (e.g. suppliers co-supplying a
     * part). Emitted canonical (src < dst), distinct. The per-group

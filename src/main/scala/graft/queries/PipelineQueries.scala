@@ -685,6 +685,20 @@ object PipelineQueries {
       Graph.coOccurrenceEdges(Tables.lineitem(s, dir), "l_orderkey", "l_partkey"))
       .withColumn("node_id", col("node_id").cast("long"))
 
+  /** Community detection on the part–supplier purchase graph
+    * ([[Graph.labelPropagation]], 3 synchronous iterations over the same
+    * bipartite edge set as `graph_pagerank`) — the domain/topic-grouping
+    * step of corpus curation (cluster the host graph, then budget or mix
+    * per community). All-integer: the oracle unrolls the same three
+    * majority-vote iterations in SQL and the hash is exact by
+    * construction.
+    */
+  def graphCommunities(s: SparkSession, dir: String): DataFrame =
+    Graph.labelPropagation(
+      Graph.bipartiteEdges(Tables.lineitem(s, dir), "l_partkey", "l_suppkey"),
+      iters = 3)
+      .orderBy(col("node_id"))
+
   /** Weekly cohort retention over the event log ([[Cohorts.retention]]):
     * users cohorted by the week of their first event, active-user counts
     * per whole-week offset. All integer/date-exact.
@@ -1114,6 +1128,7 @@ object PipelineQueries {
     "text_ngram_lm" -> (textNgramLm _),
     "graph_pagerank" -> (graphPagerank _),
     "graph_triangles" -> (graphTriangles _),
+    "graph_communities" -> (graphCommunities _),
     "q_cohort_retention" -> (qCohortRetention _),
     "q_event_transitions" -> (qEventTransitions _),
     "sample_weighted" -> (sampleWeighted _),
@@ -1635,6 +1650,27 @@ object PipelineQueries {
         |       FROM e JOIN i2 p ON p.id = e.src JOIN deg d ON d.id = e.dst
         |       CROSS JOIN nn GROUP BY d.id, d.deg, nn.n)
         |SELECT id AS node_id, pr AS pagerank FROM i3 ORDER BY node_id""".stripMargin,
+    // three unrolled synchronous label-propagation iterations; the
+    // majority vote with lowest-label ties is min([-cnt, label])
+    // lexicographic — all-integer, so the hash is exact by construction
+    "graph_communities" ->
+      """WITH e0 AS (SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |            FROM lineitem),
+        |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+        |l0 AS (SELECT DISTINCT src AS id, src AS label FROM e),
+        |c1 AS (SELECT e.dst AS id, l.label, count(*) AS cnt
+        |       FROM e JOIN l0 l ON l.id = e.src GROUP BY e.dst, l.label),
+        |l1 AS (SELECT id, CAST(min([-cnt, label])[2] AS BIGINT) AS label
+        |       FROM c1 GROUP BY id),
+        |c2 AS (SELECT e.dst AS id, l.label, count(*) AS cnt
+        |       FROM e JOIN l1 l ON l.id = e.src GROUP BY e.dst, l.label),
+        |l2 AS (SELECT id, CAST(min([-cnt, label])[2] AS BIGINT) AS label
+        |       FROM c2 GROUP BY id),
+        |c3 AS (SELECT e.dst AS id, l.label, count(*) AS cnt
+        |       FROM e JOIN l2 l ON l.id = e.src GROUP BY e.dst, l.label),
+        |l3 AS (SELECT id, CAST(min([-cnt, label])[2] AS BIGINT) AS label
+        |       FROM c3 GROUP BY id)
+        |SELECT id AS node_id, label AS community FROM l3 ORDER BY node_id""".stripMargin,
     // explicit sum-of-squares variance on both engines; float -> double
     // widening is exact, so min/max are hash-equal unrounded
     "emb_dim_stats" ->

@@ -185,4 +185,40 @@ class GraphSpec extends SparkTestBase {
       .as[(Long, Long, Long)].collect().toSet
     assert(out == Set((7L, 3L, 3L), (8L, 4L, 1L)))
   }
+
+  private def undirected(pairs: Seq[(Long, Long)]) = {
+    val e0 = pairs.toDF("src", "dst")
+    e0.unionByName(e0.select($"dst".as("src"), $"src".as("dst")))
+  }
+
+  test("labelPropagation resolves two disjoint cliques to their min labels") {
+    val clique1 = for (a <- 0L to 3L; b <- a + 1 to 3L) yield (a, b)
+    val clique2 = for (a <- 10L to 13L; b <- a + 1 to 13L) yield (a, b)
+    val got = Graph.labelPropagation(undirected(clique1 ++ clique2), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == (0L to 3L).map(_ -> 0L).toMap ++ (10L to 13L).map(_ -> 10L).toMap)
+  }
+
+  test("labelPropagation matches a client-side synchronous replication") {
+    val rnd = new scala.util.Random(31)
+    val nodes = 0L until 40L
+    val pairs = (for (a <- nodes; b <- nodes if a < b && rnd.nextDouble() < 0.12)
+      yield (a, b)) ++ nodes.sliding(2).map(w => (w(0), w(1))) // connect all
+    val adj = scala.collection.mutable.Map.empty[Long, List[Long]].withDefaultValue(Nil)
+    pairs.foreach { case (a, b) => adj(a) ::= b; adj(b) ::= a }
+    var lab: Map[Long, Long] = adj.keys.map(v => v -> v).toMap
+    for (_ <- 1 to 3) {
+      lab = adj.map { case (v, ns) =>
+        val c = ns.groupBy(lab).toSeq.map { case (l, us) => (-us.size.toLong, l) }
+        v -> c.min._2
+      }.toMap
+    }
+    val got = Graph.labelPropagation(undirected(pairs.toSeq), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == lab)
+    // and partitioning must not move a single label
+    val got7 = Graph.labelPropagation(undirected(pairs.toSeq).repartition(7), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got7 == lab)
+  }
 }
