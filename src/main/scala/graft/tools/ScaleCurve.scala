@@ -51,7 +51,12 @@ object ScaleCurve {
     // banding + anti join — the suffixed-copy construction keeps its
     // fingerprints disjoint from the originals', see the SimHash note
     // above)
-    "dedup_simhash_keep")
+    "dedup_simhash_keep",
+    // round-9 additions: label-propagation communities (the doubled
+    // corpus is a second disjoint graph component — see the lineitem
+    // key-offset note below) and the trained quality classifier (10
+    // bounded GD passes over the persisted feature projection)
+    "graph_communities", "text_quality_model")
 
   /** SPARK_GRAFT_SCALE_ONLY: comma-separated exact names — run a subset
     * (new-row refresh) without re-measuring the whole table.
@@ -70,8 +75,8 @@ object ScaleCurve {
     * is identical either way; this only keeps the printed n honest.
     */
   private val LineitemDriven = Set("q_skew_join", "q_table_profile",
-    "graph_pagerank", "graph_triangles", "q_mad", "q_group_percentile",
-    "q_percentile")
+    "graph_pagerank", "graph_triangles", "graph_communities", "q_mad",
+    "q_group_percentile", "q_percentile")
 
   /** Queries driven by the events table — labeled by its row count. */
   private val EventsDriven = Set("q_resample_ffill")

@@ -81,6 +81,30 @@ class LogRegSpec extends SparkTestBase {
     }
   }
 
+  /** The deployment claim: a batch-trained model scores the ingest
+    * stream with the identical codegen'd projection — same weights, same
+    * rounded sigmoid — so the quality gate applied at ingest provably
+    * equals the one applied in batch curation.
+    */
+  test("the batch-trained scorer deploys onto a stream bit-identically") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq.tabulate(50)(i =>
+      (i.toLong, Array(1.0, i / 50.0), if (i >= 25) 1.0 else 0.0))
+    val w = LogReg.train(feats(rows), "x", "y", dim = 2, iters = 10, lr = 4.0)
+    val batch = feats(rows)
+      .select(col("id"), LogReg.probability(col("x"), w).as("score"))
+      .as[(Long, Double)].collect().toMap
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Double])]
+    ms.addData(rows.map(r => (r._1, r._2.toSeq)): _*)
+    val q = ms.toDF().toDF("id", "x")
+      .select(col("id"), LogReg.probability(col("x"), w).as("score"))
+      .writeStream.format("memory").queryName("lr_scores")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("lr_scores").as[(Long, Double)].collect().toMap
+    assert(streamed == batch)
+  }
+
   test("scores carry pred = score >= 0.5 and the input label") {
     val rows = Seq(
       (1L, Array(1.0, 0.0), 0.0),
