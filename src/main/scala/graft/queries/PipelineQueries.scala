@@ -181,6 +181,105 @@ object PipelineQueries {
     reports.reduce(_.unionByName(_)).orderBy(col("leg"))
   }
 
+  /** Driver-visible error-band audit for the approximate/sketch legs —
+    * the `ann_recall_report` pattern applied to the OTHER rows-only
+    * queries: each leg recomputes its estimates next to the exact answer
+    * and reports (leg, groups, n_within, all_within). Bands are the
+    * spec-proven contracts (HLL++ 3σ = 15% rel; GK 2% rel value; DS-HLL
+    * max(3, 5%) abs; KLL rank ±0.03; theta EXACT below 4096 retained).
+    * The within-flags are BOOLEANS over guaranteed bands, so the output
+    * is deterministic and carries a full hash oracle: the driver gate
+    * now FAILS the round if any estimator ever leaves its band, instead
+    * of that evidence living only in specs.
+    *
+    * Scale: each leg is one scan + group-sized joins (the KLL rank check
+    * broadcasts the per-group estimates back over events — at 100 TB
+    * that audit pass is the price of verifying, not of serving; the
+    * serving path remains the sketch tables).
+    */
+  def sketchErrorReport(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val ev = Tables.events(s, dir)
+
+    def leg(name: String, perGroup: DataFrame): DataFrame =
+      perGroup.agg(count(lit(1)).as("groups"),
+          sum(when(col("ok"), 1L).otherwise(0L)).as("n_within"))
+        .select(lit(name).as("leg"), col("groups"), col("n_within"),
+          (col("groups") === col("n_within")).as("all_within"))
+
+    val hllpp = li.groupBy(col("l_returnflag")).agg(
+        approx_count_distinct(col("l_partkey")).as("ap"),
+        countDistinct(col("l_partkey")).as("ep"),
+        approx_count_distinct(col("l_suppkey")).as("asu"),
+        countDistinct(col("l_suppkey")).as("es"))
+      .select((abs(col("ap") - col("ep")) / col("ep") <= 0.15 &&
+        abs(col("asu") - col("es")) / col("es") <= 0.15).as("ok"))
+
+    val gk = li.groupBy(col("l_returnflag")).agg(
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("a50"),
+        percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("a95"),
+        percentile(col("l_extendedprice"), lit(0.5)).as("e50"),
+        percentile(col("l_extendedprice"), lit(0.95)).as("e95"))
+      .select((abs(col("a50") - col("e50")) / col("e50") <= 0.02 &&
+        abs(col("a95") - col("e95")) / col("e95") <= 0.02).as("ok"))
+
+    val hllSk = SketchRollup.sketchBy(ev, "event_type", "user_id")
+    val hllEst = SketchRollup.estimates(hllSk, "event_type")
+      .unionByName(SketchRollup.unionEstimate(hllSk)
+        .select(lit("__all__").as("event_type"), col("distinct_est")))
+    val exactD = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("ex"))
+      .unionByName(ev.agg(countDistinct(col("user_id")).as("ex"))
+        .select(lit("__all__").as("event_type"), col("ex")))
+    val hllRoll = hllEst.join(exactD, "event_type")
+      .select((abs(col("distinct_est") - col("ex")) <=
+        greatest(lit(3L), (col("ex") * 0.05).cast("long"))).as("ok"))
+
+    val kllSk = SketchRollup.quantileSketchBy(ev, "event_type", "value")
+    val kllEst = SketchRollup.quantileEstimates(kllSk, "event_type", Seq(0.5, 0.95))
+      .unionByName(SketchRollup.unionQuantiles(kllSk, Seq(0.5, 0.95))
+        .select(lit("__all__").as("event_type"), col("p50"), col("p95")))
+    // the rank-error contract checked directly: the estimate's exact rank
+    // inside each group must sit within q ± 0.03 (integer arithmetic —
+    // counts × 100 vs n × rank-percent — so the check itself is exact)
+    val evK = ev.select(col("event_type"), col("value"))
+      .unionByName(ev.select(lit("__all__").as("event_type"), col("value")))
+    val kllOk = evK.join(broadcast(kllEst), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") <= col("p50"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("value") < col("p50"), 1L).otherwise(0L)).as("lt50"),
+        sum(when(col("value") <= col("p95"), 1L).otherwise(0L)).as("le95"),
+        sum(when(col("value") < col("p95"), 1L).otherwise(0L)).as("lt95"))
+      .select((col("le50") * 100 >= col("n") * 47 &&
+        col("lt50") * 100 <= col("n") * 53 &&
+        col("le95") * 100 >= col("n") * 92 &&
+        col("lt95") * 100 <= col("n") * 98).as("ok"))
+
+    val thetaEst = sketchOverlap(s, dir)
+    val su = ev.select(col("event_type"), col("user_id")).distinct()
+    val cntByType = su.groupBy(col("event_type")).agg(count(lit(1)).as("na"))
+    val inter = su
+      .join(su.select(col("event_type").as("_tb"), col("user_id")), "user_id")
+      .filter(col("event_type") < col("_tb"))
+      .groupBy(col("event_type").as("type_a"), col("_tb").as("type_b"))
+      .agg(count(lit(1)).as("exc"))
+    val theta = thetaEst
+      .join(inter, Seq("type_a", "type_b"), "left")
+      .join(cntByType.select(col("event_type").as("type_a"), col("na")), "type_a")
+      .select((col("n_common") === coalesce(col("exc"), lit(0L)) &&
+        col("n_only_a") === col("na") - coalesce(col("exc"), lit(0L))).as("ok"))
+
+    Seq(
+      leg("approx_distinct_hllpp", hllpp),
+      leg("approx_percentile_gk", gk),
+      leg("hll_rollup_distinct", hllRoll),
+      leg("kll_quantiles", kllOk),
+      leg("theta_exact_regime", theta))
+      .reduce(_.unionByName(_))
+      .orderBy(col("leg"))
+  }
+
   /** Mergeable sketch rollup over events: per-event-type distinct users
     * (HLL) and value percentiles (KLL) from materialized sketches, plus
     * the union-of-sketches `__all__` row — the summary-table pattern
@@ -1193,7 +1292,8 @@ object PipelineQueries {
     "q_incr_agg" -> (qIncrAgg _),
     "q_dq_checks" -> (qDqChecks _),
     "q_dq_drift" -> (qDqDrift _),
-    "sketch_heavy_hitters" -> (sketchHeavyHitters _)
+    "sketch_heavy_hitters" -> (sketchHeavyHitters _),
+    "sketch_error_report" -> (sketchErrorReport _)
   )
 
   /** Shared shingle CTE for the Jaccard oracles — MUST stay in lockstep
@@ -1671,6 +1771,26 @@ object PipelineQueries {
         |l3 AS (SELECT id, CAST(min([-cnt, label])[2] AS BIGINT) AS label
         |       FROM c3 GROUP BY id)
         |SELECT id AS node_id, label AS community FROM l3 ORDER BY node_id""".stripMargin,
+    // the report's within-flags are booleans over GUARANTEED error bands
+    // (HLL++ 3σ, GK rank bound, DS-HLL/KLL spec contracts, theta exact
+    // below 4096 retained), so the expected output is deterministic:
+    // every group within band. The oracle recomputes the group counts
+    // from exact data and asserts exactly that — any estimator leaving
+    // its band flips a flag and fails the driver's hash compare.
+    "sketch_error_report" ->
+      """WITH rf AS (SELECT CAST(count(DISTINCT l_returnflag) AS BIGINT) AS g
+        |            FROM lineitem),
+        |et AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS g
+        |       FROM events)
+        |SELECT leg, groups, n_within, all_within FROM (
+        |  SELECT 'approx_distinct_hllpp' AS leg, g AS groups, g AS n_within,
+        |         true AS all_within FROM rf
+        |  UNION ALL SELECT 'approx_percentile_gk', g, g, true FROM rf
+        |  UNION ALL SELECT 'hll_rollup_distinct', g + 1, g + 1, true FROM et
+        |  UNION ALL SELECT 'kll_quantiles', g + 1, g + 1, true FROM et
+        |  UNION ALL SELECT 'theta_exact_regime', g * (g - 1) // 2,
+        |         g * (g - 1) // 2, true FROM et)
+        |ORDER BY leg""".stripMargin,
     // explicit sum-of-squares variance on both engines; float -> double
     // widening is exact, so min/max are hash-equal unrounded
     "emb_dim_stats" ->
