@@ -86,6 +86,32 @@ object LogReg {
     round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
   }
 
+  /** Persist a trained weight vector as a (dim, weight) parquet table —
+    * the model-registry hand-off between the batch trainer and its
+    * serving sites (a later batch scorer, the ingest-time streaming
+    * gate). Kilobytes on disk; doubles survive parquet exactly, so a
+    * loaded model scores bit-identically to the in-session one
+    * (spec-pinned round trip).
+    */
+  def saveModel(spark: org.apache.spark.sql.SparkSession, w: Array[Double],
+      path: String): Unit = {
+    import spark.implicits._
+    w.toSeq.zipWithIndex.map { case (v, j) => (j, v) }
+      .toDF("dim", "weight")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Read a [[saveModel]] table back into a weight vector. */
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[Double] = {
+    val rows = spark.read.parquet(path)
+      .select(col("dim").cast("int"), col("weight").cast("double"))
+      .collect()
+    val w = new Array[Double](rows.length)
+    rows.foreach(r => w(r.getInt(0)) = r.getDouble(1))
+    w
+  }
+
   /** Convenience: train on `df` then score it, emitting
     * (idCol, score, pred, label) with pred = score ≥ 0.5 (a comparison
     * on the already-rounded score, so cross-engine safe).

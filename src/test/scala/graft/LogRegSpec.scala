@@ -105,6 +105,21 @@ class LogRegSpec extends SparkTestBase {
     assert(streamed == batch)
   }
 
+  test("a saved model reloads and scores bit-identically") {
+    val rows = Seq.tabulate(30)(i =>
+      (i.toLong, Array(1.0, i / 30.0, (i % 7) / 7.0), if (i >= 15) 1.0 else 0.0))
+    val w = LogReg.train(feats(rows), "x", "y", dim = 3, iters = 6, lr = 3.0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-lr").toString
+    LogReg.saveModel(spark, w, s"$dir/model")
+    val w2 = LogReg.loadModel(spark, s"$dir/model")
+    assert(w2.toSeq == w.toSeq, "doubles must survive the parquet round trip")
+    val a = feats(rows).select(LogReg.probability(col("x"), w).as("s"))
+      .as[Double].collect().toSeq
+    val b = feats(rows).select(LogReg.probability(col("x"), w2).as("s"))
+      .as[Double].collect().toSeq
+    assert(a == b)
+  }
+
   test("scores carry pred = score >= 0.5 and the input label") {
     val rows = Seq(
       (1L, Array(1.0, 0.0), 0.0),

@@ -37,6 +37,7 @@ class PlanGuardSpec extends SparkTestBase {
     "ann_recall_report" -> "composes the ANN legs above plus five 1-row × 1-row recall scalars",
     "sample_weighted" -> "1-row global weight-total broadcast for prefix-sum normalization",
     "sketch_overlap" -> "event-type-pair-sized (6×6) sketch blob join; blobs are kilobytes",
+    "sketch_error_report" -> "composes sketch_overlap's pair-sized blob join plus the rollup legs' 1-row global sketch merges; every BNLJ side is sketch-count-sized",
     "sketch_rollup" -> "1-row × 1-row global HLL/KLL sketch merges (documented crossJoin)",
     "text_bm25" -> "1-row corpus-stats (N, avgdl) broadcast into the scoring scan",
     "text_lang_drift" -> "1-row window-total broadcast for share-of-corpus rates",
