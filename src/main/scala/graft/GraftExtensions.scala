@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, FreqItemsAbove, FreqItemsAgg, KllDoublesAgg, KllQuantile, KllUnionAgg, MinGramMd5, MinHashAgg, PolyHash, SimHashAgg, ThetaAnotBEstimate, ThetaEstimate, ThetaIntersectEstimate, ThetaJaccardEstimate, ThetaSketchAgg, ThetaUnionAgg, TopKByScore}
+import graft.functions.{CountMinAgg, CountMinEstimate, DotProduct, FreqItemsAbove, FreqItemsAgg, KllDoublesAgg, KllQuantile, KllUnionAgg, MinGramMd5, MinHashAgg, PolyHash, SimHashAgg, ThetaAnotBEstimate, ThetaEstimate, ThetaIntersectEstimate, ThetaJaccardEstimate, ThetaSketchAgg, ThetaUnionAgg, TopKByScore}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -72,7 +72,11 @@ object GraftExtensions {
     "freq_items_agg" -> { args =>
       FreqItemsAgg(args(0), if (args.size > 1)
         intArg(args(1), "freq_items_agg") else 1024) },
-    "freq_items_above" -> { args => FreqItemsAbove(args(0), args(1)) }
+    "freq_items_above" -> { args => FreqItemsAbove(args(0), args(1)) },
+    "count_min_agg" -> { args =>
+      CountMinAgg(args(0), intArg(args(1), "count_min_agg")) },
+    "cms_estimate" -> { args =>
+      CountMinEstimate(args(0), args(1), intArg(args(2), "cms_estimate")) }
   )
 
   /** Register on an already-built session (builder extensions only apply

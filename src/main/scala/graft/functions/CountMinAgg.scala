@@ -100,12 +100,63 @@ case class CountMinAgg(
     copy(child = c)
 }
 
+/** Point estimate from a materialized Count-Min sketch: min over the 4
+  * hash rows for `token` — never an underestimate; overestimate ≤ εN
+  * with ε ≈ e/width (the sketch's whole contract). The SERVING half of
+  * [[CountMinAgg]]: broadcast the kilobyte sketch row and answer "how
+  * often does X occur" for any probe set with a scan-free projection —
+  * at 100 TB the sketch is built once and every later frequency lookup
+  * costs 4 array reads. Width must match the sketch's build width (the
+  * row stride; checked against the array length at eval).
+  */
+case class CountMinEstimate(sketch: Expression, token: Expression, width: Int)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def left: Expression = sketch
+  override def right: Expression = token
+  override def dataType: DataType = LongType
+  override def prettyName: String = "cms_estimate"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (sketch.dataType, token.dataType) match {
+      case (ArrayType(LongType, _), StringType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (s, t) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"cms_estimate requires (array<bigint> sketch, string token), got " +
+            s"(${s.catalogString}, ${t.catalogString})")
+    }
+  override protected def nullSafeEval(sk: Any, tok: Any): Any = {
+    val arr = sk.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    require(arr.numElements() == CountMinAgg.Depth * width,
+      s"sketch length ${arr.numElements()} != ${CountMinAgg.Depth} * $width")
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(tok.asInstanceOf[UTF8String].getBytes)
+    var min = Long.MaxValue
+    var i = 0
+    while (i < CountMinAgg.Depth) {
+      val h = ((digest(4 * i) & 0xFFL) << 24) | ((digest(4 * i + 1) & 0xFFL) << 16) |
+        ((digest(4 * i + 2) & 0xFFL) << 8) | (digest(4 * i + 3) & 0xFFL)
+      val c = arr.getLong(i * width + (h % width).toInt)
+      if (c < min) min = c
+      i += 1
+    }
+    min
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(sketch = l, token = r)
+}
+
 object CountMinAgg {
   val Depth = 4
 
   def countMin(tokenCol: Column, width: Int): Column =
     ColumnBridge.column(
       CountMinAgg(ColumnBridge.expression(tokenCol), width).toAggregateExpression())
+
+  /** [[CountMinEstimate]] as a Column. */
+  def cmsEstimate(sketchCol: Column, tokenCol: Column, width: Int): Column =
+    ColumnBridge.column(CountMinEstimate(
+      ColumnBridge.expression(sketchCol), ColumnBridge.expression(tokenCol), width))
 
   /** Client-side point estimate from a collected sketch. */
   def estimate(sketch: Array[Long], width: Int, token: String): Long = {

@@ -270,9 +270,29 @@ object PipelineQueries {
       .select((col("n_common") === coalesce(col("exc"), lit(0L)) &&
         col("n_only_a") === col("na") - coalesce(col("exc"), lit(0L))).as("ok"))
 
+    // CMS: estimate for every distinct corpus token vs its exact count —
+    // never below, and above by at most ceil(e/width · N) (the Cormode–
+    // Muthukrishnan bound with ε = e/width; md5 hashing makes whether
+    // any token exceeds it a fixed property of the corpus, not a draw)
+    val cmsWidth = 256
+    val toks = Tables.documents(s, dir)
+      .select(explode(graft.functions.Text.tokens(col("text"))).as("tk"))
+    val cmsSk = toks.agg(
+      graft.functions.CountMinAgg.countMin(col("tk"), cmsWidth).as("sk"),
+      count(lit(1)).as("nn"))
+    val cms = toks.groupBy(col("tk")).agg(count(lit(1)).as("exc"))
+      .crossJoin(broadcast(cmsSk))
+      .select(graft.functions.CountMinAgg
+        .cmsEstimate(col("sk"), col("tk"), cmsWidth).as("est"),
+        col("exc"), col("nn"))
+      .select((col("est") >= col("exc") &&
+        col("est") <= col("exc") +
+          ceil(col("nn") * (math.E / cmsWidth)).cast("long")).as("ok"))
+
     Seq(
       leg("approx_distinct_hllpp", hllpp),
       leg("approx_percentile_gk", gk),
+      leg("cms_token_counts", cms),
       leg("hll_rollup_distinct", hllRoll),
       leg("kll_quantiles", kllOk),
       leg("theta_exact_regime", theta))
@@ -1781,11 +1801,17 @@ object PipelineQueries {
       """WITH rf AS (SELECT CAST(count(DISTINCT l_returnflag) AS BIGINT) AS g
         |            FROM lineitem),
         |et AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS g
-        |       FROM events)
+        |       FROM events),
+        |tk AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS g FROM (
+        |         SELECT unnest(list_filter(
+        |           string_split_regex(lower(text), '[^a-z0-9]+'),
+        |           x -> x != '')) AS t
+        |         FROM documents))
         |SELECT leg, groups, n_within, all_within FROM (
         |  SELECT 'approx_distinct_hllpp' AS leg, g AS groups, g AS n_within,
         |         true AS all_within FROM rf
         |  UNION ALL SELECT 'approx_percentile_gk', g, g, true FROM rf
+        |  UNION ALL SELECT 'cms_token_counts', g, g, true FROM tk
         |  UNION ALL SELECT 'hll_rollup_distinct', g + 1, g + 1, true FROM et
         |  UNION ALL SELECT 'kll_quantiles', g + 1, g + 1, true FROM et
         |  UNION ALL SELECT 'theta_exact_regime', g * (g - 1) // 2,

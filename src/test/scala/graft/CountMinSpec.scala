@@ -32,6 +32,30 @@ class CountMinSpec extends SparkTestBase {
     }
   }
 
+  /** The distributed estimator must agree with the client-side one on
+    * every token — same md5 rows, same min — and answer from SQL via
+    * the registered `cms_estimate`.
+    */
+  test("CountMinEstimate matches the client-side estimate and is SQL-callable") {
+    val tokens = (1 to 300).map(i => s"v${i % 23}")
+    val sk = sketch(tokens)
+    val est = tokens.distinct.toDF("tk")
+      .crossJoin(tokens.toDF("tk0")
+        .agg(CountMinAgg.countMin(col("tk0"), Width).as("sk")))
+      .select(col("tk"), CountMinAgg.cmsEstimate(col("sk"), col("tk"), Width).as("e"))
+      .as[(String, Long)].collect().toMap
+    tokens.distinct.foreach { t =>
+      assert(est(t) == CountMinAgg.estimate(sk, Width, t), s"mismatch at $t")
+    }
+    GraftExtensions.register(spark)
+    tokens.toDF("tk").createOrReplaceTempView("cms_toks")
+    val viaSql = spark.sql(
+      s"""SELECT cms_estimate(sk, 'v1', $Width) FROM
+         |  (SELECT count_min_agg(tk, $Width) AS sk FROM cms_toks)""".stripMargin)
+      .as[Long].head()
+    assert(viaSql == CountMinAgg.estimate(sk, Width, "v1"))
+  }
+
   test("sketch is exactly mergeable: partitioning never changes a cell") {
     val tokens = (1 to 500).map(i => s"w${i % 37}")
     assert(sketch(tokens, parts = 1).toSeq == sketch(tokens, parts = 13).toSeq)
