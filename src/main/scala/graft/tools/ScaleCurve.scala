@@ -56,7 +56,11 @@ object ScaleCurve {
     // corpus is a second disjoint graph component — see the lineitem
     // key-offset note below) and the trained quality classifier (10
     // bounded GD passes over the persisted feature projection)
-    "graph_communities", "text_quality_model")
+    "graph_communities", "text_quality_model",
+    // the error-band audit (multi-table: lineitem percentile/distinct
+    // legs + events sketch legs + documents CMS leg — all three families
+    // scale by the same ×1/2 / ×2, so the exponent is well-defined)
+    "sketch_error_report")
 
   /** SPARK_GRAFT_SCALE_ONLY: comma-separated exact names — run a subset
     * (new-row refresh) without re-measuring the whole table.
@@ -78,8 +82,11 @@ object ScaleCurve {
     "graph_pagerank", "graph_triangles", "graph_communities", "q_mad",
     "q_group_percentile", "q_percentile")
 
-  /** Queries driven by the events table — labeled by its row count. */
-  private val EventsDriven = Set("q_resample_ffill")
+  /** Queries driven by the events table — labeled by its row count
+    * (`sketch_error_report` is multi-table; events carries its heaviest
+    * legs and all families scale by the same factor).
+    */
+  private val EventsDriven = Set("q_resample_ffill", "sketch_error_report")
 
   /** Queries driven by the customer table — labeled by its row count. */
   private val CustomerDriven = Set("q_fuzzy_join")
