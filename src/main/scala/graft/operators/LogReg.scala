@@ -41,16 +41,27 @@ import org.apache.spark.sql.functions._
   */
 object LogReg {
 
-  /** Train `iters` full-batch GD steps from w = 0 over `featCol`
-    * (array<double>, the intercept encoded as a leading 1.0 element)
-    * against `labelCol` (0.0/1.0). Returns the final weight vector,
-    * one entry per feature dimension.
+  /** Train `iters` full-batch GD steps over `featCol` (array<double>,
+    * the intercept encoded as a leading 1.0 element) against `labelCol`
+    * (0.0/1.0), starting from `init` (default: zeros). Returns the final
+    * weight vector, one entry per feature dimension.
+    *
+    * `init` is the incremental-maintenance hook (the `addToIvf` story
+    * applied to a model): warm-start from a [[loadModel]]-ed vector to
+    * refine on a new batch instead of retraining from scratch — and
+    * because each step is a pure function of (weights, data), splitting
+    * one training run into warm-started segments on the same data is
+    * EXACTLY the unsegmented run (spec-pinned identity).
     */
   def train(df: DataFrame, featCol: String, labelCol: String, dim: Int,
-      iters: Int, lr: Double = 1.0): Array[Double] = {
+      iters: Int, lr: Double = 1.0,
+      init: Option[Array[Double]] = None): Array[Double] = {
     val rows = df.select(col(featCol).as("_x"),
       col(labelCol).cast("double").as("_y"))
-    var w = Array.fill(dim)(0.0)
+    var w = init.map { w0 =>
+      require(w0.length == dim, s"init length ${w0.length} != dim $dim")
+      w0.clone()
+    }.getOrElse(Array.fill(dim)(0.0))
     for (_ <- 1 to iters) {
       // p materialized in a lower projection so the per-dim lambda reads
       // a column instead of inlining (and re-running) the sigmoid fold

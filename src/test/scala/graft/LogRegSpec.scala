@@ -105,6 +105,23 @@ class LogRegSpec extends SparkTestBase {
     assert(streamed == batch)
   }
 
+  /** Warm-start identity: GD steps are a pure function of (weights,
+    * data), so 2 iterations continued by 2 more must equal 4 straight —
+    * the exactness contract behind incremental model refresh.
+    */
+  test("warm-started training segments compose exactly") {
+    val rnd = new scala.util.Random(17)
+    val rows = Seq.tabulate(90) { i =>
+      val x = Array(1.0, rnd.nextDouble(), rnd.nextDouble())
+      (i.toLong, x, if (x(1) + x(2) > 1.0) 1.0 else 0.0)
+    }
+    val full = LogReg.train(feats(rows), "x", "y", dim = 3, iters = 4, lr = 5.0)
+    val half = LogReg.train(feats(rows), "x", "y", dim = 3, iters = 2, lr = 5.0)
+    val resumed = LogReg.train(feats(rows), "x", "y", dim = 3, iters = 2,
+      lr = 5.0, init = Some(half))
+    assert(resumed.toSeq == full.toSeq)
+  }
+
   test("a saved model reloads and scores bit-identically") {
     val rows = Seq.tabulate(30)(i =>
       (i.toLong, Array(1.0, i / 30.0, (i % 7) / 7.0), if (i >= 15) 1.0 else 0.0))
