@@ -641,6 +641,30 @@ object PipelineQueries {
       .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_doc"))
       .orderBy(col("split"))
 
+  /** Near-dup-LEAKAGE-SAFE train/val split: the content hash that
+    * decides membership is taken over the near-dup CLUSTER id, not the
+    * doc id, so a document and all its near-duplicates land in the same
+    * split by construction — the eval-contamination failure mode of a
+    * naive per-doc split (train/val sharing paraphrased documents
+    * inflates eval) cannot occur. Composition of two hash-green
+    * operators: [[Dedup.clusterIds]] over the MinHash-LSH pair relation,
+    * then [[Sampling.withSplit]] keyed by `cluster_id`; the oracle
+    * replays both (recursive-CTE components + the same md5 bucket).
+    * Output is the per-split summary (docs, clusters, first doc).
+    */
+  def sampleSplitLeaksafe(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, Tau,
+      ordered = false)
+    Sampling.withSplit(Dedup.clusterIds(docs, "doc_id", pairs),
+        "cluster_id", 80)
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster_id")).as("n_clusters"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy(col("split"))
+  }
+
   /** Stratified rebalancing: downsample the over-represented language
     * (en → 25%), keep the rest at 75% — content-hash decided, so
     * membership is partitioning/rerun/append-stable.
@@ -1257,6 +1281,7 @@ object PipelineQueries {
     "emb_dim_stats" -> (embDimStats _),
     "q_latest_by_key" -> (qLatestByKey _),
     "sample_split" -> (sampleSplit _),
+    "sample_split_leaksafe" -> (sampleSplitLeaksafe _),
     "sample_stratified" -> (sampleStratified _),
     "sample_shuffle" -> (sampleShuffle _),
     "text_pii_redact" -> (textPiiRedact _),
@@ -1364,7 +1389,11 @@ object PipelineQueries {
   // connected components of the exact-Jaccard pair graph via recursive
   // reachability; cluster_id = min reachable id (incl. self). Shared by
   // the min-label and star-contraction queries, which must agree.
-  private lazy val clustersOracle: String =
+  /** Recursive-CTE prefix computing (doc_id, cluster_id) near-dup
+    * components — shared by the `dedup_clusters` twins and the
+    * leakage-safe split oracle.
+    */
+  private lazy val clustersCte: String =
     shingleCte.replace("WITH t AS", "WITH RECURSIVE t AS") +
       s""",
         |p AS (
@@ -1377,11 +1406,15 @@ object PipelineQueries {
         |reach(src, dst) AS (
         |  SELECT src, dst FROM e
         |  UNION
-        |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src)
-        |SELECT d.doc_id,
-        |  least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS cluster_id
-        |FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
-        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+        |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+        |cl AS (
+        |  SELECT d.doc_id,
+        |    least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS cluster_id
+        |  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+        |  GROUP BY d.doc_id)""".stripMargin
+
+  private lazy val clustersOracle: String = clustersCte +
+    "\nSELECT doc_id, cluster_id FROM cl ORDER BY doc_id"
 
   private val zTerms = (0 until 16).map(i =>
     s"((((l_partkey >> $i) & 1) << ${2 * i}) | (((l_suppkey >> $i) & 1) << ${2 * i + 1}))")
@@ -1932,6 +1965,15 @@ object PipelineQueries {
         |            THEN 'train' ELSE 'val' END AS split,
         |  count(*) AS n, min(doc_id) AS first_doc
         |FROM documents GROUP BY 1 ORDER BY split""".stripMargin,
+    // same recursive-CTE components as dedup_clusters, then the
+    // sample_split md5 bucket keyed by cluster_id instead of doc_id
+    "sample_split_leaksafe" -> (clustersCte +
+      """
+        |SELECT CASE WHEN ('0x' || substring(md5(CAST(cluster_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80
+        |            THEN 'train' ELSE 'val' END AS split,
+        |  count(*) AS n_docs, count(DISTINCT cluster_id) AS n_clusters,
+        |  min(doc_id) AS first_doc
+        |FROM cl GROUP BY 1 ORDER BY split""".stripMargin),
     "sample_stratified" ->
       """SELECT lang, count(*) AS n_kept, min(doc_id) AS first_doc
         |FROM documents

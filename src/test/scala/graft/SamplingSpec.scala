@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Sampling
+import graft.operators.{Dedup, Sampling}
 import org.apache.spark.sql.functions._
 
 class SamplingSpec extends SparkTestBase {
@@ -24,6 +24,46 @@ class SamplingSpec extends SparkTestBase {
     val strat = out.filter($"lang" === "en")
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(strat == uniform25)
+  }
+
+  /** The leakage-safe split contract: near-duplicate documents land in
+    * ONE split because membership hashes the cluster id — while the
+    * planted pair's own doc ids hash to DIFFERENT per-doc buckets, i.e.
+    * a naive per-doc split would have separated them.
+    */
+  test("cluster-keyed split keeps near-duplicates together where a per-doc split separates them") {
+    val base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    // find two ids whose PER-DOC 50% buckets differ, to make the
+    // counterfactual (naive split separates them) part of the pin —
+    // client-side replica of Sampling's md5-first-8-hex-chars bucket
+    def bucketOf(id: String): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(id.getBytes("UTF-8"))
+          .take(4).map("%02x".format(_)).mkString, 16) % 100
+    val ids = (1L to 50L).map(i => i -> bucketOf(i.toString))
+    val (idA, idB) = {
+      val a = ids.find(_._2 < 50).get._1
+      val b = ids.find(_._2 >= 50).get._1
+      (a, b)
+    }
+    val near = base + " tail"
+    val docs = Seq(
+      (idA, base), (idB, near), // planted near-dup pair, J >= 0.7
+      (100L, "completely different content about shipping manifests"),
+      (101L, "unrelated text concerning maritime insurance claims"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 0.7,
+      ordered = false)
+    assert(pairs.filter(
+      (col("doc_a") === idA && col("doc_b") === idB) ||
+      (col("doc_a") === idB && col("doc_b") === idA)).count() >= 1,
+      "planted pair must be a near-dup")
+    val split = Sampling.withSplit(
+      Dedup.clusterIds(docs, "doc_id", pairs), "cluster_id", 50)
+      .select(col("doc_id"), col("split")).as[(Long, String)].collect().toMap
+    assert(split(idA) == split(idB),
+      s"near-dups split apart: ${split(idA)} vs ${split(idB)}")
   }
 
   test("shardedShuffle: in-range shards, contiguous per-shard ranks, stable, permuting") {
