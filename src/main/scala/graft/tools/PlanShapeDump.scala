@@ -1,0 +1,63 @@
+package graft.tools
+
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+
+/** Registry-wide PHYSICAL-plan-shape artifact — the executable
+  * complement of `LINEAGE.tsv`: one row per query with its scale-bearing
+  * node counts (cartesians, broadcast nested-loop joins, shuffle
+  * exchanges, broadcast exchanges) from the pre-AQE physical plan,
+  * committed as `PLANSHAPE.tsv` at the repo root. `PlanShapeDumpSpec`
+  * regenerates it on every `sbt test` and asserts byte-identity, so a
+  * query that silently GAINS A SHUFFLE (a broadcast hint lost, a join
+  * reordered past its hint, an accidental repartition) fails a spec with
+  * a one-line diff instead of shipping a plan regression the correctness
+  * oracles cannot see — at sf0.01 an extra exchange is milliseconds; at
+  * 100 TB it is the difference between one pass and two.
+  *
+  * Determinism: counts come from `queryExecution.sparkPlan` (strategy
+  * output, before AQE and runtime re-planning); every broadcast in the
+  * registry is an EXPLICIT `broadcast()` hint or a sub-threshold sf0.001
+  * table orders of magnitude below the 10 MB auto-broadcast line, so
+  * testdata regeneration jitter cannot flip a join strategy. Driver-side
+  * trained literals change VALUES, never node counts.
+  *
+  * Run: runMain graft.tools.PlanShapeDump [outFile]  (default
+  * PLANSHAPE.tsv, plans built against sf0.001 like LineageDump).
+  */
+object PlanShapeDump {
+
+  /** The full artifact as a string — shared by the main and the spec.
+    * Starts from a CLEARED cache: a cached subtree from an earlier suite
+    * would hide its nodes behind InMemoryTableScan and flip counts, so
+    * both the main (fresh session) and the spec (shared test session)
+    * must render from the same cold-cache state; queries that cache
+    * during the sweep do so in the same sorted order both times.
+    */
+  def render(spark: SparkSession, dir: String): String = {
+    spark.catalog.clearCache()
+    val sb = new StringBuilder("query\tcartesian\tbnlj\tshuffle\tbroadcast\n")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, mk) =>
+      val (c, b, s, br) =
+        PlanAudit.shapeCounts(mk(spark, dir).queryExecution.sparkPlan)
+      sb.append(name).append('\t').append(c).append('\t').append(b)
+        .append('\t').append(s).append('\t').append(br).append('\n')
+    }
+    sb.toString
+  }
+
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("PLANSHAPE.tsv")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      render(spark, dir).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"wrote $out")
+    spark.stop()
+  }
+}
