@@ -60,7 +60,10 @@ object ScaleCurve {
     // the error-band audit (multi-table: lineitem percentile/distinct
     // legs + events sketch legs + documents CMS leg — all three families
     // scale by the same ×1/2 / ×2, so the exponent is well-defined)
-    "sketch_error_report")
+    "sketch_error_report",
+    // leakage-safe split: the dedup_clusters relation + a hash bucket —
+    // the mangled 2n copy doubles clusters without cross-copy pairs
+    "sample_split_leaksafe")
 
   /** SPARK_GRAFT_SCALE_ONLY: comma-separated exact names — run a subset
     * (new-row refresh) without re-measuring the whole table.
