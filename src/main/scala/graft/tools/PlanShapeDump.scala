@@ -28,22 +28,41 @@ import org.apache.spark.sql.SparkSession
 object PlanShapeDump {
 
   /** The full artifact as a string — shared by the main and the spec.
-    * Starts from a CLEARED cache: a cached subtree from an earlier suite
-    * would hide its nodes behind InMemoryTableScan and flip counts, so
-    * both the main (fresh session) and the spec (shared test session)
-    * must render from the same cold-cache state; queries that cache
-    * during the sweep do so in the same sorted order both times.
+    *
+    *  - Starts from a CLEARED cache: a cached subtree from an earlier
+    *    suite would hide its nodes behind InMemoryTableScan and flip
+    *    counts, so both the main (fresh session) and the spec (shared
+    *    test session) render from the same cold-cache state; queries
+    *    that cache during the sweep do so in the same sorted order both
+    *    times.
+    *  - Counts come from `executedPlan` with AQE DISABLED for the sweep:
+    *    `sparkPlan` predates EnsureRequirements, so the distribution-
+    *    required exchanges (groupBy, join, global sort) don't exist in
+    *    it yet — only explicit repartitions would be counted — while the
+    *    AQE wrapper would hide the tree behind AdaptiveSparkPlanExec.
+    *    Non-AQE executedPlan is the deterministic static plan with every
+    *    exchange materialized.
+    *
+    * Known limitation, deliberate: operators that run eager supersteps
+    * during CONSTRUCTION (the graph family's persisted loops, clusterIds
+    * inside the leak-safe split) surface here as their severed serving
+    * plan — their internal shuffle story is pinned by SCALE.md's plan
+    * audits and their own specs, not this artifact.
     */
   def render(spark: SparkSession, dir: String): String = {
     spark.catalog.clearCache()
-    val sb = new StringBuilder("query\tcartesian\tbnlj\tshuffle\tbroadcast\n")
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, mk) =>
-      val (c, b, s, br) =
-        PlanAudit.shapeCounts(mk(spark, dir).queryExecution.sparkPlan)
-      sb.append(name).append('\t').append(c).append('\t').append(b)
-        .append('\t').append(s).append('\t').append(br).append('\n')
-    }
-    sb.toString
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val sb = new StringBuilder("query\tcartesian\tbnlj\tshuffle\tbroadcast\n")
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, mk) =>
+        val (c, b, s, br) =
+          PlanAudit.shapeCounts(mk(spark, dir).queryExecution.executedPlan)
+        sb.append(name).append('\t').append(c).append('\t').append(b)
+          .append('\t').append(s).append('\t').append(br).append('\n')
+      }
+      sb.toString
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
   def main(args: Array[String]): Unit = {
