@@ -192,10 +192,16 @@ object PipelineQueries {
     * now FAILS the round if any estimator ever leaves its band, instead
     * of that evidence living only in specs.
     *
-    * Scale: each leg is one scan + group-sized joins (the KLL rank check
-    * broadcasts the per-group estimates back over events — at 100 TB
-    * that audit pass is the price of verifying, not of serving; the
-    * serving path remains the sketch tables).
+    * Scale — fused scans: ONE lineitem aggregation carries both
+    * relational legs (shared grouping), ONE events aggregation builds
+    * all three sketch families, and ONE distinct (type, user) projection
+    * serves every exact side including the theta pairs and the global
+    * distinct; the only additional raw passes are the KLL rank check
+    * (which must rank the estimates inside the real data) and the CMS
+    * leg's token explode. At 100 TB the audit pass is the price of
+    * verifying, not of serving — the serving path remains the sketch
+    * tables — and the fusion halves that price (PLANSHAPE.tsv records
+    * the exchange-count drop).
     */
   def sketchErrorReport(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
@@ -207,6 +213,11 @@ object PipelineQueries {
         .select(lit(name).as("leg"), col("groups"), col("n_within"),
           (col("groups") === col("n_within")).as("all_within"))
 
+    // The lineitem legs stay as TWO separate aggregations on purpose:
+    // fusing them into one groupBy puts the exact percentiles behind the
+    // countDistinct pair's Expand (multi-distinct rewrite triples the
+    // input stream), measured SLOWER than the second scan — fusion only
+    // pays when the fused aggregates share an execution shape.
     val hllpp = li.groupBy(col("l_returnflag")).agg(
         approx_count_distinct(col("l_partkey")).as("ap"),
         countDistinct(col("l_partkey")).as("ep"),
@@ -214,7 +225,6 @@ object PipelineQueries {
         countDistinct(col("l_suppkey")).as("es"))
       .select((abs(col("ap") - col("ep")) / col("ep") <= 0.15 &&
         abs(col("asu") - col("es")) / col("es") <= 0.15).as("ok"))
-
     val gk = li.groupBy(col("l_returnflag")).agg(
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("a50"),
         percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("a95"),
@@ -223,22 +233,41 @@ object PipelineQueries {
       .select((abs(col("a50") - col("e50")) / col("e50") <= 0.02 &&
         abs(col("a95") - col("e95")) / col("e95") <= 0.02).as("ok"))
 
-    val hllSk = SketchRollup.sketchBy(ev, "event_type", "user_id")
-    val hllEst = SketchRollup.estimates(hllSk, "event_type")
-      .unionByName(SketchRollup.unionEstimate(hllSk)
+    // ONE events scan builds ALL THREE sketch families per type (5 rows,
+    // plain hash agg — no Expand interaction, so this fusion DOES pay);
+    // the frames stay LAZY inside the one union plan and ReuseExchange
+    // dedupes the identical aggregation subtrees at the physical level
+    // (an eager-localCheckpoint variant measured 3× slower: it
+    // serializes materialization jobs and forfeits pipelining)
+    val evG = ev.groupBy(col("event_type")).agg(
+        hll_sketch_agg(col("user_id"), lit(12)).as("hsk"),
+        graft.functions.KllQuantileAgg.kllAgg(col("value")).as("qsk"),
+        ThetaSketchAgg.thetaAgg(col("user_id")).as("tsk"))
+    // ONE distinct (event_type, user_id) projection serves every EXACT
+    // side: per-type distincts, the global distinct, and the theta pairs
+    val su = ev.select(col("event_type"), col("user_id")).distinct()
+    val exactPer = su.groupBy(col("event_type")).agg(count(lit(1)).as("ex"))
+
+    val hllEst = evG
+      .select(col("event_type"), hll_sketch_estimate(col("hsk")).as("distinct_est"))
+      .unionByName(evG.agg(hll_sketch_estimate(
+          hll_union_agg(col("hsk"), lit(false))).as("distinct_est"))
         .select(lit("__all__").as("event_type"), col("distinct_est")))
-    val exactD = ev.groupBy(col("event_type"))
-      .agg(countDistinct(col("user_id")).as("ex"))
-      .unionByName(ev.agg(countDistinct(col("user_id")).as("ex"))
+    val exactD = exactPer.unionByName(
+      su.select(col("user_id")).distinct().agg(count(lit(1)).as("ex"))
         .select(lit("__all__").as("event_type"), col("ex")))
     val hllRoll = hllEst.join(exactD, "event_type")
       .select((abs(col("distinct_est") - col("ex")) <=
         greatest(lit(3L), (col("ex") * 0.05).cast("long"))).as("ok"))
 
-    val kllSk = SketchRollup.quantileSketchBy(ev, "event_type", "value")
-    val kllEst = SketchRollup.quantileEstimates(kllSk, "event_type", Seq(0.5, 0.95))
-      .unionByName(SketchRollup.unionQuantiles(kllSk, Seq(0.5, 0.95))
-        .select(lit("__all__").as("event_type"), col("p50"), col("p95")))
+    val kll = graft.functions.KllQuantileAgg
+    val kllEst = evG.select(col("event_type"),
+        kll.kllQuantile(col("qsk"), lit(0.5)).as("p50"),
+        kll.kllQuantile(col("qsk"), lit(0.95)).as("p95"))
+      .unionByName(evG.agg(kll.kllUnion(col("qsk")).as("_m"))
+        .select(lit("__all__").as("event_type"),
+          kll.kllQuantile(col("_m"), lit(0.5)).as("p50"),
+          kll.kllQuantile(col("_m"), lit(0.95)).as("p95")))
     // the rank-error contract checked directly: the estimate's exact rank
     // inside each group must sit within q ± 0.03 (integer arithmetic —
     // counts × 100 vs n × rank-percent — so the check itself is exact)
@@ -256,9 +285,16 @@ object PipelineQueries {
         col("le95") * 100 >= col("n") * 92 &&
         col("lt95") * 100 <= col("n") * 98).as("ok"))
 
-    val thetaEst = sketchOverlap(s, dir)
-    val su = ev.select(col("event_type"), col("user_id")).distinct()
-    val cntByType = su.groupBy(col("event_type")).agg(count(lit(1)).as("na"))
+    // theta estimates from the SAME fused sketch rows (the sketchOverlap
+    // expressions, minus its own events scan); exact pairs from su
+    val thetaEst = evG.select(col("event_type").as("type_a"), col("tsk").as("ska"))
+      .join(evG.select(col("event_type").as("type_b"), col("tsk").as("skb")),
+        col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"),
+        round(ThetaSketchAgg.intersectEstimate(col("ska"), col("skb")))
+          .cast("long").as("n_common"),
+        round(ThetaSketchAgg.aNotBEstimate(col("ska"), col("skb")))
+          .cast("long").as("n_only_a"))
     val inter = su
       .join(su.select(col("event_type").as("_tb"), col("user_id")), "user_id")
       .filter(col("event_type") < col("_tb"))
@@ -266,7 +302,8 @@ object PipelineQueries {
       .agg(count(lit(1)).as("exc"))
     val theta = thetaEst
       .join(inter, Seq("type_a", "type_b"), "left")
-      .join(cntByType.select(col("event_type").as("type_a"), col("na")), "type_a")
+      .join(exactPer.select(col("event_type").as("type_a"), col("ex").as("na")),
+        "type_a")
       .select((col("n_common") === coalesce(col("exc"), lit(0L)) &&
         col("n_only_a") === col("na") - coalesce(col("exc"), lit(0L))).as("ok"))
 

@@ -62,7 +62,13 @@ object PlanShapeDump {
           .append('\t').append(s).append('\t').append(br).append('\n')
       }
       sb.toString
-    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      // leave the session as found: the sweep itself populates caches
+      // (queries that persist during construction), and a later suite
+      // planning against them would see different join shapes
+      spark.catalog.clearCache()
+    }
   }
 
   def main(args: Array[String]): Unit = {
