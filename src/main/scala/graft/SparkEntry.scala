@@ -18,12 +18,15 @@ object SparkEntry {
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * The end-to-end corpus-curation pipeline: quality gate → exact dedup
-    * → near-dup cluster dedup → stratified sample → per-language summary
-    * (all five stages individually hash-green operators).
+    * The end-to-end LEARNED corpus-curation pipeline: trained quality
+    * classifier gate → exact dedup → near-dup clustering → leakage-safe
+    * cluster-keyed train/val split → per-(split, language) accounting
+    * (all five stages individually hash-green operators; the composed
+    * pipeline itself is hash-green as `pipeline_curate_learned`, and the
+    * hand-formula ancestor remains registered as `pipeline_curate`).
     */
   def entry(spark: SparkSession): DataFrame =
-    PipelineQueries.pipelineCurate(spark, "/root/testdata/sf0.001")
+    PipelineQueries.pipelineCurateLearned(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

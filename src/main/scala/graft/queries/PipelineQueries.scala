@@ -826,6 +826,57 @@ object PipelineQueries {
       .orderBy(col("lang"))
   }
 
+  /** The flagship pipeline, round-9 LEARNED edition — every stage is the
+    * trained/leak-safe upgrade of its [[pipelineCurate]] counterpart:
+    *
+    *  1. quality gate = the TRAINED classifier ([[LogReg]], the exact
+    *     `text_quality_model` training run) instead of the hand formula
+    *     — keep docs the model scores ≥ 0.5;
+    *  2. exact dedup (md5 first-wins);
+    *  3. near-dup CLUSTERING (star contraction) — but unlike v1 the
+    *     near-dups are NOT dropped: stage 4 needs the cluster relation;
+    *  4. LEAKAGE-SAFE train/val split keyed by cluster id — near-dups
+    *     co-locate in one split by construction;
+    *  5. per-(split, lang) corpus accounting.
+    *
+    * The oracle replays all five stages (10 unrolled GD iterations +
+    * dedup window + recursive-CTE components + md5 bucket), so the whole
+    * composed pipeline is hash-checked end-to-end, not just its pieces.
+    * Scale shape: one persist at the multi-consumer stage boundary
+    * (pair generation, cluster init, final join — v1's recipe), ids-only
+    * semi joins between stages, output severed before the persist is
+    * released.
+    */
+  def pipelineCurateLearned(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val st = TextAnalysis.stats(docs, "doc_id", "text")
+    val feats = st.select(col("doc_id"),
+      array(lit(1.0), col("punct_ratio"), col("stop_ratio"),
+        least(col("n_tokens") / 100.0, lit(1.0)),
+        col("mean_tok_len") / 10.0).as("x"),
+      when(col("quality") >= 0.8, 1.0).otherwise(0.0).as("y"))
+    val keptIds = LogReg.trainAndScore(feats, "doc_id", "x", "y",
+        dim = 5, iters = 10, lr = 5.0)
+      .filter(col("pred") === 1).select(col("doc_id"))
+    val kept0 = docs.join(keptIds, Seq("doc_id"), "left_semi")
+    val kept1 = Dedup.exactByHash(kept0, "text", "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = Dedup.minhashLshPairs(kept1, "doc_id", "text", 3, Tau,
+      ordered = false)
+    val clusters = Dedup.clusterIdsStar(kept1, "doc_id", pairs)
+    val out = Sampling.withSplit(kept1.join(clusters, "doc_id"),
+        "cluster_id", 80)
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster_id")).as("n_clusters"),
+        min(col("doc_id")).as("first_doc"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("split"), col("lang"))
+      .localCheckpoint(true)
+    kept1.unpersist(blocking = false)
+    out
+  }
+
   /** Span-level duplication fraction per document (word 3-grams occurring
     * in ≥ 2 documents — [[TextAnalysis.dupSpans]]).
     */
@@ -1336,6 +1387,7 @@ object PipelineQueries {
     "text_repetition" -> (textRepetition _),
     "chunk_documents" -> (chunkDocuments _),
     "pipeline_curate" -> (pipelineCurate _),
+    "pipeline_curate_learned" -> (pipelineCurateLearned _),
     "pack_sequences" -> (packSequences _),
     "sample_mix" -> (sampleMix _),
     "text_quality_rules" -> (textQualityRules _),
@@ -1464,39 +1516,47 @@ object PipelineQueries {
     */
   private def logRegIterSql(i: Int): String = {
     val prev = s"w${i - 1}"
-    s"""p$i AS (SELECT f.x, f.y,
+    s"""p$i AS MATERIALIZED (SELECT f.x, f.y,
        |    round(1.0 / (1.0 + exp(-round(list_sum(list_transform(range(1, 6),
        |      j -> f.x[j] * w.w[j])), 6))), 6) AS p
        |  FROM f CROSS JOIN $prev w),
-       |g$i AS (SELECT j,
+       |g$i AS MATERIALIZED (SELECT j,
        |    CAST(sum(CAST((p - y) * x[j] AS DECIMAL(30,15))) AS DOUBLE) / count(*) AS g
        |  FROM (SELECT x, y, p, unnest(range(1, 6)) AS j FROM p$i) q GROUP BY j),
-       |w$i AS (SELECT list(round(wv - 5.0 * g, 6) ORDER BY j) AS w
+       |w$i AS MATERIALIZED (SELECT list(round(wv - 5.0 * g, 6) ORDER BY j) AS w
        |  FROM (SELECT g$i.j, g$i.g, w.w[g$i.j] AS wv
        |        FROM g$i CROSS JOIN $prev w) z),""".stripMargin
   }
 
-  private val textQualityModelSql = {
+  /** The tokenizer → features → 10 unrolled GD iterations CTE chain
+    * (everything through `w10`) — shared by the `text_quality_model`
+    * oracle and the learned flagship's composed oracle.
+    */
+  private lazy val logRegCtes: String = {
     val iterBlocks = (1 to 10).map(logRegIterSql).mkString("\n")
-    s"""WITH t AS (
+    s"""WITH t AS MATERIALIZED (
        |  SELECT doc_id, text,
        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS toks
        |  FROM documents),
-       |s AS (
+       |s AS MATERIALIZED (
        |  SELECT doc_id,
        |    CAST(len(toks) AS BIGINT) AS n_tokens,
        |    round(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0 / greatest(length(text), 1), 6) AS punct_ratio,
        |    round(len(list_filter(toks, t -> list_contains(['the','a','and','of','to','in','is','on','for','with'], t))) * 1.0 / greatest(len(toks), 1), 6) AS stop_ratio,
        |    round(list_sum(list_transform(toks, t -> length(t))) * 1.0 / greatest(len(toks), 1), 6) AS mean_tok_len
        |  FROM t),
-       |f AS (
+       |f AS MATERIALIZED (
        |  SELECT doc_id,
        |    [1.0, punct_ratio, stop_ratio, least(n_tokens / 100.0, 1.0), mean_tok_len / 10.0] AS x,
        |    CASE WHEN round(least(n_tokens / 100.0, 1.0) * 0.4 + (1.0 - punct_ratio) * 0.3 +
        |      (1.0 - stop_ratio) * 0.3, 6) >= 0.8 THEN 1.0 ELSE 0.0 END AS y
        |  FROM s),
        |w0 AS (SELECT [0.0, 0.0, 0.0, 0.0, 0.0] AS w),
-       |$iterBlocks
+       |$iterBlocks""".stripMargin
+  }
+
+  private lazy val textQualityModelSql = logRegCtes +
+    s"""
        |sc AS (SELECT f.doc_id,
        |    round(1.0 / (1.0 + exp(-round(list_sum(list_transform(range(1, 6),
        |      j -> f.x[j] * w.w[j])), 6))), 6) AS score,
@@ -1504,7 +1564,53 @@ object PipelineQueries {
        |  FROM f CROSS JOIN w10 w)
        |SELECT doc_id, score, CAST(score >= 0.5 AS BIGINT) AS pred, label
        |FROM sc ORDER BY doc_id""".stripMargin
-  }
+
+  /** The learned flagship's composed oracle: classifier gate (score ≥
+    * 0.5 off the same w10 weights) → md5 first-wins dedup → recursive-CTE
+    * near-dup components over the SURVIVOR set → cluster-keyed md5 split
+    * → per-(split, lang) accounting.
+    */
+  private lazy val pipelineCurateLearnedSql: String =
+    logRegCtes.replace("WITH t AS", "WITH RECURSIVE t AS") +
+      s"""
+         |sc AS (SELECT f.doc_id,
+         |    round(1.0 / (1.0 + exp(-round(list_sum(list_transform(range(1, 6),
+         |      j -> f.x[j] * w.w[j])), 6))), 6) AS score
+         |  FROM f CROSS JOIN w10 w),
+         |k0 AS (SELECT d.* FROM documents d JOIN sc USING (doc_id)
+         |       WHERE sc.score >= 0.5),
+         |k1 AS MATERIALIZED (SELECT * FROM (
+         |  SELECT k0.*, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |  FROM k0) WHERE rn = 1),
+         |sh1 AS MATERIALIZED (
+         |  SELECT t.doc_id,
+         |    list_distinct(CASE WHEN len(toks) >= 3
+         |      THEN list_transform(range(1, len(toks) - 1),
+         |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         |      ELSE [array_to_string(toks, ' ')] END) AS sh
+         |  FROM t JOIN k1 USING (doc_id)),
+         |p AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sh1 a, sh1 b WHERE a.doc_id < b.doc_id AND
+         |    round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+         |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) >= $Tau),
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+         |      UNION ALL SELECT doc_b, doc_a FROM p),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM e
+         |  UNION
+         |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+         |lab AS (
+         |  SELECT k1.doc_id,
+         |    least(k1.doc_id, coalesce(min(r.dst), k1.doc_id)) AS cluster_id
+         |  FROM k1 LEFT JOIN reach r ON r.src = k1.doc_id GROUP BY k1.doc_id),
+         |spl AS (SELECT k1.lang, k1.doc_id, k1.n_chars, lab.cluster_id
+         |        FROM k1 JOIN lab USING (doc_id))
+         |SELECT CASE WHEN ('0x' || substring(md5(CAST(cluster_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80
+         |            THEN 'train' ELSE 'val' END AS split,
+         |  lang, count(*) AS n_docs, count(DISTINCT cluster_id) AS n_clusters,
+         |  min(doc_id) AS first_doc, CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |FROM spl GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // every cell recomputed exactly: row i's hash is md5 hex slice
@@ -2200,10 +2306,10 @@ object PipelineQueries {
          |        greatest(len(toks), 1), 6)) * 0.3, 6) AS quality
          |  FROM t),
          |k0 AS (SELECT d.* FROM documents d JOIN qx USING (doc_id) WHERE qx.quality >= 0.75),
-         |k1 AS (SELECT * FROM (
+         |k1 AS MATERIALIZED (SELECT * FROM (
          |  SELECT k0.*, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
          |  FROM k0) WHERE rn = 1),
-         |sh1 AS (
+         |sh1 AS MATERIALIZED (
          |  SELECT t.doc_id,
          |    list_distinct(CASE WHEN len(toks) >= 3
          |      THEN list_transform(range(1, len(toks) - 1),
@@ -2233,6 +2339,7 @@ object PipelineQueries {
          |SELECT lang, count(*) AS n_docs, min(doc_id) AS first_doc,
          |  CAST(sum(n_chars) AS BIGINT) AS total_chars
          |FROM samp GROUP BY lang ORDER BY lang""".stripMargin,
+    "pipeline_curate_learned" -> pipelineCurateLearnedSql,
     // tf × N / df: exact-integer numerator, one IEEE division — log-free
     // so the doubles are bit-identical cross-engine (see termSalience)
     "text_salient_terms" ->
