@@ -63,7 +63,9 @@ object ScaleCurve {
     "sketch_error_report",
     // leakage-safe split: the dedup_clusters relation + a hash bucket —
     // the mangled 2n copy doubles clusters without cross-copy pairs
-    "sample_split_leaksafe")
+    "sample_split_leaksafe",
+    // the learned flagship (classifier + dedup + clusters + split)
+    "pipeline_curate_learned")
 
   /** SPARK_GRAFT_SCALE_ONLY: comma-separated exact names — run a subset
     * (new-row refresh) without re-measuring the whole table.
