@@ -27,21 +27,40 @@ object TextAnalysis {
     * (HOF/expression references inline their argument trees; see
     * [[graft.functions.Text.shinglesOfTokens]]).
     */
+  /** The three 6 dp quality signals as reusable column builders — shared
+    * by [[stats]] and [[qualityFeatures]] so the batch trainer and the
+    * ingest-time gate can never drift apart on feature semantics.
+    */
+  private def punctRatioOf(text: Column): Column = round(
+    size(regexp_extract_all(text, lit(PunctPattern), lit(0))) * lit(1.0) /
+      greatest(length(text), lit(1)), 6)
+  private def stopRatioOf(toks: Column): Column = round(
+    size(filter(toks, t => array_contains(typedlit(Stopwords), t))) * lit(1.0) /
+      greatest(size(toks), lit(1)), 6)
+  private def meanTokLenOf(toks: Column): Column = round(
+    aggregate(toks, lit(0), (acc, t) => acc + length(t)) * lit(1.0) /
+      greatest(size(toks), lit(1)), 6)
+
+  /** The quality-classifier feature vector (intercept, punct_ratio,
+    * stop_ratio, capped token count, scaled mean token length) as one
+    * array column — the EXACT layout `text_quality_model` trains
+    * against, built from the same sub-expressions [[stats]] emits.
+    * `toks` must be a MATERIALIZED token-array column (the lower-
+    * projection discipline documented on [[stats]]).
+    */
+  def qualityFeatures(text: Column, toks: Column): Column =
+    array(lit(1.0), punctRatioOf(text), stopRatioOf(toks),
+      least(size(toks) / 100.0, lit(1.0)), meanTokLenOf(toks) / 10.0)
+
   def stats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val pre = docs.select(col(idCol), col(textCol),
       Text.tokens(col(textCol)).as("_toks"))
     val text = col(textCol)
     val toks = col("_toks")
     val nTok = size(toks)
-    val punctRatio = round(
-      size(regexp_extract_all(text, lit(PunctPattern), lit(0))) * lit(1.0) /
-        greatest(length(text), lit(1)), 6)
-    val stopRatio = round(
-      size(filter(toks, t => array_contains(typedlit(Stopwords), t))) * lit(1.0) /
-        greatest(nTok, lit(1)), 6)
-    val meanTokLen = round(
-      aggregate(toks, lit(0), (acc, t) => acc + length(t)) * lit(1.0) /
-        greatest(nTok, lit(1)), 6)
+    val punctRatio = punctRatioOf(text)
+    val stopRatio = stopRatioOf(toks)
+    val meanTokLen = meanTokLenOf(toks)
     pre.select(
         col(idCol),
         nTok.cast("long").as("n_tokens"),

@@ -137,6 +137,49 @@ class LogRegSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  /** The end-to-end ingest story: weights trained in batch on the REAL
+    * documents table, saved, loaded, then applied as a streaming gate —
+    * the streamed kept-set must equal the batch flagship's stage-1
+    * kept-set (same features, same weights, same threshold).
+    */
+  test("StreamingQuality.gate on a stream equals the batch classifier gate") {
+    import graft.streaming.StreamingQuality
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).limit(120)
+    val st = graft.operators.TextAnalysis.stats(docs, "doc_id", "text")
+    val feats = st.select(col("doc_id"),
+      org.apache.spark.sql.functions.array(lit(1.0), col("punct_ratio"),
+        col("stop_ratio"),
+        org.apache.spark.sql.functions.least(col("n_tokens") / 100.0, lit(1.0)),
+        col("mean_tok_len") / 10.0).as("x"),
+      when(col("quality") >= 0.8, 1.0).otherwise(0.0).as("y"))
+    val w0 = LogReg.train(feats, "x", "y", dim = 5, iters = 10, lr = 5.0)
+    val modelDir = java.nio.file.Files.createTempDirectory("graft-gate").toString
+    LogReg.saveModel(spark, w0, s"$modelDir/model")
+    val w = LogReg.loadModel(spark, s"$modelDir/model")
+
+    val batchKept = StreamingQuality.gate(docs, "text", w)
+      .select("doc_id").as[Long].collect().toSet
+    // sanity: the gate agrees with pred==1 of the registered trainer
+    val predKept = LogReg.trainAndScore(feats, "doc_id", "x", "y",
+        dim = 5, iters = 10, lr = 5.0)
+      .filter(col("pred") === 1).select("doc_id").as[Long].collect().toSet
+    assert(batchKept == predKept, "gate must equal the batch stage-1 kept-set")
+    assert(batchKept.nonEmpty && batchKept.size < 120, "gate must actually filter")
+
+    val rows = docs.as[(Long, String)].collect().toSeq
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    ms.addData(rows: _*)
+    val q = StreamingQuality.gate(ms.toDF().toDF("doc_id", "text"), "text", w)
+      .writeStream.format("memory").queryName("q_gate")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("q_gate").select("doc_id").as[Long].collect().toSet
+    assert(streamed == batchKept)
+  }
+
   test("scores carry pred = score >= 0.5 and the input label") {
     val rows = Seq(
       (1L, Array(1.0, 0.0), 0.0),
