@@ -26,9 +26,12 @@ import org.apache.spark.sql.functions._
   *    rounded-z whose sigmoid lands within 1 ulp of a 5e-7 grid edge),
   *    the same residual class the k-means contract documents;
   *  - per-dim gradient g_j = Σ (p−y)·x_j is summed as DECIMAL(30,15) —
-  *    exact integer arithmetic, so partition/fold order cannot move it
-  *    (each double→decimal cast is tie-free: dyadic rationals never sit
-  *    on half-grid points whose denominators contain 5^15);
+  *    exact integer arithmetic, so partition/fold order cannot move it.
+  *    The double→decimal cast CAN land on a half-grid point (a dyadic
+  *    v = m/2^16 with m odd has v·10^15 = odd·5^15/2 exactly), but all
+  *    three evaluators — Scala's HALF_UP, Spark's cast, DuckDB's — round
+  *    such ties away from zero, so the cast is still deterministic and
+  *    engine-identical;
   *  - w_j ← round(w_j − lr·(g_j / n), 6) as one IEEE divide, one
   *    multiply, one subtract.
   *
@@ -78,8 +81,9 @@ object LogReg {
         .collect()
         .map(r => r.getInt(0) -> r.getDouble(1) / r.getLong(2))
         .toMap
-      // BigDecimal HALF_UP to match Spark/DuckDB round(); ties cannot
-      // occur per the contract, but the mode is kept identical anyway
+      // BigDecimal HALF_UP to match Spark/DuckDB round(): ties CAN occur
+      // on dyadic half-grid points (see the contract above) and all three
+      // evaluators resolve them identically, away from zero
       w = Array.tabulate(dim)(j =>
         BigDecimal(w(j) - lr * grads.getOrElse(j, 0.0))
           .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)

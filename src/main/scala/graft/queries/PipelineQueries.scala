@@ -184,13 +184,23 @@ object PipelineQueries {
   /** Driver-visible error-band audit for the approximate/sketch legs —
     * the `ann_recall_report` pattern applied to the OTHER rows-only
     * queries: each leg recomputes its estimates next to the exact answer
-    * and reports (leg, groups, n_within, all_within). Bands are the
-    * spec-proven contracts (HLL++ 3σ = 15% rel; GK 2% rel value; DS-HLL
-    * max(3, 5%) abs; KLL rank ±0.03; theta EXACT below 4096 retained).
-    * The within-flags are BOOLEANS over guaranteed bands, so the output
-    * is deterministic and carries a full hash oracle: the driver gate
-    * now FAILS the round if any estimator ever leaves its band, instead
-    * of that evidence living only in specs.
+    * and reports (leg, groups, n_within, all_within). Bands are levels a
+    * regenerated corpus cannot legitimately escape (round-9 advice —
+    * testdata IS regenerated, so an empirical band here would turn
+    * corpus drift into a spurious gate failure): HLL++ 5σ = 25% rel
+    * (violated with p ≈ 3e-7 per draw); GK checked as the RANK guarantee
+    * it actually carries (±0.005, 50× the 1/accuracy contract) rather
+    * than a value band; DS-HLL max(3, 5%) abs; KLL rank ±0.03; theta
+    * EXACT below 4096 retained. The one probabilistic-per-token band —
+    * CMS's Cormode–Muthukrishnan overestimate bound, which holds per
+    * token only with p = 1−e^−4 — is NOT asserted true in the oracle:
+    * CMS is md5-defined, so the oracle RECOMPUTES the sketch and counts
+    * n_within itself, and a token outside the band flips both engines'
+    * flags consistently instead of failing the gate. The within-flags
+    * are therefore deterministic per corpus and carry a full hash
+    * oracle: the driver gate FAILS the round if any estimator leaves a
+    * band the oracle asserts, instead of that evidence living only in
+    * specs.
     *
     * Scale — fused scans: ONE lineitem aggregation carries both
     * relational legs (shared grouping), ONE events aggregation builds
@@ -214,24 +224,47 @@ object PipelineQueries {
           (col("groups") === col("n_within")).as("all_within"))
 
     // The lineitem legs stay as TWO separate aggregations on purpose:
-    // fusing them into one groupBy puts the exact percentiles behind the
-    // countDistinct pair's Expand (multi-distinct rewrite triples the
+    // fusing them into one groupBy puts the percentile sketches behind
+    // the countDistinct pair's Expand (multi-distinct rewrite triples the
     // input stream), measured SLOWER than the second scan — fusion only
     // pays when the fused aggregates share an execution shape.
+    // 5σ band (relative std for HLL++ at default rsd 0.05 → 0.25): the
+    // 3σ band used through round 9 holds with ~99.7% probability PER
+    // DRAW, which is an empirical property of the current corpus, not a
+    // guarantee — this repo regenerates testdata, and a regenerated
+    // corpus must not be able to fail the driver hash gate without a
+    // code regression (round-9 advice). 5σ is violated with p ≈ 3e-7.
     val hllpp = li.groupBy(col("l_returnflag")).agg(
         approx_count_distinct(col("l_partkey")).as("ap"),
         countDistinct(col("l_partkey")).as("ep"),
         approx_count_distinct(col("l_suppkey")).as("asu"),
         countDistinct(col("l_suppkey")).as("es"))
-      .select((abs(col("ap") - col("ep")) / col("ep") <= 0.15 &&
-        abs(col("asu") - col("es")) / col("es") <= 0.15).as("ok"))
-    val gk = li.groupBy(col("l_returnflag")).agg(
+      .select((abs(col("ap") - col("ep")) / col("ep") <= 0.25 &&
+        abs(col("asu") - col("es")) / col("es") <= 0.25).as("ok"))
+    // GK's contract is a RANK guarantee (the returned value's exact rank
+    // sits within q ± 1/accuracy of the target), NOT a value-relative
+    // band — the 2%-of-value band used through round 9 was empirical and
+    // corpus-dependent (round-9 advice). Checked the way KLL is below:
+    // the estimate's exact rank inside each group must sit within
+    // q ± 0.005 — 50× the guaranteed 1/accuracy = 1e-4, yet still a
+    // deterministic property no corpus regeneration can break. Integer
+    // arithmetic (counts × 1000 vs n × rank-permille), so the check
+    // itself is exact.
+    val gkEst = li.groupBy(col("l_returnflag")).agg(
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("a50"),
-        percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("a95"),
-        percentile(col("l_extendedprice"), lit(0.5)).as("e50"),
-        percentile(col("l_extendedprice"), lit(0.95)).as("e95"))
-      .select((abs(col("a50") - col("e50")) / col("e50") <= 0.02 &&
-        abs(col("a95") - col("e95")) / col("e95") <= 0.02).as("ok"))
+        percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("a95"))
+    val gk = li.select(col("l_returnflag"), col("l_extendedprice"))
+      .join(broadcast(gkEst), "l_returnflag")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_extendedprice") <= col("a50"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("l_extendedprice") < col("a50"), 1L).otherwise(0L)).as("lt50"),
+        sum(when(col("l_extendedprice") <= col("a95"), 1L).otherwise(0L)).as("le95"),
+        sum(when(col("l_extendedprice") < col("a95"), 1L).otherwise(0L)).as("lt95"))
+      .select((col("le50") * 1000 >= col("n") * 495 &&
+        col("lt50") * 1000 <= col("n") * 505 &&
+        col("le95") * 1000 >= col("n") * 945 &&
+        col("lt95") * 1000 <= col("n") * 955).as("ok"))
 
     // ONE events scan builds ALL THREE sketch families per type (5 rows,
     // plain hash agg — no Expand interaction, so this fusion DOES pay);
@@ -1967,27 +2000,49 @@ object PipelineQueries {
         |l3 AS (SELECT id, CAST(min([-cnt, label])[2] AS BIGINT) AS label
         |       FROM c3 GROUP BY id)
         |SELECT id AS node_id, label AS community FROM l3 ORDER BY node_id""".stripMargin,
-    // the report's within-flags are booleans over GUARANTEED error bands
-    // (HLL++ 3σ, GK rank bound, DS-HLL/KLL spec contracts, theta exact
-    // below 4096 retained), so the expected output is deterministic:
-    // every group within band. The oracle recomputes the group counts
-    // from exact data and asserts exactly that — any estimator leaving
-    // its band flips a flag and fails the driver's hash compare.
+    // within-flags the oracle ASSERTS are deterministic guarantees
+    // (HLL++ 5σ, GK rank bound, DS-HLL/KLL spec contracts, theta exact
+    // below 4096 retained) — any estimator leaving one flips a flag and
+    // fails the driver's hash compare. The CMS band is only
+    // probabilistic PER TOKEN (p = 1−e^−4), so its row is RECOMPUTED:
+    // the sketch is md5-defined, the oracle rebuilds every cell and
+    // counts n_within itself — corpus drift moves both engines' flags
+    // together instead of breaking the gate (round-9 advice).
     "sketch_error_report" ->
       """WITH rf AS (SELECT CAST(count(DISTINCT l_returnflag) AS BIGINT) AS g
         |            FROM lineitem),
         |et AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS g
         |       FROM events),
-        |tk AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS g FROM (
-        |         SELECT unnest(list_filter(
+        |toks AS (SELECT unnest(list_filter(
         |           string_split_regex(lower(text), '[^a-z0-9]+'),
         |           x -> x != '')) AS t
-        |         FROM documents))
+        |         FROM documents),
+        |tc AS (SELECT t, count(*) AS exc FROM toks GROUP BY t),
+        |tn AS (SELECT count(*) AS nn FROM toks),
+        |cell AS (
+        |  SELECT r.r AS row,
+        |    ('0x' || substring(md5(tc.t), 8 * r.r + 1, 8))::BIGINT % 256 AS col,
+        |    sum(tc.exc) AS cnt
+        |  FROM tc CROSS JOIN (SELECT unnest(range(4)) AS r) r
+        |  GROUP BY row, col),
+        |est AS (
+        |  SELECT tc.t, tc.exc, min(cell.cnt) AS est
+        |  FROM tc CROSS JOIN (SELECT unnest(range(4)) AS r) r2
+        |  JOIN cell ON cell.row = r2.r AND
+        |    cell.col = ('0x' || substring(md5(tc.t), 8 * r2.r + 1, 8))::BIGINT % 256
+        |  GROUP BY tc.t, tc.exc),
+        |cms AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS groups,
+        |    CAST(sum(CASE WHEN est >= exc AND est <= exc +
+        |        CAST(ceil(tn.nn * (2.718281828459045 / 256.0)) AS BIGINT)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_within
+        |  FROM est, tn)
         |SELECT leg, groups, n_within, all_within FROM (
         |  SELECT 'approx_distinct_hllpp' AS leg, g AS groups, g AS n_within,
         |         true AS all_within FROM rf
         |  UNION ALL SELECT 'approx_percentile_gk', g, g, true FROM rf
-        |  UNION ALL SELECT 'cms_token_counts', g, g, true FROM tk
+        |  UNION ALL SELECT 'cms_token_counts', groups, n_within,
+        |         groups = n_within FROM cms
         |  UNION ALL SELECT 'hll_rollup_distinct', g + 1, g + 1, true FROM et
         |  UNION ALL SELECT 'kll_quantiles', g + 1, g + 1, true FROM et
         |  UNION ALL SELECT 'theta_exact_regime', g * (g - 1) // 2,

@@ -26,17 +26,46 @@ import org.apache.spark.sql.functions._
   */
 object StreamingQuality {
 
-  /** All original columns plus the feature vector `x`. */
-  def withFeatures(docs: DataFrame, textCol: String): DataFrame =
-    docs.withColumn("_toks", Text.tokens(col(textCol)))
-      .withColumn("x", TextAnalysis.qualityFeatures(col(textCol), col("_toks")))
-      .drop("_toks")
-
-  /** Keep rows the model scores ≥ 0.5; the feature column is dropped —
-    * output schema equals input schema.
+  /** An internal-column name guaranteed not to collide with the caller's
+    * schema: the reserved `__graft_` prefix plus a numeric suffix bumped
+    * until fresh (round-9 advice — a caller column literally named `x`
+    * or `_toks` must survive the gate untouched, not be silently
+    * overwritten and dropped).
     */
-  def gate(docs: DataFrame, textCol: String, w: Array[Double]): DataFrame =
-    withFeatures(docs, textCol)
-      .filter(LogReg.probability(col("x"), w) >= 0.5)
-      .drop("x")
+  private def fresh(base: String, taken: Seq[String]): String = {
+    val t = taken.toSet
+    if (!t(base)) base
+    else Iterator.from(1).map(i => s"${base}_$i").find(n => !t(n)).get
+  }
+
+  /** All original columns plus the feature vector `x`. The token array is
+    * materialized in a lower projection under a collision-proof internal
+    * name (the [[TextAnalysis.stats]] discipline); `x` itself is this
+    * method's OUTPUT contract, so a pre-existing `x` column is a caller
+    * error surfaced loudly rather than silently shadowed.
+    */
+  def withFeatures(docs: DataFrame, textCol: String): DataFrame = {
+    require(!docs.columns.contains("x"),
+      "withFeatures emits a feature column named 'x' but the input " +
+        "already has one — rename it or project it away first")
+    val toks = fresh("__graft_toks", docs.columns)
+    docs.withColumn(toks, Text.tokens(col(textCol)))
+      .withColumn("x", TextAnalysis.qualityFeatures(col(textCol), col(toks)))
+      .drop(toks)
+  }
+
+  /** Keep rows the model scores ≥ 0.5 — output schema equals input
+    * schema, for ANY input schema: both internal columns (token array,
+    * feature vector) use collision-proof reserved names and are dropped,
+    * so even a caller frame that already has `x` or `_toks` passes
+    * through byte-identical.
+    */
+  def gate(docs: DataFrame, textCol: String, w: Array[Double]): DataFrame = {
+    val toks = fresh("__graft_toks", docs.columns)
+    val x = fresh("__graft_x", docs.columns :+ toks)
+    docs.withColumn(toks, Text.tokens(col(textCol)))
+      .withColumn(x, TextAnalysis.qualityFeatures(col(textCol), col(toks)))
+      .filter(LogReg.probability(col(x), w) >= 0.5)
+      .drop(toks, x)
+  }
 }

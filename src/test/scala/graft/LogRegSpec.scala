@@ -180,6 +180,34 @@ class LogRegSpec extends SparkTestBase {
     assert(streamed == batchKept)
   }
 
+  /** Round-9 advice: a caller frame that already has columns named `x`
+    * or `_toks` must pass through the gate untouched — internal columns
+    * use collision-proof reserved names, so output schema AND values
+    * equal the input's for any input schema. `withFeatures`, whose
+    * CONTRACT is to emit `x`, must instead fail loudly on a collision.
+    */
+  test("StreamingQuality.gate preserves caller columns named x/_toks; withFeatures fails loudly") {
+    import graft.streaming.StreamingQuality
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).limit(40)
+      .withColumn("x", col("doc_id") * 2)
+      .withColumn("_toks", lit("caller-owned"))
+      .withColumn("__graft_toks", lit(7L))
+    val w = Array(0.0, 0.0, 0.0, 0.0, 0.0) // score = 0.5 → keeps all rows
+    val out = StreamingQuality.gate(docs, "text", w)
+    assert(out.schema == docs.schema, "gate must not disturb the caller's schema")
+    val got = out.select("doc_id", "x", "_toks", "__graft_toks")
+      .as[(Long, Long, String, Long)].collect().toSet
+    val want = docs.select("doc_id", "x", "_toks", "__graft_toks")
+      .as[(Long, Long, String, Long)].collect().toSet
+    assert(got == want, "caller-owned x/_toks/__graft_toks values must survive the gate")
+    val err = intercept[IllegalArgumentException] {
+      StreamingQuality.withFeatures(docs, "text")
+    }
+    assert(err.getMessage.contains("x"))
+  }
+
   test("scores carry pred = score >= 0.5 and the input label") {
     val rows = Seq(
       (1L, Array(1.0, 0.0), 0.0),
