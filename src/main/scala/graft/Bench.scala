@@ -52,7 +52,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // CLAMPED to >= 3: the round-9 driver artifact reads as 1-rep and
+    // carried a ~1.5x uniform inflation that masqueraded as a regression
+    // (round-9 verdict #1) — a 1-rep bench cannot distinguish noise from
+    // a real 1.3x slowdown, so no environment setting may lower the
+    // discipline below warmed median-of-3. Higher rep counts are honored.
+    val reps = math.max(3, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -120,8 +125,10 @@ object Bench {
     val qs = medians.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = medians.map(_._2).filter(_ >= 0).sum
+    // "stat"/"reps" ride every artifact so a consumer can SEE the
+    // measurement discipline instead of inferring it from value shapes
     val json =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","stat":"median","reps":$reps,"queries":$qs,"sf":"$sfDir"}"""
     val rawHeaviestFirst = results.sortBy { case (k, raw) => -median(raw) }
       .map { case (k, raw) => "\"" + k + "\":" + raw.map(f3).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
@@ -133,7 +140,7 @@ object Bench {
     // pushing the parseable line out (this exact failure ate rounds
     // 1-6's artifacts). Per-query detail lives on stderr + the files.
     val shortJson =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","total_s":${f3(total)},"queries":${medians.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","total_s":${f3(total)},"queries":${medians.size},"stat":"median","reps":$reps,"sf":"$sfDir"}"""
     println()
     println(shortJson)
     Console.err.println(rawJson)
