@@ -458,15 +458,69 @@ object PipelineQueries {
     * [[graft.operators.LogReg]]; the DuckDB oracle unrolls the same 10
     * iterations in SQL, so scores and predictions hash-match.
     */
-  def textQualityModel(s: SparkSession, dir: String): DataFrame = {
+  /** The (doc_id, x, y) training frame shared by the TRAIN query
+    * ([[textQualityModel]]), the model-registry bootstrap behind the
+    * SERVE query ([[textQualityServe]]), and the learned flagship —
+    * one definition so the three can never drift apart.
+    */
+  private def qualityTrainingFrame(s: SparkSession, dir: String): DataFrame = {
     val st = TextAnalysis.stats(Tables.documents(s, dir), "doc_id", "text")
-    val feats = st.select(col("doc_id"),
+    st.select(col("doc_id"),
       array(lit(1.0), col("punct_ratio"), col("stop_ratio"),
         least(col("n_tokens") / 100.0, lit(1.0)),
         col("mean_tok_len") / 10.0).as("x"),
       when(col("quality") >= 0.8, 1.0).otherwise(0.0).as("y"))
-    LogReg.trainAndScore(feats, "doc_id", "x", "y",
+  }
+
+  def textQualityModel(s: SparkSession, dir: String): DataFrame =
+    LogReg.trainAndScore(qualityTrainingFrame(s, dir), "doc_id", "x", "y",
         dim = 5, iters = 10, lr = 5.0)
+      .orderBy(col("doc_id"))
+
+  /** Session-lifetime model registry backing [[textQualityServe]], keyed
+    * by sfDir: the first request trains the `text_quality_model`
+    * classifier, persists it with [[LogReg.saveModel]] under a fresh
+    * per-JVM temp root (unique per launch, so a previous session's model
+    * trained on different data can never be served stale), and every
+    * request — including the first — reads the weights back through
+    * [[LogReg.loadModel]]. This is the production hand-off shape: train
+    * once, register, serve many.
+    */
+  private lazy val modelRegistryRoot: java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("graft_model_registry")
+  private val servedModels =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def qualityModelPath(s: SparkSession, dir: String): String =
+    servedModels.computeIfAbsent(dir, _ => {
+      // materialize the narrow feature table once for the 10 training
+      // scans (the trainAndScore discipline), release before returning
+      val feats = qualityTrainingFrame(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val w = LogReg.train(feats, "x", "y", dim = 5, iters = 10, lr = 5.0)
+      feats.unpersist(blocking = false)
+      val path = modelRegistryRoot
+        .resolve(java.lang.Integer.toHexString(dir.hashCode)).toString
+      LogReg.saveModel(s, w, path)
+      path
+    })
+
+  /** The learned classifier's SERVE path (round-9 verdict #5): score the
+    * corpus with a model LOADED from the registry — no training in the
+    * scored plan, so steady-state cost is ONE feature scan plus a
+    * kilobyte model read. Emits (doc_id, score, pred) — no label column:
+    * production scoring has no labels. Because [[LogReg.saveModel]] /
+    * [[LogReg.loadModel]] round-trip doubles exactly (spec-pinned),
+    * scores are bit-identical to [[textQualityModel]]'s, and the DuckDB
+    * oracle re-derives the same weights by unrolling the 10 GD steps in
+    * SQL — model persistence is now driver-visible, not spec-only.
+    */
+  def textQualityServe(s: SparkSession, dir: String): DataFrame = {
+    val w = LogReg.loadModel(s, qualityModelPath(s, dir))
+    val score = LogReg.probability(col("x"), w)
+    qualityTrainingFrame(s, dir)
+      .select(col("doc_id"), score.as("score"),
+        (score >= 0.5).cast("long").as("pred"))
       .orderBy(col("doc_id"))
   }
 
@@ -1460,6 +1514,7 @@ object PipelineQueries {
     "mm_frame_sample" -> (mmFrameSample _),
     "text_stats" -> (textStats _),
     "text_quality_model" -> (textQualityModel _),
+    "text_quality_serve" -> (textQualityServe _),
     "text_langid" -> (textLangid _),
     "text_fingerprint" -> (textFingerprint _),
     "dedup_exact_docs" -> (dedupExactDocs _),
@@ -1622,6 +1677,19 @@ object PipelineQueries {
        |    CAST(f.y AS BIGINT) AS label
        |  FROM f CROSS JOIN w10 w)
        |SELECT doc_id, score, CAST(score >= 0.5 AS BIGINT) AS pred, label
+       |FROM sc ORDER BY doc_id""".stripMargin
+
+  /** Serve-path oracle: the same unrolled-GD weight chain, scored with
+    * no label column — save/load round-trips doubles exactly, so the
+    * served scores must equal the freshly-trained ones.
+    */
+  private lazy val textQualityServeSql = logRegCtes +
+    s"""
+       |sc AS (SELECT f.doc_id,
+       |    round(1.0 / (1.0 + exp(-round(list_sum(list_transform(range(1, 6),
+       |      j -> f.x[j] * w.w[j])), 6))), 6) AS score
+       |  FROM f CROSS JOIN w10 w)
+       |SELECT doc_id, score, CAST(score >= 0.5 AS BIGINT) AS pred
        |FROM sc ORDER BY doc_id""".stripMargin
 
   /** The learned flagship's composed oracle: classifier gate (score ≥
@@ -2624,6 +2692,7 @@ object PipelineQueries {
         |        (1.0 - stop_ratio) * 0.3, 6) AS quality
         |FROM s ORDER BY doc_id""".stripMargin,
     "text_quality_model" -> textQualityModelSql,
+    "text_quality_serve" -> textQualityServeSql,
     "text_langid" ->
       """WITH t AS (
         |  SELECT doc_id, lang, text,

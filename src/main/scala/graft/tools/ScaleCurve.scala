@@ -65,7 +65,12 @@ object ScaleCurve {
     // the mangled 2n copy doubles clusters without cross-copy pairs
     "sample_split_leaksafe",
     // the learned flagship (classifier + dedup + clusters + split)
-    "pipeline_curate_learned")
+    "pipeline_curate_learned",
+    // round-10: the ANN recall audit (post-restructure it runs each leg
+    // pipeline once over a shared severed brute table — cost ≈ sum of
+    // the legs, each individually curve-carried above; the doubled
+    // corpus uses negated embedding copies, cosine structure preserved)
+    "ann_recall_report")
 
   /** SPARK_GRAFT_SCALE_ONLY: comma-separated exact names — run a subset
     * (new-row refresh) without re-measuring the whole table.
