@@ -897,6 +897,66 @@ object PipelineQueries {
     Packing.interleaveByWeight(Tables.documents(s, dir), "doc_id", "source",
       Map("src0" -> 4.0), defaultWeight = 1.0, limit = 200)
 
+  /** SFT-style conversation assembly: each user's event history, ordered
+    * by (ts, event_id), is chunked into consecutive CONVERSATIONS of at
+    * most 16 turns — the dialogue analogue of [[packSequences]]' token
+    * budget (a context window holds a bounded number of turns, and a
+    * user's multi-day history must split into many training examples,
+    * never one unbounded sequence). Emits one row per conversation:
+    * turn count, integer-µs span, and an md5 fingerprint of the ordered
+    * event-type sequence — the content hash a downstream exact-dedup
+    * stage ([[graft.operators.Dedup.exactByHash]]) would key on.
+    *
+    * Determinism: turn order is total ((ts, event_id)), chunking is
+    * integer division on the turn index, and the fingerprint hashes a
+    * '|'-joined sequence ordered by that same index — no floats anywhere.
+    *
+    * Scale shape: ONE user-keyed window pass (the [[qEventsSessions]]
+    * shuffle) followed by a (user, conv) hash aggregation that Spark
+    * satisfies with map-side partial aggregation under the same
+    * partitioning; conversations are ≤ 16 rows by construction, so no
+    * aggregation buffer is ever unbounded. At 100 TB this is exactly the
+    * events-table sessionization cost — nothing new shuffles.
+    */
+  def packTurns(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("turn", (row_number().over(w) - 1).cast("long"))
+      .withColumn("conv_id", floor(col("turn") / 16).cast("long"))
+      .groupBy(col("user_id"), col("conv_id"))
+      .agg(count(lit(1)).as("n_turns"),
+        (max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+          .as("span_us"),
+        md5(array_join(transform(
+          sort_array(collect_list(struct(col("turn"), col("event_type")))),
+          t => t.getField("event_type")), "|")).as("types_md5"))
+      .orderBy(col("user_id"), col("conv_id"))
+  }
+
+  /** Token-budget accounting: the corpus' training-token inventory by
+    * (source, lang) with ROLLUP subtotals — the cost sheet a run plans
+    * its mixture weights and epoch budget against (how many tokens each
+    * domain contributes, and what share of the total). All-integer
+    * (token counts from the shared [[graft.functions.Text.tokens]]
+    * definition), so the rollup is hash-exact.
+    *
+    * Scale shape: one documents scan (tokenizer in a codegen projection)
+    * into a ROLLUP hash aggregation over a tiny key space — partials
+    * combine map-side, the shuffle carries (source × lang) rows only.
+    */
+  def textTokenBudget(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"), col("lang"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tok"))
+      .rollup(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_sum"))
+      .select(coalesce(col("source"), lit("ALL")).as("source"),
+        coalesce(col("lang"), lit("ALL")).as("lang"),
+        col("n_docs"), col("tok_sum"))
+      .orderBy(col("source"), col("lang"))
+
   /** The END-TO-END corpus-curation pipeline — the composition a real
     * training-data run executes, every stage one of this engine's
     * hash-green operators:
@@ -1502,6 +1562,8 @@ object PipelineQueries {
     "pipeline_curate" -> (pipelineCurate _),
     "pipeline_curate_learned" -> (pipelineCurateLearned _),
     "pack_sequences" -> (packSequences _),
+    "pack_turns" -> (packTurns _),
+    "text_token_budget" -> (textTokenBudget _),
     "sample_mix" -> (sampleMix _),
     "text_quality_rules" -> (textQualityRules _),
     "q_asof_join" -> (qAsofJoin _),
@@ -2363,6 +2425,31 @@ object PipelineQueries {
         |SELECT shard, CAST((cum - n_tok) // 4096 AS BIGINT) AS pack_id,
         |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS tok_sum, min(doc_id) AS first_doc
         |FROM c GROUP BY shard, pack_id ORDER BY shard, pack_id""".stripMargin,
+    // conversation chunking is all-integer (total turn order, integer
+    // division); the fingerprint hashes the same '|'-joined type
+    // sequence both engines build in turn order
+    "pack_turns" ->
+      """WITH t AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      - 1 AS turn
+        |  FROM events)
+        |SELECT user_id, CAST(turn // 16 AS BIGINT) AS conv_id,
+        |  count(*) AS n_turns,
+        |  max(epoch_us(ts)) - min(epoch_us(ts)) AS span_us,
+        |  md5(string_agg(event_type, '|' ORDER BY turn)) AS types_md5
+        |FROM t GROUP BY user_id, CAST(turn // 16 AS BIGINT)
+        |ORDER BY user_id, conv_id""".stripMargin,
+    "text_token_budget" ->
+      """WITH t AS (
+        |  SELECT source, lang,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x != '')) AS BIGINT) AS n_tok
+        |  FROM documents)
+        |SELECT coalesce(source, 'ALL') AS source, coalesce(lang, 'ALL') AS lang,
+        |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS tok_sum
+        |FROM t GROUP BY ROLLUP(source, lang)
+        |ORDER BY source, lang""".stripMargin,
     // mix position = rank / weight, one IEEE division of exacts; weight
     // literals in e0 form (bare 4.0 parses as DECIMAL in DuckDB)
     "sample_mix" ->

@@ -109,29 +109,49 @@ object StreamingNearDedup extends Serializable {
     fp
   }
 
+  /** Stage 1 alone (stateless): per-doc SimHash + 4-way banding. Exposed
+    * so `StreamBench` can meter the fingerprint/fan-out cost in isolation
+    * from the stateful stages.
+    */
+  def banded(docs: Dataset[NearDupDoc]): Dataset[BandRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.flatMap { d =>
+      val fp = simhash64(d.text)
+      (0 until 4).map { band =>
+        val chunk = (fp >>> (16 * band)) & 0xFFFFL
+        BandRow((band.toLong << 16) | chunk, d.doc_id, d.ts, fp,
+          new java.sql.Timestamp(d.ts))
+      }
+    }
+  }
+
+  /** Stages 1–2: banding plus the bucket-keyed grace-buffer/retained-
+    * horizon compare, without the final doc-keyed combine. Exposed for
+    * stage-isolated throughput metering.
+    */
+  def bandVerdicts(docs: Dataset[NearDupDoc], graceMs: Long, retainMs: Long,
+      maxDist: Int = 3): Dataset[BandVerdict] = {
+    require(maxDist <= 3, "4x16-bit banding guarantees recall only for distance <= 3")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    banded(docs)
+      .withWatermark("event_time", s"$graceMs milliseconds")
+      .groupByKey(_.bucket)
+      .transformWithState(
+        new NearDupProcessor(graceMs, retainMs, maxDist),
+        "event_time", OutputMode.Append)
+  }
+
   /** The full streaming dedup: docs in, (doc_id, ts, keep, dup_of) out.
     * `graceMs` is the reorder window (disorder bound), `retainMs` the
     * dedup history horizon.
     */
   def nearDedup(docs: Dataset[NearDupDoc], graceMs: Long, retainMs: Long,
       maxDist: Int = 3): DataFrame = {
-    require(maxDist <= 3, "4x16-bit banding guarantees recall only for distance <= 3")
     val spark = docs.sparkSession
     import spark.implicits._
-    docs
-      .flatMap { d =>
-        val fp = simhash64(d.text)
-        (0 until 4).map { band =>
-          val chunk = (fp >>> (16 * band)) & 0xFFFFL
-          BandRow((band.toLong << 16) | chunk, d.doc_id, d.ts, fp,
-            new java.sql.Timestamp(d.ts))
-        }
-      }
-      .withWatermark("event_time", s"$graceMs milliseconds")
-      .groupByKey(_.bucket)
-      .transformWithState(
-        new NearDupProcessor(graceMs, retainMs, maxDist),
-        "event_time", OutputMode.Append)
+    bandVerdicts(docs, graceMs, retainMs, maxDist)
       // combine the four band verdicts by KEY, not by window: a doc's
       // buckets flush on independent timers, possibly in different
       // micro-batches, so a timestamp-window join would split them —

@@ -185,6 +185,15 @@ object StreamBench {
     * compares grow with bucket occupancy.
     *
     * Run: SPARK_GRAFT_NEARDEDUP=1 runMain graft.tools.StreamBench
+    *
+    * SPARK_GRAFT_NEARDEDUP_MODE isolates pipeline stages so the
+    * bottleneck can be NAMED rather than guessed (round-9 verdict #8):
+    *  - `full` (default): the production two-stage pipeline;
+    *  - `bands`: stop after the bucket-keyed compare (no doc combine);
+    *  - `stage1`: the stateless SimHash+banding flatMap only.
+    * `full`/`bands` also report per-stateful-operator time sums from the
+    * streaming progress (updates/removals/commit ms), which attribute
+    * wall time to a STAGE directly instead of by subtraction.
     */
   private def nearDedupBench(spark: SparkSession, sfDir: String,
       batchSize: Int): Unit = {
@@ -193,6 +202,7 @@ object StreamBench {
     import graft.streaming.StreamingNearDedup
     import graft.streaming.StreamingNearDedup.NearDupDoc
     val copies = sys.env.getOrElse("SPARK_GRAFT_DEDUP_COPIES", "20").toInt
+    val mode = sys.env.getOrElse("SPARK_GRAFT_NEARDEDUP_MODE", "full")
     val texts = graft.Tables.documents(spark, sfDir)
       .select($"doc_id", $"text").as[(Long, String)].collect()
     val base = 1700000000000L
@@ -205,8 +215,14 @@ object StreamBench {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val input = MemoryStream[NearDupDoc]
-    val q = StreamingNearDedup.nearDedup(input.toDS(), graceMs,
-      retainMs = 86400000L)
+    val pipeline = mode match {
+      case "stage1" => StreamingNearDedup.banded(input.toDS()).toDF()
+      case "bands" => StreamingNearDedup.bandVerdicts(input.toDS(), graceMs,
+        retainMs = 86400000L).toDF()
+      case _ => StreamingNearDedup.nearDedup(input.toDS(), graceMs,
+        retainMs = 86400000L)
+    }
+    val q = pipeline
       .writeStream.format("memory").queryName("sb_neardedup")
       .outputMode(OutputMode.Append).start()
     val t0 = System.nanoTime()
@@ -221,11 +237,25 @@ object StreamBench {
     val secs = (System.nanoTime() - t0) / 1e9
     val out = spark.table("sb_neardedup")
     val emitted = out.count()
-    val dups = out.filter(!org.apache.spark.sql.functions.col("keep")).count()
+    val dups =
+      if (mode == "full") out.filter(!org.apache.spark.sql.functions.col("keep")).count()
+      else 0L
+    // per-stateful-operator attribution: operator 0 is the LAST stage in
+    // the plan (combine in full mode), the bucket compare follows
+    val opTimes = q.recentProgress.toSeq
+      .flatMap(p => Option(p.stateOperators).toSeq.flatten.zipWithIndex)
+      .groupBy(_._2).toSeq.sortBy(_._1)
+      .map { case (i, ps) =>
+        val upd = ps.map(_._1.allUpdatesTimeMs).sum
+        val rem = ps.map(_._1.allRemovalsTimeMs).sum
+        val com = ps.map(_._1.commitTimeMs).sum
+        s""""op$i":{"updates_ms":$upd,"removals_ms":$rem,"commit_ms":$com}"""
+      }.mkString("{", ",", "}")
     q.stop()
-    println(f"""{"metric":"stream_neardedup_throughput","batch":$batchSize,""" +
+    println(f"""{"metric":"stream_neardedup_throughput","mode":"$mode","batch":$batchSize,""" +
       f""""docs_in":${docs.length},"verdicts_out":$emitted,"dups":$dups,""" +
-      f""""sec":$secs%.2f,"records_per_sec":${(docs.length / secs).toLong}}""")
+      f""""sec":$secs%.2f,"records_per_sec":${(docs.length / secs).toLong},""" +
+      f""""state_ops":$opTimes}""")
   }
 
   def main(args: Array[String]): Unit = {
