@@ -256,35 +256,69 @@ object Similarity {
   // --------------------------------------------------------- IVF path
 
   /** Spherical k-means centroids trained on a BOUNDED deterministic
-    * sample (nlist*8 rows in `xxhash64(id)` order) — the standard IVF
-    * practice: the training set stays driver-sized no matter the corpus
-    * size, while assignment below remains a single distributed pass.
-    * Ordering by the id HASH rather than the id itself keeps the sample
-    * deterministic while avoiding prefix bias: raw ids frequently encode
-    * source or ingestion time, so a first-N-by-id sample would train
-    * centroids on one corner of the corpus (id as tiebreak for the
+    * sample (nlist*8 rows in `md5('ivfsample:' || id)` order) — the
+    * standard IVF practice: the training set stays driver-sized no matter
+    * the corpus size, while assignment below remains a single distributed
+    * pass. Ordering by an id HASH rather than the id itself keeps the
+    * sample deterministic while avoiding prefix bias: raw ids frequently
+    * encode source or ingestion time, so a first-N-by-id sample would
+    * train centroids on one corner of the corpus (id as tiebreak for the
     * astronomically-unlikely hash collision).
+    *
+    * Determinism contract (round 10 — the `dedup_simhash`/`ann_topk_lsh`
+    * md5 recipe plus the [[KMeans]] rounding recipe, applied so a SQL
+    * oracle can replay TRAINING, not just serving):
+    *  - the sample key is md5 of a string both engines render identically
+    *    (previously `xxhash64`, which DuckDB cannot compute);
+    *  - every stored coordinate (normalized sample vectors, every updated
+    *    centroid) is rounded to 6 dp after one shared IEEE op sequence
+    *    (sequential squared-norm fold → sqrt → divide);
+    *  - assignment argmax compares dots ROUNDED to 6 dp with ties to the
+    *    lowest cell, via an explicit IEEE `>` loop (so -0.0 == 0.0,
+    *    matching SQL comparison semantics, where a tuple-Ordering maxBy
+    *    would order -0.0 below 0.0);
+    *  - per-dim member means are exact DECIMAL(30,15) sums (the LogReg
+    *    gradient discipline — order-independent, so DuckDB's unordered
+    *    GROUP BY sum reproduces the driver's fold) divided by the count
+    *    in one IEEE op.
     */
-  private def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-      nlist: Int): Seq[Seq[Double]] = {
+  private[operators] def trainCentroids(corpus: DataFrame, idCol: String,
+      vecCol: String, nlist: Int): Seq[Seq[Double]] = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    def normalize(v: Array[Double]): Array[Double] = {
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def normalize6(v: Array[Double]): Array[Double] = {
       val n = math.sqrt(v.map(x => x * x).sum)
-      if (n == 0) v else v.map(_ / n)
+      if (n == 0) v else v.map(x => round6(x / n))
     }
-    val sample = corpus.orderBy(xxhash64(col(idCol)), col(idCol)).limit(nlist * 8)
+    val sample = corpus
+      .orderBy(md5(concat(lit("ivfsample:"), col(idCol).cast("string"))), col(idCol))
+      .limit(nlist * 8)
       .select(col(vecCol)).as[Array[Float]].collect()
-      .map(v => normalize(v.map(_.toDouble)))
+      .map(v => normalize6(v.map(_.toDouble)))
     var cents = sample.take(nlist)
     for (_ <- 0 until 5) {
-      val assign = sample.map(v => cents.zipWithIndex.maxBy { case (c, i) =>
-        (c.zip(v).map { case (a, b) => a * b }.sum, -i)
-      }._2)
+      val assign = sample.map { v =>
+        var bestI = 0
+        var bestD = Double.NegativeInfinity
+        var i = 0
+        while (i < cents.length) {
+          val d = round6(cents(i).zip(v).map { case (a, b) => a * b }.sum)
+          if (d > bestD) { bestD = d; bestI = i }
+          i += 1
+        }
+        bestI
+      }
       cents = cents.indices.map { i =>
         val members = sample.zip(assign).collect { case (v, a) if a == i => v }
         if (members.isEmpty) cents(i)
-        else normalize(members.transpose.map(_.sum / members.length).toArray)
+        else {
+          val mean = members.transpose.map(ds =>
+            ds.map(BigDecimal(_).setScale(15, BigDecimal.RoundingMode.HALF_UP))
+              .sum.toDouble / members.length).toArray
+          normalize6(mean)
+        }
       }.toArray
     }
     cents.map(_.toSeq).toSeq
@@ -313,8 +347,11 @@ object Similarity {
   private def assignCells(corpus: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[Seq[Double]]): DataFrame = {
     val cents = typedlit(centroids)
+    // dot rounded to 6 dp before the argmax (first-max tiebreak = lowest
+    // cell) — the trainCentroids determinism contract applied to serving,
+    // so an independent engine reproduces every cell id
     def bestCell(vec: Column): Column = {
-      val scores = transform(cents, c => VectorOps.dot(c, vec))
+      val scores = transform(cents, c => round(VectorOps.dot(c, vec), 6))
       array_position(scores, array_max(scores))
     }
     // _cell derives from the ALIASED _cv, not the raw vecCol attribute:
@@ -399,7 +436,9 @@ object Similarity {
   def queryIvf(index: IvfIndex, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nprobe: Int = 4): DataFrame = {
     val cents = typedlit(index.centroids)
-    def cellScores(vec: Column): Column = transform(cents, c => VectorOps.dot(c, vec))
+    // rounded like assignCells' bestCell, so probe ranking is replayable
+    def cellScores(vec: Column): Column =
+      transform(cents, c => round(VectorOps.dot(c, vec), 6))
     val wq = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("_score").desc, col("_cell"))
     val qProbes = queries

@@ -1731,6 +1731,78 @@ object PipelineQueries {
        |$iterBlocks""".stripMargin
   }
 
+  /** One unrolled spherical-k-means iteration for the IVF-training
+    * oracle: assign each sample vector to its max-rounded-dot cell (ties
+    * → lowest cell, via max over [dot, -cell]), recompute each cell's
+    * member mean per dim as an exact DECIMAL(30,15) sum ÷ count, then
+    * re-normalize and round to 6 dp — the
+    * [[graft.operators.Similarity.trainCentroids]] contract, step for
+    * step. Empty cells keep their previous centroid via the LEFT JOIN
+    * coalesce (the emb_kmeans recipe).
+    */
+  private def ivfIterSql(i: Int): String = {
+    val prev = s"c${i - 1}"
+    s"""a$i AS (SELECT sn.sid,
+       |    CAST(-max([round(list_dot_product(c.c, sn.nv), 6),
+       |               -CAST(c.cell AS DOUBLE)])[2] AS BIGINT) AS cell,
+       |    any_value(sn.nv) AS nv
+       |  FROM sn CROSS JOIN $prev c GROUP BY sn.sid),
+       |m${i}x AS (SELECT cell, unnest(range(1, len(nv) + 1)) AS j, nv FROM a$i),
+       |m$i AS (SELECT cell, j,
+       |    CAST(sum(CAST(nv[j] AS DECIMAL(30,15))) AS DOUBLE) / count(*) AS mv
+       |  FROM m${i}x GROUP BY cell, j),
+       |mm$i AS (SELECT cell, list(mv ORDER BY j) AS m FROM m$i GROUP BY cell),
+       |c$i AS (SELECT $prev.cell,
+       |    coalesce(list_transform(u.m,
+       |      x -> round(x / sqrt(list_dot_product(u.m, u.m)), 6)), $prev.c) AS c
+       |  FROM $prev LEFT JOIN mm$i u USING (cell)),""".stripMargin
+  }
+
+  /** `ann_topk_ivf` graduated to a FULL hash oracle (round 10 — the
+    * `ann_topk_lsh` md5 recipe extended from serving to TRAINING):
+    * DuckDB re-derives the md5-ordered 128-vector sample, replays the 5
+    * spherical-k-means iterations under the trainCentroids determinism
+    * contract (6 dp rounded dots/coordinates, exact-decimal member
+    * means), assigns the whole corpus to cells, ranks and probes the
+    * top-4 cells per query, and exact-reranks — so centroid training,
+    * cell assignment, probe pruning, and the final top-k all
+    * hash-match the Spark pipeline.
+    */
+  private lazy val annTopkIvfSql: String = {
+    val iterBlocks = (1 to 5).map(ivfIterSql).mkString("\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |smp AS (SELECT vec_id, v,
+       |    row_number() OVER (ORDER BY md5('ivfsample:' || CAST(vec_id AS VARCHAR)), vec_id) AS rn
+       |  FROM e ORDER BY md5('ivfsample:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 128),
+       |sn AS (SELECT rn - 1 AS sid,
+       |    list_transform(v, x -> round(x / sqrt(list_dot_product(v, v)), 6)) AS nv
+       |  FROM smp),
+       |c0 AS (SELECT sid + 1 AS cell, nv AS c FROM sn WHERE sid < 16),
+       |$iterBlocks
+       |asg AS (SELECT e.vec_id,
+       |    CAST(-max([round(list_dot_product(c.c, e.v), 6),
+       |               -CAST(c.cell AS DOUBLE)])[2] AS BIGINT) AS cell,
+       |    any_value(e.v) AS v
+       |  FROM e CROSS JOIN c5 c GROUP BY e.vec_id),
+       |q AS (SELECT * FROM e WHERE vec_id < 10),
+       |qs AS (SELECT q.vec_id AS query_id, q.v AS qv, c.cell,
+       |    round(list_dot_product(c.c, q.v), 6) AS sc
+       |  FROM q CROSS JOIN c5 c),
+       |qp AS (SELECT query_id, qv, cell FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY sc DESC, cell) AS pr FROM qs) t
+       |  WHERE pr <= 4),
+       |scored AS (SELECT qp.query_id, a.vec_id AS neighbor_id,
+       |    round(list_dot_product(qp.qv, a.v) /
+       |      (sqrt(list_dot_product(qp.qv, qp.qv)) * sqrt(list_dot_product(a.v, a.v))), 6) AS cosine
+       |  FROM qp JOIN asg a ON a.cell = qp.cell AND a.vec_id != qp.query_id),
+       |r AS (SELECT *, row_number() OVER (
+       |        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+       |      FROM scored)
+       |SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, cosine
+       |FROM r WHERE rnk <= $AnnK ORDER BY query_id, rank""".stripMargin
+  }
+
   private lazy val textQualityModelSql = logRegCtes +
     s"""
        |sc AS (SELECT f.doc_id,
@@ -2760,6 +2832,7 @@ object PipelineQueries {
          |      FROM scored)
          |SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, cosine
          |FROM r WHERE rnk <= $AnnK ORDER BY query_id, rank""".stripMargin,
+    "ann_topk_ivf" -> annTopkIvfSql,
     "text_stats" ->
       """WITH t AS (
         |  SELECT doc_id, text,
