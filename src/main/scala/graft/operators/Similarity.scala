@@ -43,6 +43,31 @@ object Similarity {
         col("_e.id").as("neighbor_id"), col("_e.score").as("cosine"))
       .orderBy(col("query_id"), col("rank"))
 
+  /** Hard-negative mining for contrastive/embedding training: from each
+    * query's `(query_id, rank, neighbor_id, cosine)` top-k candidates —
+    * the output shape of [[bruteTopK]] and every approximate leg here —
+    * drop neighbors at or above the near-duplicate threshold `tau`
+    * (those are positives/copies, not negatives) and re-rank the
+    * survivors, keeping the `k` highest-scoring per query: the
+    * most-confusable non-duplicates, exactly the negatives a contrastive
+    * objective learns most from.
+    *
+    * Composability is the point of taking the SCORED FRAME rather than
+    * (queries, corpus): at 100 TB the candidate source is an ANN leg
+    * ([[queryIvf]]/[[queryIvfPq]] over a persisted index), while tests
+    * and the oracle feed [[bruteTopK]] — the mining step itself is
+    * identical and adds no scan of either corpus. Scale shape: the input
+    * is |queries| × kCand rows by construction, so the filter is a
+    * projection and the re-rank a bounded [[TopKByScore]] heap over an
+    * already-small frame; nothing corpus-sized moves.
+    */
+  def hardNegatives(topk: DataFrame, k: Int, tau: Double): DataFrame =
+    rankTopK(
+      topk.filter(col("cosine") < tau)
+        .select(col("query_id"), col("neighbor_id").as("_cid"),
+          col("cosine").as("_score")),
+      k)
+
   // ------------------------------------------------- hyperplane LSH path
 
   /** Deterministic Gaussian hyperplanes: `tables * bits` planes of `dim`
@@ -554,29 +579,63 @@ object Similarity {
 
   /** Product-quantization codebooks (Jégou et al. 2011): the `dim`-dim
     * space splits into `m` subspaces of dim/m dims; each subspace gets
-    * `ksub` centroids k-means-trained (Euclidean) on the same bounded
-    * hash-ordered sample discipline as [[trainCentroids]] — driver-sized
-    * training regardless of corpus size.
+    * `ksub` centroids k-means-trained on the same bounded hash-ordered
+    * sample discipline as [[trainCentroids]] — driver-sized training
+    * regardless of corpus size.
+    *
+    * Determinism contract (round 10 — the [[trainCentroids]] recipe,
+    * adapted to the Euclidean/unnormalized subspace geometry so a SQL
+    * oracle can replay codebook TRAINING as well as encoding):
+    *  - the sample key is `md5('pqsample:' || id)` (both engines render
+    *    the same string and parse the same hex);
+    *  - assignment uses the SAME identity the serve-side [[PqCoder]]
+    *    encoder uses — argmin ‖x−c‖² = argmax (c·x − ½‖c‖²) — with the
+    *    score rounded to 6 dp and ties to the lowest centroid via an
+    *    explicit IEEE `>` loop, so training and encoding share one
+    *    replayable op sequence (c·x and ‖c‖² are sequential folds,
+    *    matching both the codegen [[graft.functions.DotProduct]] and
+    *    DuckDB's `list_dot_product`);
+    *  - per-dim member means are exact DECIMAL(30,15) sums
+    *    (order-independent; double→decimal tie rounding is
+    *    half-away-from-zero on Scala, Spark, and DuckDB alike) divided
+    *    by the count in one IEEE op, then rounded to 6 dp before being
+    *    stored — every post-init centroid coordinate is a 6 dp value.
     */
   private def trainPqCodebooks(corpus: DataFrame, idCol: String,
       vecCol: String, dim: Int, m: Int, ksub: Int): Seq[Seq[Seq[Double]]] = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val d0 = dim / m
-    val sample = corpus.orderBy(xxhash64(col(idCol)), col(idCol)).limit(ksub * 32)
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val sample = corpus
+      .orderBy(md5(concat(lit("pqsample:"), col(idCol).cast("string"))), col(idCol))
+      .limit(ksub * 32)
       .select(col(vecCol)).as[Array[Float]].collect()
       .map(_.map(_.toDouble))
     (0 until m).map { j =>
       val sub = sample.map(_.slice(j * d0, (j + 1) * d0))
       var cents = sub.take(ksub)
       for (_ <- 0 until 5) {
-        val assign = sub.map(v => cents.zipWithIndex.minBy { case (c, i) =>
-          (c.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum, i)
-        }._2)
+        val assign = sub.map { v =>
+          var bestI = 0
+          var bestS = Double.NegativeInfinity
+          var i = 0
+          while (i < cents.length) {
+            val c = cents(i)
+            val s = round6(c.zip(v).map { case (a, b) => a * b }.sum -
+              0.5 * c.map(x => x * x).sum)
+            if (s > bestS) { bestS = s; bestI = i }
+            i += 1
+          }
+          bestI
+        }
         cents = cents.indices.map { i =>
           val mem = sub.zip(assign).collect { case (v, a) if a == i => v }
           if (mem.isEmpty) cents(i)
-          else mem.transpose.map(_.sum / mem.length).toArray
+          else mem.transpose.map(ds => round6(
+            ds.map(BigDecimal(_).setScale(15, BigDecimal.RoundingMode.HALF_UP))
+              .sum.toDouble / mem.length)).toArray
         }.toArray
       }
       cents.map(_.toSeq).toSeq
@@ -606,10 +665,13 @@ object Similarity {
     */
   private[operators] final case class PqCoder(cb: Column, bias: Column, m: Int, d0: Int) {
     private def subv(vec: Column, j: Int): Column = slice(vec, j * d0 + 1, d0)
-    // argmin ||x_j - c||^2 = argmax (c . x_j - 0.5||c||^2); 1-based code
+    // argmin ||x_j - c||^2 = argmax (c . x_j - 0.5||c||^2); 1-based code.
+    // Score rounded to 6 dp before the argmax (first-max tiebreak =
+    // lowest centroid) — the trainPqCodebooks determinism contract
+    // applied to encoding, so an independent engine reproduces every code
     def codes(vec: Column): Column = array((0 until m).map { j =>
       val scores = zip_with(cb.getItem(j), bias.getItem(j),
-        (c, b) => VectorOps.dot(c, subv(vec, j)) - b)
+        (c, b) => round(VectorOps.dot(c, subv(vec, j)) - b, 6))
       array_position(scores, array_max(scores)).cast("int")
     }: _*)
     def lut(vec: Column): Column = array((0 until m).map(j =>
@@ -719,7 +781,9 @@ object Similarity {
     val qProbes = materializeSevered(queries
       .select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
         VectorOps.norm(col(vecCol)).as("_qn"),
-        posexplode(transform(cents, c => VectorOps.dot(c, col(vecCol))))
+        // dot rounded to 6 dp like [[queryIvf]], so probe ranking is
+        // replayable by an independent engine
+        posexplode(transform(cents, c => round(VectorOps.dot(c, col(vecCol)), 6)))
           .as(Seq("_cell0", "_score")))
       .withColumn("_cell", col("_cell0") + 1)
       .withColumn("_rn", row_number().over(wq))

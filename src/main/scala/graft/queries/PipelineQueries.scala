@@ -143,6 +143,21 @@ object PipelineQueries {
     Similarity.ivfPqTopK(annQueries(s, dir), Tables.embeddings(s, dir),
       "vec_id", "embedding", AnnK, AnnDim)
 
+  /** Hard-negative mining for contrastive training, registered over the
+    * exact leg so the whole pipeline carries a hash oracle: each query's
+    * top-4k brute candidates, minus everything at or above the corpus's
+    * near-duplicate threshold ([[CosTau]] — those are positives/copies),
+    * re-ranked to the k most-confusable true negatives. At 100 TB the
+    * same [[graft.operators.Similarity.hardNegatives]] step composes
+    * over [[graft.operators.Similarity.queryIvf]]/`queryIvfPq` output
+    * from a persisted index — the mining adds no corpus scan either way.
+    */
+  def mineHardNegatives(s: SparkSession, dir: String): DataFrame =
+    Similarity.hardNegatives(
+      Similarity.bruteTopK(annQueries(s, dir), Tables.embeddings(s, dir),
+        "vec_id", "embedding", 4 * AnnK),
+      AnnK, CosTau)
+
   /** Driver-visible ANN quality report: every approximate top-k leg
     * measured against [[annTopkBrute]] on the same queries, one row per
     * leg — `(leg, k, recall_floor, recall_pct)`. The floors are the
@@ -1595,6 +1610,7 @@ object PipelineQueries {
     "ann_topk_pca" -> (annTopkPca _),
     "ann_topk_pq" -> (annTopkPq _),
     "ann_topk_ivfpq" -> (annTopkIvfPq _),
+    "mine_hard_negatives" -> (mineHardNegatives _),
     "ann_recall_report" -> (annRecallReport _),
     "sketch_rollup" -> (sketchRollup _),
     "sketch_overlap" -> (sketchOverlap _),
@@ -1768,10 +1784,14 @@ object PipelineQueries {
     * cell assignment, probe pruning, and the final top-k all
     * hash-match the Spark pipeline.
     */
-  private lazy val annTopkIvfSql: String = {
+  /** IVF training + whole-corpus cell assignment CTE block (ends with a
+    * trailing comma) — shared by the `ann_topk_ivf` and `ann_topk_ivfpq`
+    * oracles, which serve different payloads (raw vectors vs PQ codes)
+    * off the same trained cells.
+    */
+  private lazy val ivfTrainAsgCtes: String = {
     val iterBlocks = (1 to 5).map(ivfIterSql).mkString("\n")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |smp AS (SELECT vec_id, v,
+    s"""smp AS (SELECT vec_id, v,
        |    row_number() OVER (ORDER BY md5('ivfsample:' || CAST(vec_id AS VARCHAR)), vec_id) AS rn
        |  FROM e ORDER BY md5('ivfsample:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 128),
        |sn AS (SELECT rn - 1 AS sid,
@@ -1783,7 +1803,12 @@ object PipelineQueries {
        |    CAST(-max([round(list_dot_product(c.c, e.v), 6),
        |               -CAST(c.cell AS DOUBLE)])[2] AS BIGINT) AS cell,
        |    any_value(e.v) AS v
-       |  FROM e CROSS JOIN c5 c GROUP BY e.vec_id),
+       |  FROM e CROSS JOIN c5 c GROUP BY e.vec_id),""".stripMargin
+  }
+
+  private lazy val annTopkIvfSql: String = {
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |$ivfTrainAsgCtes
        |q AS (SELECT * FROM e WHERE vec_id < 10),
        |qs AS (SELECT q.vec_id AS query_id, q.v AS qv, c.cell,
        |    round(list_dot_product(c.c, q.v), 6) AS sc
@@ -1802,6 +1827,129 @@ object PipelineQueries {
        |SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, cosine
        |FROM r WHERE rnk <= $AnnK ORDER BY query_id, rank""".stripMargin
   }
+
+  /** One unrolled PQ-codebook k-means iteration (all `m` subspaces at
+    * once, keyed by `j`): assign each sample subvector to its
+    * max-rounded-score centroid under the shared encoder identity
+    * argmin ‖x−c‖² = argmax (c·x − ½‖c‖²) (ties → lowest centroid via
+    * max over [score, -cell]), recompute each centroid as the exact
+    * DECIMAL(30,15) member mean per dim rounded to 6 dp — the
+    * [[graft.operators.Similarity]] `trainPqCodebooks` contract, step
+    * for step. Empty cells keep their previous centroid via the LEFT
+    * JOIN coalesce.
+    */
+  private def pqIterSql(i: Int): String = {
+    val prev = s"p${i - 1}"
+    s"""pa$i AS (SELECT s.j, s.sid,
+       |    CAST(-max([round(list_dot_product(c.c, s.sv) - 0.5e0 * list_dot_product(c.c, c.c), 6),
+       |               -CAST(c.cell AS DOUBLE)])[2] AS BIGINT) AS cell,
+       |    any_value(s.sv) AS sv
+       |  FROM sv s JOIN $prev c ON c.j = s.j GROUP BY s.j, s.sid),
+       |pm${i}x AS (SELECT j, cell, unnest(range(1, len(sv) + 1)) AS d, sv FROM pa$i),
+       |pm$i AS (SELECT j, cell, d,
+       |    round(CAST(sum(CAST(sv[d] AS DECIMAL(30,15))) AS DOUBLE) / count(*), 6) AS mv
+       |  FROM pm${i}x GROUP BY j, cell, d),
+       |pmm$i AS (SELECT j, cell, list(mv ORDER BY d) AS mx FROM pm$i GROUP BY j, cell),
+       |p$i AS (SELECT p.j, p.cell, coalesce(u.mx, p.c) AS c
+       |  FROM $prev p LEFT JOIN pmm$i u ON u.j = p.j AND u.cell = p.cell),""".stripMargin
+  }
+
+  /** `ann_topk_pq` graduated to a FULL hash oracle (round 10 — the
+    * `ann_topk_ivf` trainer-replay recipe on the Euclidean subspace
+    * geometry): DuckDB re-derives the md5-ordered 1024-vector sample,
+    * splits it into the 16 4-dim subspaces, replays 5 k-means
+    * iterations per subspace under the trainPqCodebooks determinism
+    * contract, encodes the whole corpus as 16 centroid codes via the
+    * same rounded argmax identity the Spark encoder uses, then scores
+    * every (query, candidate) pair by asymmetric distance — the
+    * candidate's code centroids dotted with the query subvectors,
+    * summed in subspace order (the left-assoc `pl[1]+…+pl[16]` mirrors
+    * the encoder's sequential reduce) — so codebook training, corpus
+    * encoding, and ADC scoring all hash-match the Spark pipeline.
+    */
+  /** PQ codebook training + whole-corpus encoding CTE block (ends with a
+    * trailing comma) — shared by the `ann_topk_pq` and `ann_topk_ivfpq`
+    * oracles. Emits `cc` = (vec_id, j, centroid) — each corpus vector's
+    * code centroid per subspace, the decoded form ADC scoring reads.
+    */
+  private lazy val pqCodesCtes: String = {
+    val iterBlocks = (1 to 5).map(pqIterSql).mkString("\n")
+    s"""js AS (SELECT unnest(range(16)) AS j),
+       |psmp AS (SELECT v, row_number() OVER (ORDER BY md5('pqsample:' || CAST(vec_id AS VARCHAR)), vec_id) AS rn
+       |  FROM e ORDER BY md5('pqsample:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 1024),
+       |sv AS (SELECT psmp.rn - 1 AS sid, js.j, psmp.v[js.j * 4 + 1 : js.j * 4 + 4] AS sv
+       |  FROM psmp CROSS JOIN js),
+       |p0 AS (SELECT j, sid + 1 AS cell, sv AS c FROM sv WHERE sid < 32),
+       |$iterBlocks
+       |esv AS (SELECT e.vec_id, js.j, e.v[js.j * 4 + 1 : js.j * 4 + 4] AS sv FROM e CROSS JOIN js),
+       |codes AS (SELECT s.vec_id, s.j,
+       |    CAST(-max([round(list_dot_product(c.c, s.sv) - 0.5e0 * list_dot_product(c.c, c.c), 6),
+       |               -CAST(c.cell AS DOUBLE)])[2] AS BIGINT) AS code
+       |  FROM esv s JOIN p5 c ON c.j = s.j GROUP BY s.vec_id, s.j),
+       |cc AS (SELECT co.vec_id, co.j, p.c FROM codes co JOIN p5 p ON p.j = co.j AND p.cell = co.code),""".stripMargin
+  }
+
+  /** ADC scoring + final ranking CTE tail shared by the `ann_topk_pq`
+    * and `ann_topk_ivfpq` oracles: `part` must bind (query_id, nid, j,
+    * pv) — the per-subspace lookup values of each surviving candidate —
+    * upstream; this block sums them in subspace order (left-assoc
+    * `pl[1]+…+pl[16]`, mirroring the encoder's sequential reduce),
+    * normalizes by both norms, rounds to 6 dp, and takes top-k.
+    */
+  private lazy val pqAdcRankSql: String = {
+    val adcSum = (1 to 16).map(i => s"pl[$i]").mkString(" + ")
+    s"""padc AS (SELECT query_id, nid, list(pv ORDER BY j) AS pl FROM part GROUP BY query_id, nid),
+       |scored AS (SELECT padc.query_id, padc.nid AS neighbor_id,
+       |    round(($adcSum) / (q2.qn * cn.n), 6) AS cosine
+       |  FROM padc JOIN q q2 ON q2.query_id = padc.query_id JOIN cn ON cn.vec_id = padc.nid),
+       |r AS (SELECT *, row_number() OVER (
+       |        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+       |      FROM scored)
+       |SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, cosine
+       |FROM r WHERE rnk <= $AnnK ORDER BY query_id, rank""".stripMargin
+  }
+
+  private lazy val annTopkPqSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |$pqCodesCtes
+       |cn AS (SELECT vec_id, sqrt(list_dot_product(v, v)) AS n FROM e),
+       |q AS (SELECT vec_id AS query_id, v, sqrt(list_dot_product(v, v)) AS qn FROM e WHERE vec_id < 10),
+       |qsv AS (SELECT q.query_id, js.j, q.v[js.j * 4 + 1 : js.j * 4 + 4] AS sv FROM q CROSS JOIN js),
+       |part AS (SELECT qsv.query_id, cc.vec_id AS nid, qsv.j,
+       |    list_dot_product(cc.c, qsv.sv) AS pv
+       |  FROM qsv JOIN cc ON cc.j = qsv.j AND cc.vec_id != qsv.query_id),
+       |$pqAdcRankSql""".stripMargin
+
+  /** `ann_topk_ivfpq` graduated to a FULL hash oracle (round 10): the
+    * composed index's oracle is literally the composition of its two
+    * parents' oracles — the IVF block trains coarse centroids and
+    * assigns every corpus vector a cell, the PQ block trains codebooks
+    * and encodes every corpus vector as code centroids, the probe block
+    * ranks cells per query by the same 6 dp-rounded dot the Spark probe
+    * uses and keeps nprobe=4, and ADC scoring runs only over candidates
+    * whose cell was probed. Every stage — both trainers, both corpus
+    * passes, probe pruning, ADC ranking — hash-matches Spark.
+    */
+  private lazy val annTopkIvfPqSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |$ivfTrainAsgCtes
+       |$pqCodesCtes
+       |cn AS (SELECT vec_id, sqrt(list_dot_product(v, v)) AS n FROM e),
+       |q AS (SELECT vec_id AS query_id, v, sqrt(list_dot_product(v, v)) AS qn FROM e WHERE vec_id < 10),
+       |qs AS (SELECT q.query_id, q.v AS qv, c.cell,
+       |    round(list_dot_product(c.c, q.v), 6) AS sc
+       |  FROM q CROSS JOIN c5 c),
+       |qp AS (SELECT query_id, cell FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY sc DESC, cell) AS pr FROM qs) t
+       |  WHERE pr <= 4),
+       |qsv AS (SELECT q.query_id, js.j, q.v[js.j * 4 + 1 : js.j * 4 + 4] AS sv FROM q CROSS JOIN js),
+       |part AS (SELECT qp.query_id, a.vec_id AS nid, cc.j,
+       |    list_dot_product(cc.c, qsv.sv) AS pv
+       |  FROM qp JOIN asg a ON a.cell = qp.cell AND a.vec_id != qp.query_id
+       |  JOIN cc ON cc.vec_id = a.vec_id
+       |  JOIN qsv ON qsv.query_id = qp.query_id AND qsv.j = cc.j),
+       |$pqAdcRankSql""".stripMargin
 
   private lazy val textQualityModelSql = logRegCtes +
     s"""
@@ -2792,6 +2940,29 @@ object PipelineQueries {
          |      FROM scored)
          |SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, cosine
          |FROM r WHERE rnk <= $AnnK ORDER BY query_id, rank""".stripMargin,
+    // the brute oracle's two-stage extension: top-4k candidates first
+    // (replaying bruteTopK's heap order), then the near-dup cut and
+    // re-rank — stage order matters, a one-stage filter would admit
+    // candidates the bounded heap never surfaced
+    "mine_hard_negatives" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT * FROM e WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    round(list_dot_product(q.v, c.v) /
+         |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6)
+         |      AS cosine
+         |  FROM q, e c WHERE c.vec_id != q.vec_id),
+         |cand AS (SELECT * FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+         |    FROM scored) t WHERE rnk <= ${4 * AnnK}),
+         |hn AS (SELECT query_id, neighbor_id, cosine FROM cand WHERE cosine < ${CosTau}e0),
+         |r2 AS (SELECT *, row_number() OVER (
+         |        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+         |      FROM hn)
+         |SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, cosine
+         |FROM r2 WHERE rnk <= $AnnK ORDER BY query_id, rank""".stripMargin,
     // recomputable END TO END because the hyperplanes are md5-derived
     // (Similarity.md5Planes — the dedup_simhash recipe applied to random
     // projections): DuckDB rebuilds all 32 planes (= 8 tables × 4 bits,
@@ -2833,6 +3004,8 @@ object PipelineQueries {
          |SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, cosine
          |FROM r WHERE rnk <= $AnnK ORDER BY query_id, rank""".stripMargin,
     "ann_topk_ivf" -> annTopkIvfSql,
+    "ann_topk_pq" -> annTopkPqSql,
+    "ann_topk_ivfpq" -> annTopkIvfPqSql,
     "text_stats" ->
       """WITH t AS (
         |  SELECT doc_id, text,

@@ -48,6 +48,23 @@ class SimilaritySpec extends SparkTestBase {
   private def annPairs(df: org.apache.spark.sql.DataFrame) =
     df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
 
+  test("hardNegatives drops near-dups from the candidate band, keeps the hardest true negatives") {
+    // query 0: id 1 is a near-copy (cos ~0.995 >= tau), ids 2..4 are
+    // progressively-farther true negatives, id 5 is opposite-direction
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.99f, 0.1f)),
+      (2L, Array(0.8f, 0.6f)), (3L, Array(0.6f, 0.8f)),
+      (4L, Array(0.1f, 0.99f)), (5L, Array(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val q = corpus.filter($"vec_id" === 0L)
+    val topk = Similarity.bruteTopK(q, corpus, "vec_id", "embedding", 5)
+    val hn = Similarity.hardNegatives(topk, 2, tau = 0.95)
+      .select("rank", "neighbor_id").as[(Long, Long)].collect().toSeq
+    // the near-copy (id 1, top-ranked in topk) must NOT appear; the two
+    // hardest sub-tau negatives keep their relative order and re-rank 1,2
+    assert(hn == Seq((1L, 2L), (2L, 3L)))
+  }
+
   test("ivfTopK recall@5 >= 0.3 vs brute force at sf0.01") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
     val queries = emb.filter($"vec_id" < 10)
