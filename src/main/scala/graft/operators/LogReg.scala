@@ -58,13 +58,32 @@ object LogReg {
     */
   def train(df: DataFrame, featCol: String, labelCol: String, dim: Int,
       iters: Int, lr: Double = 1.0,
-      init: Option[Array[Double]] = None): Array[Double] = {
+      init: Option[Array[Double]] = None): Array[Double] =
+    trainTrajectory(df, featCol, labelCol, dim, iters, lr, init)
+      .lastOption
+      .getOrElse(init.map(_.clone()).getOrElse(Array.fill(dim)(0.0)))
+
+  /** [[train]], but returning the weight vector AFTER EVERY iteration
+    * (`iters` entries, the final one being what `train` returns) — the
+    * training TRAJECTORY. Same determinism contract, same cost (train
+    * always computes every intermediate vector; this just keeps them:
+    * iters × (d+1) doubles of driver state instead of d+1).
+    *
+    * The trajectory is what dataset cartography (Swayamdipta et al.
+    * 2020) consumes: per-example confidence/variability across training
+    * checkpoints. With full-batch GD each iteration IS a checkpoint, so
+    * the trajectory is exact, not a sampling artifact.
+    */
+  def trainTrajectory(df: DataFrame, featCol: String, labelCol: String,
+      dim: Int, iters: Int, lr: Double = 1.0,
+      init: Option[Array[Double]] = None): Seq[Array[Double]] = {
     val rows = df.select(col(featCol).as("_x"),
       col(labelCol).cast("double").as("_y"))
     var w = init.map { w0 =>
       require(w0.length == dim, s"init length ${w0.length} != dim $dim")
       w0.clone()
     }.getOrElse(Array.fill(dim)(0.0))
+    val traj = Seq.newBuilder[Array[Double]]
     for (_ <- 1 to iters) {
       // p materialized in a lower projection so the per-dim lambda reads
       // a column instead of inlining (and re-running) the sigmoid fold
@@ -87,8 +106,9 @@ object LogReg {
       w = Array.tabulate(dim)(j =>
         BigDecimal(w(j) - lr * grads.getOrElse(j, 0.0))
           .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      traj += w.clone()
     }
-    w
+    traj.result()
   }
 
   /** round(sigmoid(round(Σ w_j·x_j, 6)), 6) as a codegen'd column —

@@ -539,6 +539,58 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Dataset cartography (Swayamdipta et al. 2020, "Dataset
+    * Cartography: Mapping and Diagnosing Datasets with Training
+    * Dynamics") over the quality classifier's training run: for each
+    * document, the probability its TRUE label receives at every one of
+    * the 10 GD checkpoints, reduced to the data-map coordinates —
+    * `confidence` (mean), `variability` (population std dev), and
+    * `correct_iters` (checkpoints where the model was right). High
+    * confidence/low variability = easy-to-learn; low/low = hard or
+    * mislabeled (prime curation-review candidates); high variability =
+    * ambiguous — the band a curation pipeline samples for re-labeling.
+    *
+    * Scale shape: training is the standard [[graft.operators.LogReg]]
+    * run (the trajectory costs nothing extra — every intermediate
+    * weight vector already exists as driver state); the map itself is
+    * ONE corpus scan with 10 codegen sigmoid folds per row and ZERO
+    * shuffles — confidence/variability/correctness are row-local over
+    * the 10 checkpoint columns. Determinism: each p_i is the 6
+    * dp-rounded [[graft.operators.LogReg.probability]]; the mean,
+    * squared deviations, and correctness sum are fixed-order IEEE folds
+    * both engines replay, rounded to 6 dp on emit.
+    */
+  def textTrainingMap(s: SparkSession, dir: String): DataFrame = {
+    val feats = qualityTrainingFrame(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ws = LogReg.trainTrajectory(feats, "x", "y", dim = 5, iters = 10,
+      lr = 5.0)
+    feats.unpersist(blocking = false)
+    val iters = ws.size
+    val tCols = ws.zipWithIndex.map { case (w, i) =>
+      val p = LogReg.probability(col("x"), w)
+      when(col("y") === 1.0, p).otherwise(lit(1.0) - p).as(s"_t${i + 1}")
+    }
+    val t = qualityTrainingFrame(s, dir)
+      .select(col("doc_id") +: tCols: _*)
+    // confidence/variability are emitted UNROUNDED: the t_i inputs are
+    // already engine-identical 6 dp values, so these fixed-order folds
+    // are bit-identical doubles on both engines — while a final round()
+    // would re-expose the near-half-grid divergence the sums land on
+    // structurally (means of 6 dp values sit on the 1e-7 grid)
+    val sumT = (1 to iters).map(i => col(s"_t$i")).reduce(_ + _)
+    val withConf = t.withColumn("confidence", sumT / iters.toDouble)
+    val ssq = (1 to iters).map { i =>
+      (col(s"_t$i") - col("confidence")) * (col(s"_t$i") - col("confidence"))
+    }.reduce(_ + _)
+    val correct = (1 to iters).map(i =>
+      (col(s"_t$i") > 0.5).cast("long")).reduce(_ + _)
+    withConf.select(col("doc_id"), col("confidence"),
+      sqrt(ssq / iters.toDouble).as("variability"),
+      correct.as("correct_iters"))
+      .orderBy(col("doc_id"))
+  }
+
   def textLangid(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.langId(Tables.documents(s, dir), "doc_id", "text")
       .orderBy(col("doc_id"))
@@ -1591,6 +1643,7 @@ object PipelineQueries {
     "mm_frame_sample" -> (mmFrameSample _),
     "text_stats" -> (textStats _),
     "text_quality_model" -> (textQualityModel _),
+    "text_training_map" -> (textTrainingMap _),
     "text_quality_serve" -> (textQualityServe _),
     "text_langid" -> (textLangid _),
     "text_fingerprint" -> (textFingerprint _),
@@ -1950,6 +2003,41 @@ object PipelineQueries {
        |  JOIN cc ON cc.vec_id = a.vec_id
        |  JOIN qsv ON qsv.query_id = qp.query_id AND qsv.j = cc.j),
        |$pqAdcRankSql""".stripMargin
+
+  /** The `text_training_map` oracle: the shared GD-unroll chain's
+    * per-iteration CTEs (p1..p10) hold PRE-update probabilities — the
+    * gradient inputs — so the cartography tail recomputes each doc's
+    * probability under the POST-update checkpoints w1..w10 (ten 1-row
+    * CROSS JOINs), takes the true-label probability at each, and reduces
+    * with the SAME fixed-order IEEE folds the Spark projection uses
+    * (left-assoc sums, population std dev) — emitted UNROUNDED, since
+    * the folds over engine-identical 6 dp inputs are bit-identical and
+    * a final round() would sit on the near-half-grid boundary the means
+    * of 6 dp values structurally land on.
+    */
+  private lazy val textTrainingMapSql: String = {
+    def pExpr(i: Int): String =
+      s"round(1.0 / (1.0 + exp(-round(list_sum(list_transform(range(1, 6), " +
+        s"j -> f.x[j] * a$i.w[j])), 6))), 6)"
+    val tDefs = (1 to 10).map(i =>
+      s"CASE WHEN f.y = 1.0 THEN ${pExpr(i)} ELSE 1.0 - ${pExpr(i)} END AS t$i")
+      .mkString(",\n    ")
+    val joins = (1 to 10).map(i => s"CROSS JOIN w$i a$i").mkString(" ")
+    val sumT = (1 to 10).map(i => s"t$i").mkString(" + ")
+    val ssq = (1 to 10).map(i =>
+      s"(t$i - confidence) * (t$i - confidence)").mkString(" + ")
+    val correct = (1 to 10).map(i =>
+      s"CASE WHEN t$i > 0.5e0 THEN 1 ELSE 0 END").mkString(" + ")
+    logRegCtes + s"""
+       |cart AS (SELECT f.doc_id,
+       |    $tDefs
+       |  FROM f $joins),
+       |cmap AS (SELECT *, ($sumT) / 10.0e0 AS confidence FROM cart)
+       |SELECT doc_id, confidence,
+       |  sqrt(($ssq) / 10.0e0) AS variability,
+       |  CAST(($correct) AS BIGINT) AS correct_iters
+       |FROM cmap ORDER BY doc_id""".stripMargin
+  }
 
   private lazy val textQualityModelSql = logRegCtes +
     s"""
@@ -3025,6 +3113,7 @@ object PipelineQueries {
         |        (1.0 - stop_ratio) * 0.3, 6) AS quality
         |FROM s ORDER BY doc_id""".stripMargin,
     "text_quality_model" -> textQualityModelSql,
+    "text_training_map" -> textTrainingMapSql,
     "text_quality_serve" -> textQualityServeSql,
     "text_langid" ->
       """WITH t AS (

@@ -15,9 +15,29 @@ import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, Cartes
   */
 object PlanAudit {
 
+  /** Every physical node in `plan` plus (recursively) its PHYSICAL
+    * subquery plans. Not `collectWithSubqueries`: at the pre-AQE
+    * `sparkPlan` stage subquery expressions may still hold LOGICAL
+    * plans (they are planned later, in prepareForExecution — and which
+    * subqueries exist there is session-state-dependent, e.g.
+    * MergeScalarSubqueries decides differently against cached branches),
+    * and `collectWithSubqueries` blind-casts those to SparkPlan and
+    * throws. A logical subquery plan can't contain a physical join node,
+    * so skipping it loses nothing here; `PLANSHAPE.tsv` audits the fully
+    * planned executedPlan separately.
+    */
+  private def physicalNodes(plan: SparkPlan): Seq[SparkPlan] = {
+    val here = plan.collect { case p => p }
+    val subPlans = here.flatMap(_.expressions).flatMap(_.collect {
+      case e: org.apache.spark.sql.catalyst.expressions.PlanExpression[_] =>
+        e.plan
+    }).collect { case sp: SparkPlan => sp }
+    here ++ subPlans.flatMap(physicalNodes)
+  }
+
   /** (cartesians, bnl joins, shuffles, broadcasts) in plan + subqueries. */
   def shapeCounts(plan: SparkPlan): (Int, Int, Int, Int) = {
-    val nodes = plan.collectWithSubqueries { case p => p }
+    val nodes = physicalNodes(plan)
     (nodes.count(_.isInstanceOf[CartesianProductExec]),
       nodes.count(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
       nodes.count(_.getClass.getSimpleName == "ShuffleExchangeExec"),

@@ -26,6 +26,69 @@ class LogRegSpec extends SparkTestBase {
     assert(acc >= 0.95, s"accuracy $acc")
   }
 
+  /** The trajectory API (dataset cartography's input): one checkpoint
+    * per iteration, the last IS what train() returns, and because each
+    * step is a pure function of (weights, data), every prefix equals a
+    * shorter run — so cartography's checkpoints are exactly the weights
+    * a separately-run training would have produced.
+    */
+  test("trainTrajectory: one checkpoint per iteration, last == train, prefix == shorter run") {
+    val rnd = new scala.util.Random(31)
+    val rows = Seq.tabulate(100) { i =>
+      val x = Array(1.0, rnd.nextDouble(), rnd.nextDouble())
+      (i.toLong, x, if (x(1) > 0.5) 1.0 else 0.0)
+    }
+    val df = feats(rows)
+    val traj = LogReg.trainTrajectory(df, "x", "y", dim = 3, iters = 6, lr = 4.0)
+    assert(traj.size == 6)
+    val w6 = LogReg.train(df, "x", "y", dim = 3, iters = 6, lr = 4.0)
+    assert(traj.last.toSeq == w6.toSeq)
+    val w3 = LogReg.train(df, "x", "y", dim = 3, iters = 3, lr = 4.0)
+    assert(traj(2).toSeq == w3.toSeq, "checkpoint 3 must equal a 3-iteration run")
+  }
+
+  /** Cartography cross-check: the registered row-local fold must agree
+    * with an independent long-format derivation — explode the per-
+    * checkpoint true-label probabilities to (doc, t) rows and reduce
+    * with Spark's avg/stddev_pop/conditional-count aggregates instead.
+    * Different plan shape (shuffle agg vs projection), same math; IEEE
+    * summation order differs, hence the 1e-9 tolerance.
+    */
+  test("text_training_map equals a long-format groupBy recomputation at sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val map = graft.queries.PipelineQueries.textTrainingMap(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getLong(3)))).toMap
+    // rebuild the training frame the way qualityTrainingFrame does
+    val st = graft.operators.TextAnalysis.stats(
+      graft.Tables.documents(spark, dir), "doc_id", "text")
+    val frame = st.select(col("doc_id"),
+      array(lit(1.0), col("punct_ratio"), col("stop_ratio"),
+        least(col("n_tokens") / 100.0, lit(1.0)),
+        col("mean_tok_len") / 10.0).as("x"),
+      when(col("quality") >= 0.8, 1.0).otherwise(0.0).as("y"))
+    val ws = LogReg.trainTrajectory(frame, "x", "y", dim = 5, iters = 10, lr = 5.0)
+    val tCols = ws.zipWithIndex.map { case (w, i) =>
+      val p = LogReg.probability(col("x"), w)
+      when(col("y") === 1.0, p).otherwise(lit(1.0) - p).as(s"_t${i + 1}")
+    }
+    val long = frame.select(col("doc_id") +: tCols: _*)
+      .select(col("doc_id"),
+        explode(array((1 to 10).map(i => col(s"_t$i")): _*)).as("t"))
+    val agg = long.groupBy("doc_id").agg(
+      avg(col("t")).as("conf"),
+      stddev_pop(col("t")).as("vari"),
+      sum((col("t") > 0.5).cast("long")).as("ok"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(map.keySet == agg.keySet)
+    map.foreach { case (id, (c, v, k)) =>
+      val (c2, v2, k2) = agg(id)
+      assert(math.abs(c - c2) < 1e-9 && math.abs(v - v2) < 1e-9 && k == k2,
+        s"doc $id: ($c,$v,$k) vs ($c2,$v2,$k2)")
+    }
+  }
+
   /** The determinism contract: weights are a pure function of the data —
     * partitioning must not move them (exact decimal gradient sums).
     */

@@ -47,7 +47,8 @@ class PlanGuardSpec extends SparkTestBase {
   test("no registered query plans a cartesian; nested-loop joins only where a side is bounded by design", Slow) {
     val shapes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (n, mk) =>
       val (cart, bnlj, _, _) =
-        PlanAudit.shapeCounts(mk(spark, dir).queryExecution.sparkPlan)
+        try PlanAudit.shapeCounts(mk(spark, dir).queryExecution.sparkPlan)
+        catch { case e: Throwable => fail(s"shapeCounts threw for query $n", e) }
       (n, cart, bnlj)
     }
     val cartesians = shapes.collect { case (n, c, _) if c > 0 => n }
