@@ -341,6 +341,55 @@ object TextAnalysis {
       .orderBy(col(idCol))
   }
 
+  /** DSIR-style importance scoring (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling") over hashed-free
+    * EXACT n-gram features: score each document by how much better the
+    * TARGET distribution's top-`k` trigram LM recognizes it than the
+    * SOURCE (full-corpus) LM does. DSIR's log-ratio
+    * Σ log p_t(g) − log p_s(g) is replaced by the integer surrogate
+    * `tgt_hits − src_hits` — the same log-free substitution
+    * [[bm25TopK]] (linear idf) and [[lmCoverage]] (counts, not
+    * log-probs) make, so every emitted value is exact integer
+    * arithmetic. `keep` = score > 0: the doc looks more like the target
+    * than like the average of the corpus.
+    *
+    * Scale shape: both LMs are top-k rows — built once (one scan of the
+    * target subset, one of the corpus) and BROADCAST; scoring is then a
+    * single corpus-scale pass (tokenize → explode trigrams → two
+    * broadcast left joins → one map-side-combined count per doc). The
+    * keep decision is a row-local projection — deliberately NOT a
+    * global rank, which would single-partition-sort the corpus at
+    * 100 TB; callers wanting a fixed fraction can threshold on an
+    * approx-percentile of `dsir_score` instead. Docs with < 3 tokens
+    * carry no trigram evidence and are excluded (the [[lmCoverage]]
+    * contract).
+    */
+  def dsirScores(docs: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame = {
+    val tgtLm = ngramLm(target, textCol, k)
+      .select(col("trigram")).withColumn("_t", lit(1L))
+    val srcLm = ngramLm(docs, textCol, k)
+      .select(col("trigram")).withColumn("_s", lit(1L))
+    val toks = col("_toks")
+    val grams = docs
+      .select(col(idCol), Text.tokens(col(textCol)).as("_toks"))
+      .filter(size(toks) >= 3)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), size(toks) - 2),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+          element_at(toks, i + 2)))).as("trigram"))
+    grams
+      .join(broadcast(tgtLm), Seq("trigram"), "left")
+      .join(broadcast(srcLm), Seq("trigram"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("trigrams"),
+        sum(coalesce(col("_t"), lit(0L))).as("tgt_hits"),
+        sum(coalesce(col("_s"), lit(0L))).as("src_hits"))
+      .withColumn("dsir_score", col("tgt_hits") - col("src_hits"))
+      .withColumn("keep", (col("dsir_score") > 0).cast("long"))
+      .orderBy(col(idCol))
+  }
+
   /** BM25 top-k document retrieval against a deterministic query-term
     * set (the `nQueryTerms` most frequent non-stopword tokens — count
     * desc, token asc — so the query is a pure function of the corpus and

@@ -591,6 +591,22 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** DSIR importance selection with the heuristic quality gate as the
+    * target distribution: docs passing `quality >= 0.8` define the
+    * target trigram LM, the full corpus the source LM, and each doc
+    * keeps or drops on the integer hit-count surrogate of the DSIR
+    * log-ratio (see [[graft.operators.TextAnalysis.dsirScores]]). The
+    * published pipeline this mirrors selects pretraining data that
+    * "looks like" a trusted target corpus without training a model.
+    */
+  def sampleDsir(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val targetIds = TextAnalysis.stats(docs, "doc_id", "text")
+      .filter(col("quality") >= 0.8).select(col("doc_id"))
+    val target = docs.join(targetIds, Seq("doc_id"), "left_semi")
+    TextAnalysis.dsirScores(docs, target, "doc_id", "text", 50)
+  }
+
   def textLangid(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.langId(Tables.documents(s, dir), "doc_id", "text")
       .orderBy(col("doc_id"))
@@ -1644,6 +1660,7 @@ object PipelineQueries {
     "text_stats" -> (textStats _),
     "text_quality_model" -> (textQualityModel _),
     "text_training_map" -> (textTrainingMap _),
+    "sample_dsir" -> (sampleDsir _),
     "text_quality_serve" -> (textQualityServe _),
     "text_langid" -> (textLangid _),
     "text_fingerprint" -> (textFingerprint _),
@@ -3114,6 +3131,46 @@ object PipelineQueries {
         |FROM s ORDER BY doc_id""".stripMargin,
     "text_quality_model" -> textQualityModelSql,
     "text_training_map" -> textTrainingMapSql,
+    // DSIR surrogate: target LM = top-50 trigrams of quality-gated docs
+    // (the logRegCtes quality formula), source LM = top-50 of the whole
+    // corpus; per-doc hits against both, all-integer score and keep flag.
+    // Each LM's trigram is unique, so the two LEFT JOINs cannot fan out.
+    "sample_dsir" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS toks
+        |  FROM documents),
+        |s AS (SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    round(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 1.0 / greatest(length(text), 1), 6) AS punct_ratio,
+        |    round(len(list_filter(toks, t -> list_contains(['the','a','and','of','to','in','is','on','for','with'], t))) * 1.0 / greatest(len(toks), 1), 6) AS stop_ratio
+        |  FROM t),
+        |q AS (SELECT doc_id FROM s
+        |  WHERE round(least(n_tokens / 100.0, 1.0) * 0.4 + (1.0 - punct_ratio) * 0.3 +
+        |    (1.0 - stop_ratio) * 0.3, 6) >= 0.8),
+        |x AS (SELECT doc_id, unnest(range(1, len(toks) - 1)) AS i, toks
+        |      FROM t WHERE len(toks) >= 3),
+        |g AS (SELECT doc_id,
+        |        toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS trigram FROM x),
+        |tct AS (SELECT trigram, count(*) AS n FROM g JOIN q USING (doc_id) GROUP BY trigram),
+        |lmt AS (SELECT trigram FROM (
+        |          SELECT trigram, row_number() OVER (ORDER BY n DESC, trigram) AS r
+        |          FROM tct) WHERE r <= 50),
+        |scs AS (SELECT trigram, count(*) AS n FROM g GROUP BY trigram),
+        |lms AS (SELECT trigram FROM (
+        |          SELECT trigram, row_number() OVER (ORDER BY n DESC, trigram) AS r
+        |          FROM scs) WHERE r <= 50),
+        |cov AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS trigrams,
+        |    CAST(sum(CASE WHEN lmt.trigram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS tgt_hits,
+        |    CAST(sum(CASE WHEN lms.trigram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS src_hits
+        |  FROM g LEFT JOIN lmt ON g.trigram = lmt.trigram
+        |         LEFT JOIN lms ON g.trigram = lms.trigram
+        |  GROUP BY g.doc_id)
+        |SELECT doc_id, trigrams, tgt_hits, src_hits,
+        |  tgt_hits - src_hits AS dsir_score,
+        |  CAST(CASE WHEN tgt_hits - src_hits > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM cov ORDER BY doc_id""".stripMargin,
+
     "text_quality_serve" -> textQualityServeSql,
     "text_langid" ->
       """WITH t AS (

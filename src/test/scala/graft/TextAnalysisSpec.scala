@@ -7,6 +7,37 @@ import org.apache.spark.sql.functions._
 class TextAnalysisSpec extends SparkTestBase {
   import spark.implicits._
 
+  /** DSIR importance selection on a planted two-distribution corpus:
+    * the target-looking docs' trigrams top the target LM but are too
+    * rare for the source (full-corpus) top-k, so only they get
+    * tgt_hits > src_hits and keep = 1; the majority-distribution docs
+    * hit the source LM only. Also pins the <3-token exclusion and the
+    * integer identities between the emitted columns.
+    */
+  test("dsirScores keeps target-looking docs, drops source-typical and short docs") {
+    val bText = "common one two three common one two three common one two three"
+    val aText = "special alpha beta gamma special alpha beta gamma"
+    val rows = (0L until 8L).map(i => (i, bText)) ++
+      Seq((8L, aText), (9L, aText), (10L, "too short"))
+    val docs = rows.toDF("doc_id", "text")
+    val target = docs.filter($"doc_id" >= 8L && $"doc_id" <= 9L)
+    val out = TextAnalysis.dsirScores(docs, target, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(!out.contains(10L), "a 2-token doc carries no trigram evidence")
+    (0L until 8L).foreach { i =>
+      val (tri, tgt, src, score, keep) = out(i)
+      assert(tgt == 0L && src > 0L && score < 0L && keep == 0L,
+        s"source-typical doc $i: $tri/$tgt/$src")
+    }
+    Seq(8L, 9L).foreach { i =>
+      val (tri, tgt, src, score, keep) = out(i)
+      assert(tgt > 0L && src == 0L && score == tgt - src && keep == 1L,
+        s"target doc $i: $tri/$tgt/$src")
+    }
+  }
+
   test("poly_hash matches the reference definition (codegen + interpreted)") {
     // h = fold over codepoints of (h*31 + cp) % (2^31-1); "hello world" = 1835087470
     val df = Seq("hello world").toDF("s")
