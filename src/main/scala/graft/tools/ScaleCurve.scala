@@ -70,7 +70,14 @@ object ScaleCurve {
     // pipeline once over a shared severed brute table — cost ≈ sum of
     // the legs, each individually curve-carried above; the doubled
     // corpus uses negated embedding copies, cosine structure preserved)
-    "ann_recall_report")
+    "ann_recall_report",
+    // round-10 additions: hard-negative mining (brute-shaped BNLJ over
+    // the bounded query set + a row-local cut), dataset cartography
+    // (training + one 10-sigmoid scan), and DSIR selection (two LM
+    // builds + one broadcast-join scoring pass; suffixed copies keep
+    // trigram sets disjoint so both LMs stay size-k and hit structure
+    // scales linearly)
+    "mine_hard_negatives", "text_training_map", "sample_dsir")
 
   /** SPARK_GRAFT_SCALE_ONLY: comma-separated exact names — run a subset
     * (new-row refresh) without re-measuring the whole table.
