@@ -100,6 +100,21 @@ object PipelineQueries {
       Tables.embeddings(s, dir), "vec_id", "embedding", k = 8, iters = 2)
       .orderBy(col("vec_id"))
 
+  /** Topic-balanced selection over DISCOVERED clusters: the `emb_kmeans`
+    * assignment composed with [[graft.operators.Sampling.cappedPerStratum]]'s
+    * md5-rank cap — at most 20 members per k-means cluster, chosen by a
+    * content-derived hash so the pick is deterministic and unbiased by id
+    * order. The balanced-mixture step of an embedding-driven curation
+    * pipeline (every discovered topic represented, no topic dominant);
+    * cost is the k-means run (iters+1 linear scans) plus one
+    * cluster-partitioned window over (id, cluster) pairs — the window
+    * input is the corpus's ID RELATION, never vectors or text.
+    */
+  def sampleClusterBalanced(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.cappedPerStratum(
+      embKmeans(s, dir), "vec_id", "cluster", cap = 20)
+      .orderBy(col("vec_id"))
+
   private val AnnK = 5
   private val AnnDim = 64
 
@@ -1661,6 +1676,7 @@ object PipelineQueries {
     "text_quality_model" -> (textQualityModel _),
     "text_training_map" -> (textTrainingMap _),
     "sample_dsir" -> (sampleDsir _),
+    "sample_cluster_balanced" -> (sampleClusterBalanced _),
     "text_quality_serve" -> (textQualityServe _),
     "text_langid" -> (textLangid _),
     "text_fingerprint" -> (textFingerprint _),
@@ -3321,6 +3337,56 @@ object PipelineQueries {
         |           CAST(c.cluster AS DOUBLE)])[2] AS BIGINT) AS cluster
         |       FROM e CROSS JOIN c2 c GROUP BY e.vec_id)
         |SELECT vec_id, cluster FROM a3 ORDER BY vec_id""".stripMargin,
+    // the emb_kmeans assignment chain verbatim + the cappedPerStratum
+    // md5-rank window — topic-balanced selection over discovered clusters
+    "sample_cluster_balanced" ->
+      """WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
+        |         list_transform(v, x -> CAST(x AS DOUBLE)) AS c
+        |       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8) s),
+        |a1 AS (SELECT e.vec_id,
+        |         CAST(min([round(list_sum(list_transform(range(1, len(e.v) + 1),
+        |           i -> (CAST(e.v[i] AS DOUBLE) - c.c[i])
+        |              * (CAST(e.v[i] AS DOUBLE) - c.c[i]))), 4),
+        |           CAST(c.cluster AS DOUBLE)])[2] AS BIGINT) AS cluster,
+        |         any_value(e.v) AS v
+        |       FROM e CROSS JOIN c0 c GROUP BY e.vec_id),
+        |m1x AS (SELECT cluster, unnest(range(1, len(v) + 1)) AS i, v FROM a1),
+        |m1 AS (SELECT cluster, i,
+        |         round(CAST(sum(CAST(CAST(v[i] AS DOUBLE) AS DECIMAL(30,15)))
+        |           AS DOUBLE) / count(*), 6) AS cv
+        |       FROM m1x GROUP BY cluster, i),
+        |c1 AS (SELECT c0.cluster, coalesce(u.c, c0.c) AS c
+        |       FROM c0 LEFT JOIN
+        |         (SELECT cluster, list(cv ORDER BY i) AS c FROM m1 GROUP BY cluster) u
+        |       USING (cluster)),
+        |a2 AS (SELECT e.vec_id,
+        |         CAST(min([round(list_sum(list_transform(range(1, len(e.v) + 1),
+        |           i -> (CAST(e.v[i] AS DOUBLE) - c.c[i])
+        |              * (CAST(e.v[i] AS DOUBLE) - c.c[i]))), 4),
+        |           CAST(c.cluster AS DOUBLE)])[2] AS BIGINT) AS cluster,
+        |         any_value(e.v) AS v
+        |       FROM e CROSS JOIN c1 c GROUP BY e.vec_id),
+        |m2x AS (SELECT cluster, unnest(range(1, len(v) + 1)) AS i, v FROM a2),
+        |m2 AS (SELECT cluster, i,
+        |         round(CAST(sum(CAST(CAST(v[i] AS DOUBLE) AS DECIMAL(30,15)))
+        |           AS DOUBLE) / count(*), 6) AS cv
+        |       FROM m2x GROUP BY cluster, i),
+        |c2 AS (SELECT c1.cluster, coalesce(u.c, c1.c) AS c
+        |       FROM c1 LEFT JOIN
+        |         (SELECT cluster, list(cv ORDER BY i) AS c FROM m2 GROUP BY cluster) u
+        |       USING (cluster)),
+        |a3 AS (SELECT e.vec_id,
+        |         CAST(min([round(list_sum(list_transform(range(1, len(e.v) + 1),
+        |           i -> (CAST(e.v[i] AS DOUBLE) - c.c[i])
+        |              * (CAST(e.v[i] AS DOUBLE) - c.c[i]))), 4),
+        |           CAST(c.cluster AS DOUBLE)])[2] AS BIGINT) AS cluster
+        |       FROM e CROSS JOIN c2 c GROUP BY e.vec_id),
+        |sel AS (SELECT vec_id, cluster, row_number() OVER (
+        |          PARTITION BY cluster
+        |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        |        FROM a3)
+        |SELECT vec_id, cluster FROM sel WHERE rn <= 20 ORDER BY vec_id""".stripMargin,
     "emb_centroids" ->
       """WITH d AS (SELECT vec_id % 8 AS grp, embedding AS e FROM embeddings),
         |x AS (SELECT grp, unnest(range(1, len(e) + 1)) AS i, e FROM d)
