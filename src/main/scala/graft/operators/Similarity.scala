@@ -43,6 +43,37 @@ object Similarity {
         col("_e.id").as("neighbor_id"), col("_e.score").as("cosine"))
       .orderBy(col("query_id"), col("rank"))
 
+  /** Embedding-space decontamination — the semantic companion to the
+    * n-gram `contaminationFlags`: for every candidate training vector,
+    * its maximum cosine against the EVAL/benchmark set and how many
+    * eval vectors sit at or above the near-duplicate threshold `tau`;
+    * `flagged` = any. Catches the contamination paraphrase-level n-gram
+    * overlap misses (a reworded benchmark question shares no 3-grams
+    * but lands next to the original in embedding space).
+    *
+    * Scale shape: eval sets are benchmark-sized — a small CONSTANT
+    * (thousands of rows) regardless of corpus scale — so the eval side
+    * broadcasts and the corpus streams through one non-equi join +
+    * map-side-combined per-vector aggregate; the corpus never shuffles.
+    * Same bounded-broadcast-side discipline as [[bruteTopK]].
+    */
+  def decontaminateByCosine(corpus: DataFrame, evalSet: DataFrame,
+      idCol: String, vecCol: String, tau: Double): DataFrame = {
+    val ev = evalSet.select(col(idCol).as("_eid"), col(vecCol).as("_ev"),
+      VectorOps.norm(col(vecCol)).as("_en"))
+    val c = corpus.select(col(idCol), col(vecCol).as("_cv"),
+      VectorOps.norm(col(vecCol)).as("_cn"))
+    c.join(broadcast(ev), col(idCol) =!= col("_eid"))
+      .select(col(idCol),
+        round(VectorOps.dot(col("_cv"), col("_ev")) / (col("_cn") * col("_en")), 6)
+          .as("_c"))
+      .groupBy(col(idCol))
+      .agg(max(col("_c")).as("max_cosine"),
+        sum((col("_c") >= tau).cast("long")).as("n_near_eval"))
+      .withColumn("flagged", (col("max_cosine") >= tau).cast("long"))
+      .orderBy(col(idCol))
+  }
+
   /** Hard-negative mining for contrastive/embedding training: from each
     * query's `(query_id, rank, neighbor_id, cosine)` top-k candidates —
     * the output shape of [[bruteTopK]] and every approximate leg here —

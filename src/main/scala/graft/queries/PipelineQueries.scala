@@ -167,6 +167,21 @@ object PipelineQueries {
     * over [[graft.operators.Similarity.queryIvf]]/`queryIvfPq` output
     * from a persisted index — the mining adds no corpus scan either way.
     */
+  /** Embedding-space decontamination against the benchmark stand-in
+    * (`vec_id % 97 == 0`, the `text_decontaminate` convention): every
+    * candidate training vector's max cosine to the eval set plus a
+    * near-eval count at the corpus near-dup threshold [[CosTau]]. See
+    * [[graft.operators.Similarity.decontaminateByCosine]] for the
+    * bounded-broadcast scale shape.
+    */
+  def embDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.decontaminateByCosine(
+      emb.filter(col("vec_id") % 97 =!= 0),
+      emb.filter(col("vec_id") % 97 === 0),
+      "vec_id", "embedding", CosTau)
+  }
+
   def mineHardNegatives(s: SparkSession, dir: String): DataFrame =
     Similarity.hardNegatives(
       Similarity.bruteTopK(annQueries(s, dir), Tables.embeddings(s, dir),
@@ -1697,6 +1712,7 @@ object PipelineQueries {
     "ann_topk_pq" -> (annTopkPq _),
     "ann_topk_ivfpq" -> (annTopkIvfPq _),
     "mine_hard_negatives" -> (mineHardNegatives _),
+    "emb_decontaminate" -> (embDecontaminate _),
     "ann_recall_report" -> (annRecallReport _),
     "sketch_rollup" -> (sketchRollup _),
     "sketch_overlap" -> (sketchOverlap _),
@@ -3065,6 +3081,22 @@ object PipelineQueries {
     // (replaying bruteTopK's heap order), then the near-dup cut and
     // re-rank — stage order matters, a one-stage filter would admit
     // candidates the bounded heap never surfaced
+    // bipartite all-pairs against the 1%-of-ids eval stand-in, max/count
+    // reduced per candidate; cosine rounded 6 dp before BOTH the compare
+    // and the max so the flag cannot flip on summation order
+    "emb_decontaminate" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |ev AS (SELECT * FROM e WHERE vec_id % 97 = 0),
+         |c AS (SELECT * FROM e WHERE vec_id % 97 != 0),
+         |p AS (SELECT c.vec_id,
+         |    round(list_dot_product(c.v, ev.v) /
+         |      (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(ev.v, ev.v))), 6)
+         |      AS cs
+         |  FROM c, ev WHERE c.vec_id != ev.vec_id)
+         |SELECT vec_id, max(cs) AS max_cosine,
+         |  CAST(sum(CASE WHEN cs >= ${CosTau}e0 THEN 1 ELSE 0 END) AS BIGINT) AS n_near_eval,
+         |  CAST(CASE WHEN max(cs) >= ${CosTau}e0 THEN 1 ELSE 0 END AS BIGINT) AS flagged
+         |FROM p GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "mine_hard_negatives" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |q AS (SELECT * FROM e WHERE vec_id < 10),

@@ -65,6 +65,22 @@ class SimilaritySpec extends SparkTestBase {
     assert(hn == Seq((1L, 2L), (2L, 3L)))
   }
 
+  test("decontaminateByCosine flags the near-copy of an eval vector, not the orthogonal one") {
+    // eval = {0}; corpus candidate 1 is a near-copy of eval 0, candidate
+    // 2 is orthogonal, candidate 3 anti-parallel
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.99f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val rows = Similarity.decontaminateByCosine(
+      emb.filter($"vec_id" =!= 0L), emb.filter($"vec_id" === 0L),
+      "vec_id", "embedding", tau = 0.9)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(rows(1L) == ((1L, 1L)), "near-copy must be flagged with one near-eval hit")
+    assert(rows(2L) == ((0L, 0L)) && rows(3L) == ((0L, 0L)),
+      "orthogonal and anti-parallel candidates must pass")
+  }
+
   test("ivfTopK recall@5 >= 0.3 vs brute force at sf0.01") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
     val queries = emb.filter($"vec_id" < 10)
