@@ -77,7 +77,13 @@ object ScaleCurve {
     // builds + one broadcast-join scoring pass; suffixed copies keep
     // trigram sets disjoint so both LMs stay size-k and hit structure
     // scales linearly)
-    "mine_hard_negatives", "text_training_map", "sample_dsir")
+    "mine_hard_negatives", "text_training_map", "sample_dsir",
+    // round-10 closing pair: embedding decontamination (corpus ×
+    // broadcast constant-sized eval stand-in — the negated 2n copies
+    // keep |eval| growing with n here, so the curve is an upper bound
+    // on the constant-eval production shape) and cluster-balanced
+    // sampling (the emb_kmeans scans + one id-relation window)
+    "emb_decontaminate", "sample_cluster_balanced")
 
   /** SPARK_GRAFT_SCALE_ONLY: comma-separated exact names — run a subset
     * (new-row refresh) without re-measuring the whole table.
