@@ -65,6 +65,24 @@ class SimilaritySpec extends SparkTestBase {
     assert(hn == Seq((1L, 2L), (2L, 3L)))
   }
 
+  test("fast-path round6 equals BigDecimal HALF_UP on random and boundary values") {
+    def exact(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rnd = new scala.util.Random(97)
+    val randoms = Seq.fill(200000)((rnd.nextDouble() - 0.5) * 20.0)
+    // adversarial: exact half-grid and near-half-grid values of both signs
+    val boundaries = (-50 to 50).flatMap { k =>
+      val base = k.toDouble / 10.0 + 0.0000005
+      Seq(base, -base, base + 1e-13, base - 1e-13, 0.0078125, -0.0078125)
+    }
+    (randoms ++ boundaries).foreach { x =>
+      val got = Similarity.round6(x)
+      val want = exact(x)
+      assert(got == want || (got == 0.0 && want == 0.0),
+        s"round6($x): fast $got != exact $want")
+    }
+  }
+
   test("decontaminateByCosine flags the near-copy of an eval vector, not the orthogonal one") {
     // eval = {0}; corpus candidate 1 is a near-copy of eval 0, candidate
     // 2 is orthogonal, candidate 3 anti-parallel
