@@ -46,6 +46,45 @@ object Packing {
       .drop("_cum")
   }
 
+  /** Token-balanced shard assignment: rank documents by (tokens desc,
+    * id) and deal them round-robin — the deterministic longest-
+    * processing-time heuristic, which keeps per-shard token totals
+    * within one max-document of each other so every training worker
+    * gets near-equal work. `shardOf`'s hash sharding balances only in
+    * expectation; this balances by construction.
+    *
+    * The global rank is NOT a single-partition window: documents
+    * range-bucket on the token count (integer arithmetic on the
+    * observed [min, max] span, descending), the within-bucket rank runs
+    * as a bucket-partitioned window (parallel), and bucket base offsets
+    * come from one window over `nBuckets` driver-scale rows — the
+    * [[graft.operators.Sampling.systematicWeighted]] two-level shape
+    * applied to a rank. Bucketing by a monotone function of the sort
+    * key makes (bucket asc, tokens desc, id) equal the global
+    * (tokens desc, id) order exactly, so the result is independent of
+    * `nBuckets`. The min/max scalar rides a 1-row broadcast.
+    */
+  def shardByTokenBalance(docs: DataFrame, idCol: String, tokensCol: String,
+      nShards: Int, nBuckets: Int = 64): DataFrame = {
+    val stats = docs.agg(min(col(tokensCol)).as("_lo"), max(col(tokensCol)).as("_hi"))
+    val wb = Window.partitionBy(col("_b"))
+      .orderBy(col(tokensCol).desc, col(idCol))
+    val wOff = Window.orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val bucketed = docs.crossJoin(broadcast(stats))
+      .withColumn("_b",
+        ((col("_hi") - col(tokensCol)) * nBuckets /
+          (col("_hi") - col("_lo") + 1)).cast("long"))
+      .withColumn("_rn", row_number().over(wb))
+    val offsets = bucketed.groupBy(col("_b"))
+      .agg(count(lit(1)).as("_n"))
+      .withColumn("_base", coalesce(sum(col("_n")).over(wOff), lit(0L)))
+      .select(col("_b"), col("_base"))
+    bucketed.join(broadcast(offsets), Seq("_b"))
+      .withColumn("shard", ((col("_base") + col("_rn") - 1) % nShards).cast("long"))
+      .select(col(idCol), col(tokensCol), col("shard"))
+  }
+
   /** Weighted source interleaving (domain mixing): source s's k-th
     * document (in id order) gets mix position k / weight(s), so a source
     * with weight 4 appears 4× as densely in the merged order — the

@@ -992,6 +992,20 @@ object PipelineQueries {
     * per-(shard, pack) summary. All-integer arithmetic — see
     * [[Packing.packByBudget]].
     */
+  /** Token-balanced shard assignment over the documents table — the
+    * deterministic LPT deal ([[Packing.shardByTokenBalance]]): per-shard
+    * token totals stay within one max-document of each other, vs the
+    * expectation-only balance of hash sharding. Emits the per-doc
+    * assignment (the artifact downstream training jobs consume).
+    */
+  def packShards(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(graft.functions.Text.tokens(col("text"))).cast("long").as("tokens"))
+    Packing.shardByTokenBalance(docs, "doc_id", "tokens", nShards = 8)
+      .orderBy(col("doc_id"))
+  }
+
   def packSequences(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"),
@@ -1675,6 +1689,7 @@ object PipelineQueries {
     "pipeline_curate" -> (pipelineCurate _),
     "pipeline_curate_learned" -> (pipelineCurateLearned _),
     "pack_sequences" -> (packSequences _),
+    "pack_shards" -> (packShards _),
     "pack_turns" -> (packTurns _),
     "text_token_budget" -> (textTokenBudget _),
     "sample_mix" -> (sampleMix _),
@@ -2769,6 +2784,18 @@ object PipelineQueries {
         |FROM s ORDER BY doc_id""".stripMargin,
     // concat-then-chunk assignment is all-integer: cumsum per md5 shard
     // in id order, pack = (cum - own) // budget
+    // global (tokens desc, doc_id) rank dealt round-robin; the engine's
+    // two-level bucketed rank equals this single global window exactly
+    // (bucketing is by a monotone function of the sort key)
+    "pack_shards" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS toks
+        |  FROM documents),
+        |n AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS tokens FROM t),
+        |r AS (SELECT *, row_number() OVER (ORDER BY tokens DESC, doc_id) AS rnk FROM n)
+        |SELECT doc_id, tokens, CAST((rnk - 1) % 8 AS BIGINT) AS shard
+        |FROM r ORDER BY doc_id""".stripMargin,
     "pack_sequences" ->
       """WITH t AS (
         |  SELECT doc_id,

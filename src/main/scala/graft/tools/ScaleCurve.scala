@@ -83,7 +83,9 @@ object ScaleCurve {
     // keep |eval| growing with n here, so the curve is an upper bound
     // on the constant-eval production shape) and cluster-balanced
     // sampling (the emb_kmeans scans + one id-relation window)
-    "emb_decontaminate", "sample_cluster_balanced")
+    "emb_decontaminate", "sample_cluster_balanced",
+    // token-balanced sharding: tokenizer scan + two bucketed windows
+    "pack_shards")
 
   /** SPARK_GRAFT_SCALE_ONLY: comma-separated exact names — run a subset
     * (new-row refresh) without re-measuring the whole table.

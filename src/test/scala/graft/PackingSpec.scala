@@ -6,6 +6,25 @@ import org.apache.spark.sql.functions._
 class PackingSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("shardByTokenBalance equals a client-side global LPT deal at any bucket count") {
+    val rnd = new scala.util.Random(13)
+    val rows = Seq.tabulate(500)(i => (i.toLong, (rnd.nextInt(2000) + 1).toLong))
+    val docs = rows.toDF("doc_id", "tokens").repartition(7)
+    // reference: single global sort, round-robin deal
+    val expected = rows.sortBy { case (id, t) => (-t, id) }
+      .zipWithIndex.map { case ((id, t), r) => id -> ((t, (r % 8).toLong)) }.toMap
+    Seq(1, 8, 64).foreach { nb =>
+      val got = Packing.shardByTokenBalance(docs, "doc_id", "tokens", 8, nb)
+        .as[(Long, Long, Long)].collect()
+        .map { case (id, t, sh) => id -> ((t, sh)) }.toMap
+      assert(got == expected, s"nBuckets=$nb diverges from the global deal")
+    }
+    // the LPT balance guarantee: per-shard token sums within one max doc
+    val sums = expected.values.groupBy(_._2).view.mapValues(_.map(_._1).sum)
+    assert(sums.values.max - sums.values.min <= rows.map(_._2).max,
+      s"shard totals ${sums.toMap} spread more than one max document")
+  }
+
   test("packByBudget assigns concat-then-chunk pack ids per shard") {
     // single shard (nShards = 1): token counts 3,3,3,3 with budget 8 lay
     // out at offsets 0,3,6,9 -> packs 0,0,0,1

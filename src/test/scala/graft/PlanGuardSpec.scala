@@ -36,6 +36,7 @@ class PlanGuardSpec extends SparkTestBase {
     "ann_topk_pq" -> "encoded corpus × broadcast(bounded query set) ADC scoring",
     "mine_hard_negatives" -> "ann_topk_brute's BNLJ (corpus × broadcast bounded query set); the mining itself is a projection + bounded re-rank over |queries|×kCand rows",
     "emb_decontaminate" -> "corpus streams against broadcast(eval set); eval sets are benchmark-sized constants regardless of corpus scale",
+    "pack_shards" -> "1-row min/max token-span scalar broadcast into the bucketing projection (appears twice: once under the offsets branch, once under the final join); the offsets join itself is a keyed broadcast of nBuckets rows",
     "ann_recall_report" -> "composes the ANN legs above plus five 1-row × 1-row recall scalars",
     "sample_weighted" -> "1-row global weight-total broadcast for prefix-sum normalization",
     "sketch_overlap" -> "event-type-pair-sized (6×6) sketch blob join; blobs are kilobytes",
