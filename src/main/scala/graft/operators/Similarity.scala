@@ -38,17 +38,22 @@ object Similarity {
     * `BigDecimal(x).setScale(6, HALF_UP)` but ~100× cheaper on the hot
     * path: scale by 1e6 and round the double directly whenever the
     * scaled value sits clearly away from a half-grid boundary, falling
-    * back to the exact BigDecimal computation inside a 1e-6 guard band
-    * (the scaled double carries ≤ a few ulp ≈ 4e-9 of error at the
-    * |y| ≤ 1e7 magnitudes seen here — orders of magnitude inside the
-    * band, so the fast path can never flip a rounding decision the
-    * exact path would make differently). Matters because the PQ/IVF
-    * trainer contracts round EVERY compared score: the PQ trainer alone
-    * makes ~2.6M calls per build.
+    * back to the exact BigDecimal computation inside a 1e-6 guard band.
+    * The fast path is taken only for |y| < 1e9, where the x*1e6 multiply
+    * carries at most a few ulp(y) ≤ a few × 2^-23 ≈ 7e-7 of error —
+    * provably inside the 1e-6 band, so the fast path can never flip a
+    * rounding decision the exact path would make differently. (Round 6
+    * shipped this with a 4.5e15 cutoff, which only guarantees the band
+    * covers the scaling error up to |y| ≈ 9e9 — round-10 ADVICE; the
+    * cutoff is now derived from the band, not from long-exactness.)
+    * Every current caller (cosines, PQ/IVF scores) stays at |x| ≤ ~1e3,
+    * far below the cutoff, so the hot path is unchanged. Matters because
+    * the PQ/IVF trainer contracts round EVERY compared score: the PQ
+    * trainer alone makes ~2.6M calls per build.
     */
   private[graft] def round6(x: Double): Double = {
     val y = x * 1e6
-    if (!java.lang.Double.isFinite(y) || math.abs(y) >= 4.5e15)
+    if (!java.lang.Double.isFinite(y) || math.abs(y) >= 1e9)
       return BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val f = math.floor(y)
     val frac = y - f
@@ -76,9 +81,17 @@ object Similarity {
     *
     * Scale shape: eval sets are benchmark-sized — a small CONSTANT
     * (thousands of rows) regardless of corpus scale — so the eval side
-    * broadcasts and the corpus streams through one non-equi join +
+    * broadcasts and the corpus streams through one deliberate BNLJ +
     * map-side-combined per-vector aggregate; the corpus never shuffles.
     * Same bounded-broadcast-side discipline as [[bruteTopK]].
+    *
+    * Every (corpus, eval) pair is compared — including pairs that share
+    * an id. An exact copy of an eval item that KEPT its id is the most
+    * contaminated case of all, so no self-pair exclusion belongs here
+    * (round-10 ADVICE: the former `id =!= _eid` condition silently
+    * exempted exactly that case); callers whose corpus legitimately
+    * contains the eval rows themselves should pre-exclude them by id
+    * before calling.
     */
   def decontaminateByCosine(corpus: DataFrame, evalSet: DataFrame,
       idCol: String, vecCol: String, tau: Double): DataFrame = {
@@ -86,7 +99,7 @@ object Similarity {
       VectorOps.norm(col(vecCol)).as("_en"))
     val c = corpus.select(col(idCol), col(vecCol).as("_cv"),
       VectorOps.norm(col(vecCol)).as("_cn"))
-    c.join(broadcast(ev), col(idCol) =!= col("_eid"))
+    c.crossJoin(broadcast(ev))
       .select(col(idCol),
         round(VectorOps.dot(col("_cv"), col("_ev")) / (col("_cn") * col("_en")), 6)
           .as("_c"))

@@ -66,9 +66,12 @@ class DriverContractSpec extends SparkTestBase {
     // k-means iterations the oracle unrolls). Still here: pca (no SQL
     // engine replays a Jacobi eigen solve), the recall report (aggregates
     // the legs' measured hits), and the DataSketches/HLL++/GK internals.
-    assert(rowsOnly == Set("ann_topk_pca", "ann_recall_report",
-      "q_approx_distinct", "q_approx_percentile", "sketch_rollup"),
-      s"unexpected rows-only queries: $rowsOnly")
+    // the deliberate list now lives on SparkEntry (rowsOnlyByDesign, with
+    // per-query reasons + gates) and is emitted into the verify artifact
+    // as rows_only_by_design.json — pin the two in lockstep so neither
+    // can drift
+    assert(rowsOnly == SparkEntry.rowsOnlyByDesign.keySet,
+      s"rows-only queries drifted from SparkEntry.rowsOnlyByDesign: $rowsOnly")
   }
 
   test("Kafka config honors the reference's dev.properties keys") {
