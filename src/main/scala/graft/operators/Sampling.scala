@@ -129,4 +129,59 @@ object Sampling {
     }
     df.filter(hashBucket(col(idCol), 100) < pct)
   }
+
+  /** Temperature-scaled resampling: rebalance group mass (language,
+    * domain, source) toward kept_g ∝ n_g^alpha, alpha ∈ (0, 1] — the
+    * standard multilingual-corpus smoothing (alpha ≈ 0.3–0.7 in the
+    * published multilingual-LM recipes) that lifts low-resource groups'
+    * SHARE without ever upsampling rows. DOWNSAMPLE-ONLY by
+    * construction: each group keeps rate_g = (n_min / n_g)^(1−alpha),
+    * so the smallest group keeps everything (rate 1) and
+    * kept_g = n_g · rate_g = n_min^(1−alpha) · n_g^alpha. Unlike
+    * [[stratifiedSampled]], the rates are not caller-supplied constants
+    * — they are DERIVED from the observed group sizes, so the operator
+    * is one groupBy away from self-tuning on any corpus.
+    *
+    * Keep decision: the same md5-of-id uniform as [[sampled]] (here as
+    * the exact binary fraction first-8-hex / 2^32), so for a FIXED
+    * corpus membership is stable across partitioning, reruns, and
+    * engines. The rates themselves are corpus-composition-dependent by
+    * design — appending data moves every group's rate, which is the
+    * semantics a share-rebalancer must have (callers wanting append-
+    * stable membership freeze the rates from a reference snapshot and
+    * use [[stratifiedSampled]]).
+    *
+    * Determinism across engines: alpha = 0.5 computes the rate as
+    * sqrt(n_min / n_g) — long→double casts, one IEEE divide, one IEEE
+    * sqrt, all correctly-rounded and bit-identical in any IEEE-754
+    * engine (the registered oracle replays it in DuckDB exactly). Other
+    * alphas go through pow(), which libm does NOT guarantee correctly
+    * rounded — still deterministic within one JVM, but not the
+    * cross-engine contract.
+    *
+    * Scale shape: one group-cardinality aggregation (map-side combined)
+    * + a 1-row global min crossJoined into the group-sized rate relation
+    * (the documented bounded-BNLJ pattern) + one broadcast hash join of
+    * kilobyte rates into a narrow filter scan. The corpus itself is
+    * never shuffled — at 100 TB this costs one pass.
+    */
+  def temperatureResample(df: DataFrame, idCol: String, groupCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1]: $alpha")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_group"))
+    val nmin = counts.agg(min(col("n_group")).as("_nmin"))
+    val ratio = col("_nmin").cast("double") / col("n_group").cast("double")
+    val rates = counts.crossJoin(broadcast(nmin))
+      .withColumn("rate",
+        if (alpha == 0.5) sqrt(ratio) else pow(ratio, 1.0 - alpha))
+      .select(col(groupCol), col("n_group"), col("rate"))
+    // exact binary fraction in [0,1): 8 hex chars -> long < 2^32, both
+    // exactly representable as double, so the divide is exact and the
+    // `< rate` compare can never straddle an engine-specific rounding
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long").cast("double") / lit(4294967296.0)
+    df.join(broadcast(rates), groupCol)
+      .filter(u < col("rate"))
+  }
+
 }

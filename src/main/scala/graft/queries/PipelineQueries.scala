@@ -954,6 +954,23 @@ object PipelineQueries {
       .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("first_doc"))
       .orderBy(col("lang"))
 
+  /** Temperature-scaled language rebalancing over the documents table
+    * ([[Sampling.temperatureResample]], alpha = 0.5): kept mass per
+    * language ∝ n_lang^0.5, rates DERIVED from the observed counts
+    * (sqrt(n_min/n_lang)) rather than caller-chosen like
+    * [[sampleStratified]] — the multilingual-corpus smoothing move.
+    * Emits the kept doc-level assignment with each language's size and
+    * derived rate; alpha = 0.5 keeps the rate an IEEE-exact sqrt the
+    * DuckDB oracle replays bit-identically.
+    */
+  def sampleTemperature(s: SparkSession, dir: String): DataFrame =
+    Sampling.temperatureResample(
+      Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+      "doc_id", "lang", alpha = 0.5)
+      .select(col("doc_id"), col("lang"), col("n_group"), col("rate"))
+      .orderBy(col("doc_id"))
+
+
   /** Connected-component near-dup clusters over the MinHash pair graph
     * (cluster_id = min member id) — the transitive-closure dedup
     * primitive; pair membership is the hash-green exact-Jaccard set, so
@@ -1730,6 +1747,7 @@ object PipelineQueries {
     "sample_split" -> (sampleSplit _),
     "sample_split_leaksafe" -> (sampleSplitLeaksafe _),
     "sample_stratified" -> (sampleStratified _),
+    "sample_temperature" -> (sampleTemperature _),
     "sample_shuffle" -> (sampleShuffle _),
     "text_pii_redact" -> (textPiiRedact _),
     "emb_quantize" -> (embQuantize _),
@@ -2791,6 +2809,20 @@ object PipelineQueries {
         |WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
         |      < (CASE WHEN lang = 'en' THEN 25 ELSE 75 END)
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    // rate = sqrt(n_min/n_lang): long->double casts, one IEEE divide,
+    // one IEEE sqrt — bit-identical to Spark's; the keep uniform is the
+    // exact binary fraction first-8-md5-hex / 2^32 (both sides < 2^53)
+    "sample_temperature" ->
+      """WITH c AS (SELECT lang, count(*) AS n_group FROM documents GROUP BY lang),
+        |m AS (SELECT min(n_group) AS nmin FROM c),
+        |r AS (SELECT lang, n_group,
+        |        sqrt(CAST(m.nmin AS DOUBLE) / CAST(c.n_group AS DOUBLE)) AS rate
+        |      FROM c, m)
+        |SELECT d.doc_id, d.lang, r.n_group, r.rate
+        |FROM documents d JOIN r ON d.lang = r.lang
+        |WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE)
+        |      / 4294967296.0 < r.rate
+        |ORDER BY d.doc_id""".stripMargin,
     // floor(v + 0.5e0) on both sides: floor and IEEE *,/,+ are bit-exact
     // cross-engine, round()'s half-tie behavior is not; 0.5e0 because
     // DuckDB parses bare 0.5 as DECIMAL

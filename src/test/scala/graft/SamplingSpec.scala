@@ -26,6 +26,41 @@ class SamplingSpec extends SparkTestBase {
     assert(strat == uniform25)
   }
 
+  test("temperatureResample keeps n^alpha mass per group with derived sqrt rates") {
+    // skewed 3-language corpus: 3200 / 800 / 200 docs
+    val skewed = ((1L to 3200L).map(i => (i, "en")) ++
+      (4001L to 4800L).map(i => (i, "fr")) ++
+      (9001L to 9200L).map(i => (i, "zh"))).toDF("doc_id", "lang")
+    val out = Sampling.temperatureResample(skewed, "doc_id", "lang", alpha = 0.5)
+    val kept = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    // rates: en sqrt(200/3200)=0.25, fr sqrt(200/800)=0.5, zh 1.0
+    assert(kept("zh") == 200L, s"smallest group must keep everything: ${kept("zh")}")
+    // expected 800 / 400 with binomial spread (sd ~24 / ~14); 5-sigma bands
+    assert(kept("en") > 680 && kept("en") < 920, s"en kept ${kept("en")}")
+    assert(kept("fr") > 330 && kept("fr") < 470, s"fr kept ${kept("fr")}")
+    // the point of the operator: the dominant group's SHARE flattens
+    // toward sqrt-proportional (0.76 of rows before, ~0.57 after)
+    val enShare = kept("en").toDouble / kept.values.sum
+    assert(enShare < 0.65, f"en share after smoothing $enShare%.2f")
+    // rate column is the derived sqrt, exact
+    val rates = out.select($"lang", $"rate").distinct()
+      .as[(String, Double)].collect().toMap
+    assert(rates("en") == 0.25 && rates("fr") == 0.5 && rates("zh") == 1.0)
+    // membership is the md5-fraction contract: client-side replica
+    def uOf(id: Long): Double =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8"))
+          .take(4).map("%02x".format(_)).mkString, 16).toDouble / 4294967296.0
+    val keptFr = out.filter($"lang" === "fr")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val expectFr = (4001L to 4800L).filter(uOf(_) < 0.5)
+    assert(keptFr == expectFr)
+    // alpha = 1 is the identity: every rate 1, nothing dropped
+    assert(Sampling.temperatureResample(skewed, "doc_id", "lang", 1.0)
+      .count() == 4200L)
+  }
+
   /** The leakage-safe split contract: near-duplicate documents land in
     * ONE split because membership hashes the cluster id — while the
     * planted pair's own doc ids hash to DIFFERENT per-doc buckets, i.e.
