@@ -62,7 +62,8 @@ object Bench {
     "pipeline_curate", "pipeline_curate_learned", "pipeline_curate_packed",
     "graph_pagerank", "graph_communities", "graph_triangles",
     "emb_kmeans", "text_training_map", "text_quality_model",
-    "text_bpe_train", "text_bpe_vocab", "text_bpe_encode")
+    "text_bpe_train", "text_bpe_vocab", "text_bpe_encode",
+    "text_bpe_fertility", "mine_positive_pairs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -182,6 +182,37 @@ object Bpe {
     out
   }
 
+  /** Tokenizer fertility by group (language/domain): BPE tokens per
+    * word under the merges trained on THIS corpus — the standard
+    * tokenizer-equity audit (a vocabulary trained on skewed data
+    * fragments low-resource languages into more tokens per word, so
+    * their documents cost more context budget for the same text).
+    * Emits per group the exact word and BPE-token counts plus
+    * `fertility` = n_bpe_tokens / n_words — one IEEE division of exact
+    * longs, so the unrolled DuckDB oracle replays it bit-identically.
+    *
+    * Scale shape: training is [[train]]'s vocabulary-scale loop; the
+    * fertility pass is ONE corpus scan joined (broadcast — the segment
+    * table is vocabulary-sized) to per-word segment lengths, into a
+    * group-keyed hash agg. No corpus shuffle.
+    */
+  def fertility(docs: DataFrame, groupCol: String, textCol: String,
+      nMerges: Int): DataFrame = {
+    val (_, words) = trainWithSegments(docs, textCol, nMerges)
+    val segSizes = words.select(col("word"), size(col("syms")).cast("long").as("_n"))
+    val out = docs.select(col(groupCol),
+        explode(graft.functions.Text.tokens(col(textCol))).as("word"))
+      .join(broadcast(segSizes), Seq("word"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("_n")).as("n_bpe_tokens"))
+      .withColumn("fertility",
+        col("n_bpe_tokens").cast("double") / col("n_words").cast("double"))
+      .orderBy(col(groupCol))
+      .localCheckpoint(true) // group-scale; frees the segment table eagerly
+    unpersistSegments(words)
+    out
+  }
+
   /** The symbol vocabulary after training: every surviving symbol with
     * its frequency-weighted occurrence count and raw position count
     * across the segmented word table — the tokenizer artifact a serving
@@ -296,5 +327,26 @@ object Bpe {
        |SELECT $idCol, count(*) AS n_words,
        |  CAST(sum(n) AS BIGINT) AS n_bpe_tokens
        |FROM enc GROUP BY $idCol ORDER BY $idCol""".stripMargin
+  }
+
+  /** Full unrolled fertility oracle: [[encodeSql]]'s join grouped by
+    * `groupCol` instead of the doc id, plus the one exact-long division.
+    */
+  def fertilitySql(table: String, groupCol: String, textCol: String,
+      nMerges: Int): String = {
+    val ctes = (baseCte(table, textCol) +:
+      (0 until nMerges).map(iterCtes)).mkString(",\n")
+    s"""WITH $ctes,
+       |enc AS (
+       |  SELECT d.$groupCol, len(w.syms) AS n
+       |  FROM (SELECT $groupCol, unnest(list_filter(string_split_regex(
+       |          lower($textCol), '[^a-z0-9]+'), x -> x != '')) AS word
+       |        FROM $table) d
+       |  JOIN w$nMerges w USING (word))
+       |SELECT $groupCol, count(*) AS n_words,
+       |  CAST(sum(n) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(CAST(sum(n) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+       |    AS fertility
+       |FROM enc GROUP BY $groupCol ORDER BY $groupCol""".stripMargin
   }
 }

@@ -572,4 +572,27 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cosine"))
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  /** Contrastive POSITIVE pairs from a (id, cluster) membership relation
+    * ([[clusterIds]]/[[clusterIdsStar]] output): documents in one
+    * near-dup component are semantically-equivalent rewrites, i.e. free
+    * (anchor, positive) supervision for embedding-model training. The
+    * pairing is a RING in id order — member_i with member_{i+1} — so a
+    * component of size k yields exactly k−1 pairs (singletons none),
+    * and transitivity still connects every member through the chain.
+    * LINEAR where the naive within-cluster self-join is quadratic: a
+    * 1M-member boilerplate cluster at 100 TB yields 10^6−1 pairs, not
+    * 5·10^11. One lead() window partitioned by cluster over the
+    * (long, long) relation — parallel per-cluster sorts, no text moves.
+    * Output: (cluster_id, anchor, positive).
+    */
+  def positivePairs(clusters: DataFrame, idCol: String,
+      clusterCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(clusterCol)).orderBy(col(idCol))
+    clusters.withColumn("positive", lead(col(idCol), 1).over(w))
+      .filter(col("positive").isNotNull)
+      .select(col(clusterCol).as("cluster_id"), col(idCol).as("anchor"),
+        col("positive"))
+  }
 }

@@ -83,7 +83,20 @@ object Packing {
     * overflow note (IntegerType tokens × nBuckets) is structurally gone.
     */
   def shardByTokenBalance(docs: DataFrame, idCol: String, tokensCol: String,
-      nShards: Int, nBuckets: Int = 64): DataFrame = {
+      nShards: Int, nBuckets: Int = 64): DataFrame =
+    twoLevelRankByTokensDesc(docs, idCol, tokensCol, nBuckets)
+      .withColumn("shard", ((col("_rank") - 1) % nShards).cast("long"))
+      .select(col(idCol), col(tokensCol), col("shard"))
+
+  /** The two-level global rank under (tokens desc, id asc) both
+    * [[shardByTokenBalance]] and [[lengthGroupedBatches]] build on:
+    * returns (idCol, tokensCol, `_rank`) with `_rank` equal to the
+    * single-window `row_number()` over the whole corpus — computed
+    * WITHOUT a single-partition corpus sort (see the bucketing notes on
+    * [[shardByTokenBalance]]).
+    */
+  private def twoLevelRankByTokensDesc(docs: DataFrame, idCol: String,
+      tokensCol: String, nBuckets: Int): DataFrame = {
     // value-scale relation: one row per distinct token count, with the
     // value's row count, exclusive cumulative start (tokens desc), the
     // value's id span, and the corpus total
@@ -121,8 +134,36 @@ object Packing {
       .withColumn("_base", coalesce(sum(col("_n")).over(wOff), lit(0L)))
       .select(col("_b"), col("_base"))
     bucketed.join(broadcast(offsets), Seq("_b"))
-      .withColumn("shard", ((col("_base") + col("_rn") - 1) % nShards).cast("long"))
-      .select(col(idCol), col(tokensCol), col("shard"))
+      .withColumn("_rank", col("_base") + col("_rn"))
+      .select(col(idCol), col(tokensCol), col("_rank"))
+  }
+
+  /** Length-grouped batching with padding-waste accounting: rank the
+    * corpus by (tokens desc, id), deal CONSECUTIVE runs of `batchSize`
+    * docs into batches, and report per batch the exact token sums and
+    * the padding waste `n_docs·max_tok − sum_tok` — the standard
+    * dataloader trick (bucketing by length) that cuts padding FLOPs,
+    * here as an auditable assignment + cost sheet. Because batch-mates
+    * have near-equal lengths by construction, waste approaches zero;
+    * the same report over a hash-shuffled order is the baseline a run
+    * compares against. All-integer output — hash-exact in any engine.
+    *
+    * Scale shape: the rank is [[shardByTokenBalance]]'s two-level
+    * bucketed window (never a single-partition corpus sort); the batch
+    * rollup is a map-side-combined hash agg over batch ids. One
+    * tokenizer scan end to end.
+    */
+  def lengthGroupedBatches(docs: DataFrame, idCol: String, tokensCol: String,
+      batchSize: Int, nBuckets: Int = 64): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1: $batchSize")
+    twoLevelRankByTokensDesc(docs, idCol, tokensCol, nBuckets)
+      .withColumn("batch_id", expr(s"CAST((_rank - 1) DIV $batchSize AS BIGINT)"))
+      .groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"), max(col(tokensCol)).as("max_tok"),
+        sum(col(tokensCol)).as("sum_tok"))
+      .withColumn("pad_waste",
+        (col("n_docs") * col("max_tok") - col("sum_tok")).cast("long"))
+      .orderBy(col("batch_id"))
   }
 
   /** Weighted source interleaving (domain mixing): source s's k-th

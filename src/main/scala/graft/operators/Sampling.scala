@@ -184,4 +184,72 @@ object Sampling {
       .filter(u < col("rate"))
   }
 
+  /** UniMax token-budget allocation (Chung et al. 2023): split a total
+    * training-token budget across groups (languages/domains) as UNIFORMLY
+    * as possible, subject to a per-group repetition ceiling of
+    * `maxEpochs` passes over its `n_tokens` unique tokens — the published
+    * successor to temperature sampling ([[temperatureResample]]) that
+    * removes the alpha knob: low-resource groups are capped at
+    * cap_g = n_g · maxEpochs, and whatever budget their caps free up is
+    * re-spread uniformly over the rest (a classic waterfill).
+    *
+    * The waterfill has a closed form that makes the per-group decision
+    * ALL-INTEGER: sort groups ascending by cap, let csum_i include row i
+    * and L be the group count; group i is capped iff
+    * cap_i · (L − i) ≤ B − csum_i (equivalent to cap_i ≤ fair share at
+    * its turn, and self-consistent for every row because caps ascend —
+    * once one group goes uncapped the fair share is constant and all
+    * larger caps stay uncapped). Every uncapped group then receives the
+    * SAME allocation (B − Σ capped caps) / (L − k), the one IEEE division
+    * in the operator — both operands exact longs, so the double is
+    * correctly rounded and bit-identical in any IEEE-754 engine, which is
+    * what lets the registered oracle replay the whole allocation in
+    * DuckDB hash-exactly. `epochs` = alloc / n_g is a second correctly-
+    * rounded division; for capped rows it returns maxEpochs EXACTLY
+    * (true quotient of n·c / n is representable).
+    *
+    * `budgetPerTotal` sets B = budgetPerTotal × Σ n_g — budgets are
+    * naturally stated as corpus multiples ("train for ~3 epochs worth"),
+    * and the integer multiple keeps B exact. Callers with an absolute
+    * budget pass their own 1-row relation through the same shape.
+    *
+    * Scale shape: one corpus scan into a map-side-combined group-sum;
+    * everything downstream (the ascending-cap window, the two 1-row
+    * broadcast crossJoins for budget and capped-mass) runs over the
+    * GROUP-scale relation — kilobytes for any real language/domain
+    * inventory, so the single-partition window is a driver-sized sort,
+    * the same vocabulary-scale-window discipline as `text_vocab`. At
+    * 100 TB this operator costs exactly one pass over the corpus.
+    */
+  def unimaxAllocation(df: DataFrame, groupCol: String, tokensCol: String,
+      maxEpochs: Int, budgetPerTotal: Int): DataFrame = {
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1: $maxEpochs")
+    require(budgetPerTotal >= 1, s"budgetPerTotal must be >= 1: $budgetPerTotal")
+    val g = df.groupBy(col(groupCol))
+      .agg(sum(col(tokensCol)).cast("long").as("n_tokens"))
+    val totals = g.agg(
+      (sum(col("n_tokens")) * lit(budgetPerTotal.toLong)).cast("long")
+        .as("_budget"),
+      count(lit(1)).as("_nl"))
+    val byCap = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cap"), col(groupCol))
+    val ranked = g.withColumn("cap", col("n_tokens") * lit(maxEpochs.toLong))
+      .crossJoin(broadcast(totals))
+      .withColumn("_csum", sum(col("cap")).over(
+        byCap.rowsBetween(Long.MinValue, 0)))
+      .withColumn("_i", row_number().over(byCap).cast("long"))
+      .withColumn("capped",
+        col("cap") * (col("_nl") - col("_i")) <= col("_budget") - col("_csum"))
+    val cappedMass = ranked.agg(
+      coalesce(sum(when(col("capped"), col("cap"))), lit(0L)).as("_capsum"),
+      coalesce(sum(when(col("capped"), lit(1L))), lit(0L)).as("_k"))
+    val alloc = when(col("capped"), col("cap").cast("double"))
+      .otherwise((col("_budget") - col("_capsum")).cast("double") /
+        (col("_nl") - col("_k")).cast("double"))
+    ranked.crossJoin(broadcast(cappedMass))
+      .withColumn("alloc_tokens", alloc)
+      .withColumn("epochs", col("alloc_tokens") / col("n_tokens").cast("double"))
+      .select(col(groupCol), col("n_tokens"), col("cap"), col("capped"),
+        col("alloc_tokens"), col("epochs"))
+  }
 }

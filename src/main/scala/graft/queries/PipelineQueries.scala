@@ -742,6 +742,17 @@ object PipelineQueries {
   def textBpeVocab(s: SparkSession, dir: String): DataFrame =
     graft.operators.Bpe.vocab(Tables.documents(s, dir), "text", BpeMerges)
 
+  /** Tokenizer fertility by language ([[graft.operators.Bpe.fertility]]):
+    * BPE tokens per word under the corpus-trained merges — the
+    * tokenizer-equity audit (low-resource languages fragment into more
+    * tokens per word, costing more context budget per document).
+    * All-integer counts + one exact-long IEEE division, replayed by the
+    * unrolled training oracle end to end.
+    */
+  def textBpeFertility(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Bpe.fertility(Tables.documents(s, dir), "lang", "text",
+      BpeMerges)
+
   /** Int8 absmax quantization of the embedding store ([[Quantize]] — the
     * 4× storage cut every 100 TB vector deployment applies), exploded to
     * oracle-hashable scalars; the packed tinyint[] form is the production
@@ -970,6 +981,24 @@ object PipelineQueries {
       .select(col("doc_id"), col("lang"), col("n_group"), col("rate"))
       .orderBy(col("doc_id"))
 
+  /** UniMax budget allocation over the documents corpus
+    * ([[Sampling.unimaxAllocation]]): a 3×-corpus token budget spread
+    * across languages with a 4-epoch repetition ceiling — the published
+    * successor to temperature smoothing (the knob-free waterfill). Token
+    * counts use the shared [[graft.functions.Text.tokens]] definition so
+    * the group sums are the hash-green `text_token_budget` inventory; the
+    * capped/uncapped decision is all-integer and the two emitted doubles
+    * are single correctly-rounded IEEE divisions, so DuckDB replays the
+    * whole allocation bit-exactly. At the bench corpus this budget caps
+    * the four low-resource languages and waterfills the remainder into
+    * `en` (both branches exercised at every SF).
+    */
+  def sampleUnimax(s: SparkSession, dir: String): DataFrame =
+    Sampling.unimaxAllocation(
+      Tables.documents(s, dir).select(col("lang"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tok")),
+      "lang", "n_tok", maxEpochs = 4, budgetPerTotal = 3)
+      .orderBy(col("lang"))
 
   /** Connected-component near-dup clusters over the MinHash pair graph
     * (cluster_id = min member id) — the transitive-closure dedup
@@ -981,6 +1010,26 @@ object PipelineQueries {
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, Tau, ordered = false)
     Dedup.clusterIds(docs, "doc_id", pairs)
       .orderBy(col("doc_id"))
+  }
+
+  /** Contrastive POSITIVE pairs mined from the near-dup cluster graph —
+    * the complement of `mine_hard_negatives`: documents in one near-dup
+    * component are semantically-equivalent rewrites of each other, i.e.
+    * free (anchor, positive) supervision for embedding-model training.
+    * Pairing is a RING over each cluster's members in doc_id order
+    * (member_i with member_{i+1}), emitting exactly |C|−1 pairs per
+    * component — LINEAR in cluster size where the naive all-pairs
+    * explode is quadratic (a 1M-member boilerplate cluster at 100 TB
+    * yields 1M−1 pairs, not 5·10^11). The lead() window partitions by
+    * cluster id, so the work is one parallel per-cluster sort over the
+    * (long, long) membership relation; the text bodies never move.
+    */
+  def minePositivePairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, Tau, ordered = false)
+    Dedup.positivePairs(
+        Dedup.clusterIdsStar(docs, "doc_id", pairs), "doc_id", "cluster_id")
+      .orderBy(col("anchor"))
   }
 
   /** Same component structure via the O(log n) star-contraction variant
@@ -1036,6 +1085,20 @@ object PipelineQueries {
         size(graft.functions.Text.tokens(col("text"))).cast("long").as("tokens"))
     Packing.shardByTokenBalance(docs, "doc_id", "tokens", nShards = 8)
       .orderBy(col("doc_id"))
+  }
+
+  /** Length-grouped batch cost sheet ([[Packing.lengthGroupedBatches]],
+    * batch 64): per-batch doc counts, exact token sums, and the padding
+    * waste n_docs·max−sum under (tokens desc, id) grouping — the
+    * dataloader bucketing-by-length audit. All-integer; the oracle's
+    * single global window equals the engine's two-level bucketed rank
+    * exactly (monotone bucketing).
+    */
+  def packLengthBatches(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(graft.functions.Text.tokens(col("text"))).cast("long").as("tokens"))
+    Packing.lengthGroupedBatches(docs, "doc_id", "tokens", batchSize = 64)
   }
 
   def packSequences(s: SparkSession, dir: String): DataFrame = {
@@ -1748,6 +1811,7 @@ object PipelineQueries {
     "sample_split_leaksafe" -> (sampleSplitLeaksafe _),
     "sample_stratified" -> (sampleStratified _),
     "sample_temperature" -> (sampleTemperature _),
+    "sample_unimax" -> (sampleUnimax _),
     "sample_shuffle" -> (sampleShuffle _),
     "text_pii_redact" -> (textPiiRedact _),
     "emb_quantize" -> (embQuantize _),
@@ -1769,6 +1833,7 @@ object PipelineQueries {
     "pack_sequences" -> (packSequences _),
     "pack_shards" -> (packShards _),
     "pack_turns" -> (packTurns _),
+    "pack_length_batches" -> (packLengthBatches _),
     "text_token_budget" -> (textTokenBudget _),
     "sample_mix" -> (sampleMix _),
     "text_quality_rules" -> (textQualityRules _),
@@ -1805,6 +1870,8 @@ object PipelineQueries {
     "ann_topk_pq" -> (annTopkPq _),
     "ann_topk_ivfpq" -> (annTopkIvfPq _),
     "mine_hard_negatives" -> (mineHardNegatives _),
+    "mine_positive_pairs" -> (minePositivePairs _),
+    "text_bpe_fertility" -> (textBpeFertility _),
     "emb_decontaminate" -> (embDecontaminate _),
     "ann_recall_report" -> (annRecallReport _),
     "sketch_rollup" -> (sketchRollup _),
@@ -2823,6 +2890,34 @@ object PipelineQueries {
         |WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE)
         |      / 4294967296.0 < r.rate
         |ORDER BY d.doc_id""".stripMargin,
+    // UniMax waterfill replay: the capped decision is all-integer
+    // (cap*(L-i) <= B-csum over the ascending-cap order), the uncapped
+    // allocation is ONE division of exact longs and epochs one more
+    // correctly-rounded division — both bit-identical cross-engine
+    "sample_unimax" ->
+      """WITH t AS (
+        |  SELECT lang, CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |    x -> x != '')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |g AS (SELECT lang, CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM t GROUP BY lang),
+        |s AS (SELECT CAST(3 * sum(n_tokens) AS BIGINT) AS budget, count(*) AS nl FROM g),
+        |w AS (SELECT lang, n_tokens, n_tokens * 4 AS cap,
+        |        sum(n_tokens * 4) OVER (ORDER BY n_tokens * 4, lang
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS csum,
+        |        row_number() OVER (ORDER BY n_tokens * 4, lang) AS i
+        |      FROM g),
+        |f AS (SELECT w.*, s.budget, s.nl,
+        |        (cap * (s.nl - i) <= s.budget - csum) AS capped FROM w, s),
+        |c AS (SELECT coalesce(sum(cap) FILTER (WHERE capped), 0) AS capsum,
+        |        count(*) FILTER (WHERE capped) AS k FROM f)
+        |SELECT f.lang, f.n_tokens, f.cap, f.capped,
+        |  CASE WHEN f.capped THEN CAST(f.cap AS DOUBLE)
+        |       ELSE CAST(f.budget - c.capsum AS DOUBLE) / CAST(f.nl - c.k AS DOUBLE)
+        |  END AS alloc_tokens,
+        |  (CASE WHEN f.capped THEN CAST(f.cap AS DOUBLE)
+        |        ELSE CAST(f.budget - c.capsum AS DOUBLE) / CAST(f.nl - c.k AS DOUBLE)
+        |   END) / CAST(f.n_tokens AS DOUBLE) AS epochs
+        |FROM f, c ORDER BY f.lang""".stripMargin,
     // floor(v + 0.5e0) on both sides: floor and IEEE *,/,+ are bit-exact
     // cross-engine, round()'s half-tie behavior is not; 0.5e0 because
     // DuckDB parses bare 0.5 as DECIMAL
@@ -2913,6 +3008,20 @@ object PipelineQueries {
         |r AS (SELECT *, row_number() OVER (ORDER BY tokens DESC, doc_id) AS rnk FROM n)
         |SELECT doc_id, tokens, CAST((rnk - 1) % 8 AS BIGINT) AS shard
         |FROM r ORDER BY doc_id""".stripMargin,
+    // same monotone-bucketing identity as pack_shards: the engine's
+    // two-level rank equals this one global window; rollup all-integer
+    "pack_length_batches" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x != '')) AS BIGINT) AS tokens
+        |  FROM documents),
+        |r AS (SELECT *, row_number() OVER (ORDER BY tokens DESC, doc_id) AS rnk FROM t)
+        |SELECT CAST((rnk - 1) // 64 AS BIGINT) AS batch_id,
+        |  count(*) AS n_docs, max(tokens) AS max_tok,
+        |  CAST(sum(tokens) AS BIGINT) AS sum_tok,
+        |  CAST(count(*) * max(tokens) - sum(tokens) AS BIGINT) AS pad_waste
+        |FROM r GROUP BY batch_id ORDER BY batch_id""".stripMargin,
     "pack_sequences" ->
       """WITH t AS (
         |  SELECT doc_id,
@@ -3173,6 +3282,19 @@ object PipelineQueries {
       graft.operators.Bpe.encodeSql("documents", "doc_id", "text", BpeMerges),
     "text_bpe_vocab" ->
       graft.operators.Bpe.vocabSql("documents", "text", BpeMerges),
+    "text_bpe_fertility" ->
+      graft.operators.Bpe.fertilitySql("documents", "lang", "text", BpeMerges),
+    // ring pairing over the recursive-CTE components: lead() in doc_id
+    // order within each cluster — |C|-1 pairs per component, same rows
+    // the engine's star-contraction clusters produce
+    "mine_positive_pairs" -> (clustersCte +
+      """,
+        |m AS (SELECT cluster_id, doc_id,
+        |        lead(doc_id) OVER (PARTITION BY cluster_id ORDER BY doc_id)
+        |          AS positive
+        |      FROM cl)
+        |SELECT cluster_id, doc_id AS anchor, positive
+        |FROM m WHERE positive IS NOT NULL ORDER BY anchor""".stripMargin),
     "text_vocab" ->
       """WITH t AS (
         |  SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')

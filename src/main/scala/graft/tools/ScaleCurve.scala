@@ -85,7 +85,18 @@ object ScaleCurve {
     // sampling (the emb_kmeans scans + one id-relation window)
     "emb_decontaminate", "sample_cluster_balanced",
     // token-balanced sharding: tokenizer scan + two bucketed windows
-    "pack_shards")
+    "pack_shards",
+    // round-11 additions: temperature resampling and the UniMax
+    // waterfill (one corpus pass each, everything else group-scale),
+    // contrastive positive mining (clusterIdsStar + one membership
+    // window; suffixed copies double clusters without cross-copy
+    // pairs), and the BPE fertility audit (training loop + one
+    // broadcast-joined corpus scan)
+    "sample_temperature", "sample_unimax", "mine_positive_pairs",
+    "text_bpe_fertility",
+    // length-grouped batching: the pack_shards two-level rank + one
+    // batch-keyed rollup
+    "pack_length_batches")
 
   /** SPARK_GRAFT_SCALE_ONLY: comma-separated exact names — run a subset
     * (new-row refresh) without re-measuring the whole table.

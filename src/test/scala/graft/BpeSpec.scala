@@ -55,6 +55,29 @@ class BpeSpec extends SparkTestBase {
     assert(out == Seq((0L, "a", "b", "ab", 1L)))
   }
 
+  test("fertility emits exact per-group counts and the tokens-per-word ratio") {
+    // group g1: "aaab ab" (2 words, 4+2=6 chars); group g2: "cd cd cd"
+    // merges=2 on the combined corpus: (a,a) cnt 1... compute instead by
+    // checking invariants against trainAndEncode on the same corpus
+    val df = Seq((1L, "g1", "aaab ab aaab"), (2L, "g1", "ab ab"),
+      (3L, "g2", "cd cd cd")).toDF("doc_id", "grp", "text")
+    val fert = Bpe.fertility(df, "grp", "text", 2)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val enc = Bpe.trainAndEncode(df, "doc_id", "text", 2)
+      .as[(Long, Long, Long)].collect()
+    // group sums must equal the per-doc encode sums re-grouped
+    Map("g1" -> Seq(1L, 2L), "g2" -> Seq(3L)).foreach { case (g, ids) =>
+      val rows = enc.filter(r => ids.contains(r._1))
+      val (words, toks) = (rows.map(_._2).sum, rows.map(_._3).sum)
+      // fertility is the single IEEE division of the exact longs
+      assert(fert(g) == ((words, toks, toks.toDouble / words.toDouble)),
+        s"$g: ${fert(g)} vs ($words, $toks)")
+    }
+    // sanity: fertility >= 1 (a word is at least one token)
+    fert.values.foreach { case (_, _, f) => assert(f >= 1.0) }
+  }
+
   test("exhaustion before nMerges stops cleanly with fewer rows") {
     // all words single-character → no adjacent pairs at all
     val none = Bpe.train(docs("a b c", "a c"), "text", 5)

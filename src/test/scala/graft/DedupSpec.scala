@@ -107,6 +107,17 @@ class DedupSpec extends SparkTestBase {
     assert(rounds == 0)
   }
 
+  test("positivePairs emits a linear ring per cluster, skipping singletons") {
+    // clusters: {1,3,7} -> ring (1,3),(3,7); {2,9} -> (2,9); {5} -> none
+    val cl = Seq((1L, 1L), (3L, 1L), (7L, 1L), (2L, 2L), (9L, 2L), (5L, 5L))
+      .toDF("doc_id", "cluster_id")
+    val out = Dedup.positivePairs(cl, "doc_id", "cluster_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 1L, 3L), (1L, 3L, 7L), (2L, 2L, 9L)))
+    // |C|-1 pairs per component, never quadratic
+    assert(out.size == (3 - 1) + (2 - 1))
+  }
+
   test("ngramJaccardPairs finds exactly the planted near-dup pair") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.7)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet

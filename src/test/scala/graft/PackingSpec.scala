@@ -55,6 +55,29 @@ class PackingSpec extends SparkTestBase {
       s"a bucket holds ${perBucket.values.max} of ${rows.size} rows — not equi-depth")
   }
 
+  test("lengthGroupedBatches deals the desc-length rank into batches with exact waste") {
+    // tokens desc == id asc: batches of 3 are consecutive id runs
+    val docs = (1L to 8L).map(i => (i, 11L - i)).toDF("doc_id", "tokens")
+    val out = Packing.lengthGroupedBatches(docs, "doc_id", "tokens", 3)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (0L, 3L, 10L, 27L, 3L),   // {10,9,8}: 3*10-27
+      (1L, 3L, 7L, 18L, 3L),    // {7,6,5}
+      (2L, 2L, 4L, 7L, 1L)))    // tail batch {4,3}: 2*4-7
+    // grouping by length ~zeroes waste vs the same batches in id order
+    // over a length-skewed corpus
+    val skewed = (1L to 90L).map(i => (i, if (i % 3 == 0) 100L else 5L))
+      .toDF("doc_id", "tokens")
+    val grouped = Packing.lengthGroupedBatches(skewed, "doc_id", "tokens", 30)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(grouped.map(_._5).sum == 0L,
+      "equal-length runs of >= batchSize must pad nothing")
+    // bucket count must not change the assignment (monotone bucketing)
+    val alt = Packing.lengthGroupedBatches(skewed, "doc_id", "tokens", 30, nBuckets = 7)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(alt.toSeq == grouped.toSeq)
+  }
+
   test("packByBudget assigns concat-then-chunk pack ids per shard") {
     // single shard (nShards = 1): token counts 3,3,3,3 with budget 8 lay
     // out at offsets 0,3,6,9 -> packs 0,0,0,1

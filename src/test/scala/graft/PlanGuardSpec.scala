@@ -40,6 +40,7 @@ class PlanGuardSpec extends SparkTestBase {
     "ann_recall_report" -> "composes the ANN legs above plus five 1-row × 1-row recall scalars",
     "sample_weighted" -> "1-row global weight-total broadcast for prefix-sum normalization",
     "sample_temperature" -> "1-row global min-group-count broadcast into the group-cardinality rate relation; the rate join into the corpus scan itself is keyed",
+    "sample_unimax" -> "two 1-row broadcasts into the GROUP-scale relation (global budget/count, then capped mass); the corpus appears only in the one token groupBy",
     "sketch_overlap" -> "event-type-pair-sized (6×6) sketch blob join; blobs are kilobytes",
     "sketch_error_report" -> "composes sketch_overlap's pair-sized blob join plus the rollup legs' 1-row global sketch merges; every BNLJ side is sketch-count-sized",
     "sketch_rollup" -> "1-row × 1-row global HLL/KLL sketch merges (documented crossJoin)",

@@ -61,6 +61,36 @@ class SamplingSpec extends SparkTestBase {
       .count() == 4200L)
   }
 
+  test("unimaxAllocation waterfills the budget under per-group epoch caps") {
+    // doc-level corpus -> group token sums a=100, b=200, c=700 (T=1000)
+    val docs = (Seq.fill(2)(("a", 50L)) ++ Seq.fill(4)(("b", 50L)) ++
+      Seq.fill(7)(("c", 100L))).toDF("lang", "n_tok")
+    // B = 1*T = 1000, caps at 2 epochs: a 200, b 400, c 1400
+    val out = Sampling.unimaxAllocation(docs, "lang", "n_tok", 2, 1)
+      .orderBy("lang")
+      .as[(String, Long, Long, Boolean, Double, Double)].collect()
+    assert(out.map(r => (r._1, r._2, r._3, r._4)).toSeq ==
+      Seq(("a", 100L, 200L, true), ("b", 200L, 400L, true),
+          ("c", 700L, 1400L, false)))
+    // a and b hit their caps (b exactly at the tie: fair share == cap);
+    // c absorbs the remaining budget — and the allocs sum to B exactly
+    assert(out.map(_._5).toSeq == Seq(200.0, 400.0, 400.0))
+    assert(out.map(_._5).sum == 1000.0)
+    // capped rows' epochs are EXACTLY maxEpochs (n*c/n is a
+    // representable true quotient); the uncapped row one IEEE division
+    assert(out(0)._6 == 2.0 && out(1)._6 == 2.0 && out(2)._6 == 400.0 / 700.0)
+    // budget >= total caps: everything capped at maxEpochs, budget underspent
+    val all = Sampling.unimaxAllocation(docs, "lang", "n_tok", 2, 10)
+      .as[(String, Long, Long, Boolean, Double, Double)].collect()
+    assert(all.forall(r => r._4 && r._6 == 2.0) && all.map(_._5).sum == 2000.0)
+    // equal groups under a tight budget: nothing capped, uniform thirds
+    val eq = (Seq.fill(3)(("x", 100L)) ++ Seq.fill(3)(("y", 100L)) ++
+      Seq.fill(3)(("z", 100L))).toDF("lang", "n_tok")
+    val none = Sampling.unimaxAllocation(eq, "lang", "n_tok", 4, 1)
+      .as[(String, Long, Long, Boolean, Double, Double)].collect()
+    assert(none.forall(r => !r._4 && r._5 == 300.0 && r._6 == 1.0))
+  }
+
   /** The leakage-safe split contract: near-duplicate documents land in
     * ONE split because membership hashes the cluster id — while the
     * planted pair's own doc ids hash to DIFFERENT per-doc buckets, i.e.
