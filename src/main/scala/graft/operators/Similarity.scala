@@ -896,4 +896,39 @@ object Similarity {
       m: Int = 16, ksub: Int = 32): DataFrame =
     queryIvfPq(buildIvfPq(corpus, idCol, vecCol, dim, nlist, m, ksub),
       queries, idCol, vecCol, k, nprobe)
+
+  /** Two-stage ANN serving — PQ candidates, EXACT re-rank (FAISS's
+    * standard refine step): the compressed ADC scan proposes `kCand`
+    * candidates per query, then only those kCand rows are re-scored
+    * against their TRUE vectors and cut to the final `k`. This is the
+    * production shape because it buys back most of the quantization
+    * error for a bounded extra cost: the exact pass touches
+    * |queries|·kCand vectors — independent of corpus size — instead of
+    * the whole corpus, so at 100 TB the refine stage reads a few
+    * thousand full vectors per query batch while the corpus is only
+    * ever scanned in its m-byte PQ-coded form. The re-rank join is
+    * keyed on the candidate ids (the candidate relation is tiny and
+    * broadcasts); scoring is the same 6 dp-rounded cosine as
+    * [[bruteTopK]], so a refined neighbor list agrees bit-for-bit with
+    * brute force whenever the true top-k survives the candidate stage.
+    */
+  def pqRefineTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, kCand: Int, dim: Int, m: Int = 16,
+      ksub: Int = 32): DataFrame = {
+    require(kCand >= k, s"kCand ($kCand) must be >= k ($k)")
+    import graft.functions.VectorOps
+    val cand = pqTopK(queries, corpus, idCol, vecCol, kCand, dim, m, ksub)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
+      VectorOps.norm(col(vecCol)).as("_qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
+      VectorOps.norm(col(vecCol)).as("_cn"))
+    val scored = cand
+      .join(broadcast(q), Seq("query_id"))
+      .join(c, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id").as("_cid"),
+        round(VectorOps.dot(col("_qv"), col("_cv")) / (col("_qn") * col("_cn")), 6)
+          .as("_score"))
+    rankTopK(scored, k)
+  }
 }

@@ -117,6 +117,8 @@ object PipelineQueries {
 
   private val AnnK = 5
   private val AnnDim = 64
+  // candidate width of the PQ->exact refine stage (ann_topk_pq_refined)
+  private val AnnKCand = 20
 
   private def annQueries(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir).filter(col("vec_id") < 10)
@@ -145,6 +147,17 @@ object PipelineQueries {
   def annTopkPq(s: SparkSession, dir: String): DataFrame =
     Similarity.pqTopK(annQueries(s, dir), Tables.embeddings(s, dir),
       "vec_id", "embedding", AnnK, AnnDim)
+
+  /** Two-stage serving shape ([[Similarity.pqRefineTopK]]): the PQ ADC
+    * scan proposes 20 candidates per query, an exact cosine pass
+    * re-ranks ONLY those and cuts to k — the FAISS refine step that
+    * buys back quantization error for a corpus-size-independent extra
+    * cost. Full hash oracle: the PQ replay kept to kCand, then the
+    * brute oracle's round-6 scoring over the candidate rows.
+    */
+  def annTopkPqRefined(s: SparkSession, dir: String): DataFrame =
+    Similarity.pqRefineTopK(annQueries(s, dir), Tables.embeddings(s, dir),
+      "vec_id", "embedding", AnnK, AnnKCand, AnnDim)
 
   /** The composed index — IVF cells prune the candidate set, PQ codes
     * compress what remains (FAISS's IVFx,PQy): candidate work drops to
@@ -1868,6 +1881,7 @@ object PipelineQueries {
     "ann_topk_ivf" -> (annTopkIvf _),
     "ann_topk_pca" -> (annTopkPca _),
     "ann_topk_pq" -> (annTopkPq _),
+    "ann_topk_pq_refined" -> (annTopkPqRefined _),
     "ann_topk_ivfpq" -> (annTopkIvfPq _),
     "mine_hard_negatives" -> (mineHardNegatives _),
     "mine_positive_pairs" -> (minePositivePairs _),
@@ -2158,7 +2172,7 @@ object PipelineQueries {
     * `pl[1]+…+pl[16]`, mirroring the encoder's sequential reduce),
     * normalizes by both norms, rounds to 6 dp, and takes top-k.
     */
-  private lazy val pqAdcRankSql: String = {
+  private lazy val pqAdcRankCtes: String = {
     val adcSum = (1 to 16).map(i => s"pl[$i]").mkString(" + ")
     s"""padc AS (SELECT query_id, nid, list(pv ORDER BY j) AS pl FROM part GROUP BY query_id, nid),
        |scored AS (SELECT padc.query_id, padc.nid AS neighbor_id,
@@ -2166,10 +2180,13 @@ object PipelineQueries {
        |  FROM padc JOIN q q2 ON q2.query_id = padc.query_id JOIN cn ON cn.vec_id = padc.nid),
        |r AS (SELECT *, row_number() OVER (
        |        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
-       |      FROM scored)
+       |      FROM scored)""".stripMargin
+  }
+
+  private lazy val pqAdcRankSql: String = pqAdcRankCtes +
+    s"""
        |SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, cosine
        |FROM r WHERE rnk <= $AnnK ORDER BY query_id, rank""".stripMargin
-  }
 
   private lazy val annTopkPqSql: String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -2181,6 +2198,34 @@ object PipelineQueries {
        |    list_dot_product(cc.c, qsv.sv) AS pv
        |  FROM qsv JOIN cc ON cc.j = qsv.j AND cc.vec_id != qsv.query_id),
        |$pqAdcRankSql""".stripMargin
+
+  /** The two-stage refine oracle: the PQ leg's full replay (trainer +
+    * codes + ADC rank) kept to kCand candidates, then an EXACT cosine
+    * re-rank over those rows only — the same round-6 scoring as the
+    * brute oracle, cut to the final k.
+    */
+  private lazy val annTopkPqRefinedSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |$pqCodesCtes
+       |cn AS (SELECT vec_id, sqrt(list_dot_product(v, v)) AS n FROM e),
+       |q AS (SELECT vec_id AS query_id, v, sqrt(list_dot_product(v, v)) AS qn FROM e WHERE vec_id < 10),
+       |qsv AS (SELECT q.query_id, js.j, q.v[js.j * 4 + 1 : js.j * 4 + 4] AS sv FROM q CROSS JOIN js),
+       |part AS (SELECT qsv.query_id, cc.vec_id AS nid, qsv.j,
+       |    list_dot_product(cc.c, qsv.sv) AS pv
+       |  FROM qsv JOIN cc ON cc.j = qsv.j AND cc.vec_id != qsv.query_id),
+       |$pqAdcRankCtes,
+       |cand AS (SELECT query_id, neighbor_id FROM r WHERE rnk <= $AnnKCand),
+       |ex AS (SELECT c.query_id, c.neighbor_id,
+       |    round(list_dot_product(q3.v, e2.v) / (q3.qn * cn2.n), 6) AS cosine
+       |  FROM cand c
+       |  JOIN q q3 ON q3.query_id = c.query_id
+       |  JOIN e e2 ON e2.vec_id = c.neighbor_id
+       |  JOIN cn cn2 ON cn2.vec_id = c.neighbor_id),
+       |rr AS (SELECT *, row_number() OVER (
+       |        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk2
+       |      FROM ex)
+       |SELECT query_id, CAST(rnk2 AS BIGINT) AS rank, neighbor_id, cosine
+       |FROM rr WHERE rnk2 <= $AnnK ORDER BY query_id, rank""".stripMargin
 
   /** `ann_topk_ivfpq` graduated to a FULL hash oracle (round 10): the
     * composed index's oracle is literally the composition of its two
@@ -3425,6 +3470,7 @@ object PipelineQueries {
          |FROM r WHERE rnk <= $AnnK ORDER BY query_id, rank""".stripMargin,
     "ann_topk_ivf" -> annTopkIvfSql,
     "ann_topk_pq" -> annTopkPqSql,
+    "ann_topk_pq_refined" -> annTopkPqRefinedSql,
     "ann_topk_ivfpq" -> annTopkIvfPqSql,
     "text_stats" ->
       """WITH t AS (

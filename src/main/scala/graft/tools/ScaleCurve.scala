@@ -96,7 +96,10 @@ object ScaleCurve {
     "text_bpe_fertility",
     // length-grouped batching: the pack_shards two-level rank + one
     // batch-keyed rollup
-    "pack_length_batches")
+    "pack_length_batches",
+    // two-stage PQ refine: the PQ leg's cost + a corpus-size-independent
+    // exact pass over queries×kCand candidate rows
+    "ann_topk_pq_refined")
 
   /** SPARK_GRAFT_SCALE_ONLY: comma-separated exact names — run a subset
     * (new-row refresh) without re-measuring the whole table.

@@ -34,6 +34,7 @@ class PlanGuardSpec extends SparkTestBase {
     "ann_topk_brute" -> "corpus streams against broadcast(bounded query set); non-equi cosine scoring is the operator",
     "ann_topk_pca" -> "coarse stage: reduced-dim corpus × broadcast(bounded query set)",
     "ann_topk_pq" -> "encoded corpus × broadcast(bounded query set) ADC scoring",
+    "ann_topk_pq_refined" -> "ann_topk_pq's BNLJ (encoded corpus × broadcast bounded query set); the refine stage itself is keyed joins over |queries|×kCand candidate rows",
     "mine_hard_negatives" -> "ann_topk_brute's BNLJ (corpus × broadcast bounded query set); the mining itself is a projection + bounded re-rank over |queries|×kCand rows",
     "emb_decontaminate" -> "corpus streams against broadcast(eval set); eval sets are benchmark-sized constants regardless of corpus scale",
     "pack_shards" -> "1-row min/max token-span scalar broadcast into the bucketing projection (appears twice: once under the offsets branch, once under the final join); the offsets join itself is a keyed broadcast of nBuckets rows",
