@@ -252,4 +252,38 @@ object Sampling {
       .select(col(groupCol), col("n_tokens"), col("cap"), col("capped"),
         col("alloc_tokens"), col("epochs"))
   }
+
+  /** Realize a [[unimaxAllocation]] as a per-document REPETITION PLAN —
+    * the table a dataloader actually consumes: every doc gets
+    * `n_copies` = ⌊e⌋ + Bernoulli(e − ⌊e⌋) under its group's epoch
+    * allocation e, so each group's expected realized token mass equals
+    * its allocation exactly while every decision stays row-local. The
+    * Bernoulli draw is the same md5-of-id exact binary fraction as
+    * [[temperatureResample]] — membership is stable across
+    * partitioning, reruns, and engines, and the oracle replays every
+    * copy count bit-exactly (e is a correctly-rounded IEEE double on
+    * both engines; ⌊e⌋ and the one subtract e − ⌊e⌋ are exact; the
+    * compare against the exact fraction cannot straddle rounding).
+    * Capped groups get exactly `maxEpochs` copies per doc (their e is
+    * integral). Docs with n_copies = 0 are KEPT in the output — the
+    * plan doubles as the drop inventory.
+    *
+    * Scale shape: [[unimaxAllocation]]'s one corpus pass + group-scale
+    * waterfill, then ONE broadcast of the kilobyte (group, epochs)
+    * relation into a narrow second scan. No corpus shuffle, no row
+    * explosion (copies are a count column, not materialized rows).
+    */
+  def unimaxRealize(df: DataFrame, idCol: String, groupCol: String,
+      tokensCol: String, maxEpochs: Int, budgetPerTotal: Int): DataFrame = {
+    val alloc = unimaxAllocation(df, groupCol, tokensCol, maxEpochs,
+      budgetPerTotal).select(col(groupCol), col("epochs"))
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long").cast("double") / lit(4294967296.0)
+    df.join(broadcast(alloc), groupCol)
+      .withColumn("n_copies",
+        (floor(col("epochs")) +
+          when(u < col("epochs") - floor(col("epochs")), 1L).otherwise(0L))
+          .cast("long"))
+      .select(col(idCol), col(groupCol), col(tokensCol), col("n_copies"))
+  }
 }

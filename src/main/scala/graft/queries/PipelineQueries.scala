@@ -1013,6 +1013,20 @@ object PipelineQueries {
       "lang", "n_tok", maxEpochs = 4, budgetPerTotal = 3)
       .orderBy(col("lang"))
 
+  /** The `sample_unimax` allocation REALIZED as a per-document
+    * repetition plan ([[Sampling.unimaxRealize]]): n_copies = ⌊e⌋ +
+    * Bernoulli(frac e) under the md5-fraction uniform, so each
+    * language's expected realized tokens equal its allocation while
+    * every decision is row-local. Capped languages emit exactly 4
+    * copies per doc; the oracle replays every copy count bit-exactly.
+    */
+  def sampleUnimaxApply(s: SparkSession, dir: String): DataFrame =
+    Sampling.unimaxRealize(
+      Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tok")),
+      "doc_id", "lang", "n_tok", maxEpochs = 4, budgetPerTotal = 3)
+      .orderBy(col("doc_id"))
+
   /** Connected-component near-dup clusters over the MinHash pair graph
     * (cluster_id = min member id) — the transitive-closure dedup
     * primitive; pair membership is the hash-green exact-Jaccard set, so
@@ -1825,6 +1839,7 @@ object PipelineQueries {
     "sample_stratified" -> (sampleStratified _),
     "sample_temperature" -> (sampleTemperature _),
     "sample_unimax" -> (sampleUnimax _),
+    "sample_unimax_apply" -> (sampleUnimaxApply _),
     "sample_shuffle" -> (sampleShuffle _),
     "text_pii_redact" -> (textPiiRedact _),
     "emb_quantize" -> (embQuantize _),
@@ -2963,6 +2978,37 @@ object PipelineQueries {
         |        ELSE CAST(f.budget - c.capsum AS DOUBLE) / CAST(f.nl - c.k AS DOUBLE)
         |   END) / CAST(f.n_tokens AS DOUBLE) AS epochs
         |FROM f, c ORDER BY f.lang""".stripMargin,
+    // the allocation realized per doc: floor(e) + Bernoulli(e - floor e)
+    // under the exact md5 fraction — floor/subtract exact, e correctly
+    // rounded on both engines, so every copy count replays bit-exactly
+    "sample_unimax_apply" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |    x -> x != '')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |g AS (SELECT lang, CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM t GROUP BY lang),
+        |s AS (SELECT CAST(3 * sum(n_tokens) AS BIGINT) AS budget, count(*) AS nl FROM g),
+        |w AS (SELECT lang, n_tokens, n_tokens * 4 AS cap,
+        |        sum(n_tokens * 4) OVER (ORDER BY n_tokens * 4, lang
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS csum,
+        |        row_number() OVER (ORDER BY n_tokens * 4, lang) AS i
+        |      FROM g),
+        |f AS (SELECT w.*, s.budget, s.nl,
+        |        (cap * (s.nl - i) <= s.budget - csum) AS capped FROM w, s),
+        |c AS (SELECT coalesce(sum(cap) FILTER (WHERE capped), 0) AS capsum,
+        |        count(*) FILTER (WHERE capped) AS k FROM f),
+        |a AS (SELECT f.lang,
+        |        (CASE WHEN f.capped THEN CAST(f.cap AS DOUBLE)
+        |              ELSE CAST(f.budget - c.capsum AS DOUBLE) / CAST(f.nl - c.k AS DOUBLE)
+        |         END) / CAST(f.n_tokens AS DOUBLE) AS epochs
+        |      FROM f, c)
+        |SELECT t.doc_id, t.lang, t.n_tok,
+        |  CAST(floor(a.epochs) + CASE WHEN
+        |      CAST(('0x' || substring(md5(CAST(t.doc_id AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE)
+        |        / 4294967296.0 < a.epochs - floor(a.epochs)
+        |    THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+        |FROM t JOIN a ON t.lang = a.lang
+        |ORDER BY t.doc_id""".stripMargin,
     // floor(v + 0.5e0) on both sides: floor and IEEE *,/,+ are bit-exact
     // cross-engine, round()'s half-tie behavior is not; 0.5e0 because
     // DuckDB parses bare 0.5 as DECIMAL

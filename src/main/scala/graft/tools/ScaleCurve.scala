@@ -99,7 +99,10 @@ object ScaleCurve {
     "pack_length_batches",
     // two-stage PQ refine: the PQ leg's cost + a corpus-size-independent
     // exact pass over queries×kCand candidate rows
-    "ann_topk_pq_refined")
+    "ann_topk_pq_refined",
+    // UniMax realization: the allocation's corpus pass + one
+    // broadcast-joined second scan
+    "sample_unimax_apply")
 
   /** SPARK_GRAFT_SCALE_ONLY: comma-separated exact names — run a subset
     * (new-row refresh) without re-measuring the whole table.

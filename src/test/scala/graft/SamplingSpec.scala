@@ -91,6 +91,31 @@ class SamplingSpec extends SparkTestBase {
     assert(none.forall(r => !r._4 && r._5 == 300.0 && r._6 == 1.0))
   }
 
+  test("unimaxRealize emits exact copy counts: integral epochs, Bernoulli fraction") {
+    // same corpus as the allocation test, now with doc ids:
+    // a=100 (capped, e=2), b=200 (capped, e=2), c=700 (uncapped, e=4/7)
+    val docs = ((1L to 2L).map((_, "a", 50L)) ++ (11L to 14L).map((_, "b", 50L)) ++
+      (21L to 27L).map((_, "c", 100L))).toDF("doc_id", "lang", "n_tok")
+    val out = Sampling.unimaxRealize(docs, "doc_id", "lang", "n_tok", 2, 1)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._4)).toMap
+    assert(out.size == 13, "every doc keeps a row, including n_copies = 0")
+    // capped groups: e is integral -> exactly maxEpochs copies per doc
+    assert(out.filter(_._2._1 != "c").values.forall(_._2 == 2L))
+    // uncapped group: floor(e)=0, copy iff u < 400/700 — replicate the
+    // md5-fraction draw client-side, bit for bit
+    def uOf(id: Long): Double =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8"))
+          .take(4).map("%02x".format(_)).mkString, 16).toDouble / 4294967296.0
+    val e = 400.0 / 700.0
+    (21L to 27L).foreach { id =>
+      val expect = if (uOf(id) < e) 1L else 0L
+      assert(out(id)._2 == expect, s"doc $id: ${out(id)._2} != $expect")
+    }
+  }
+
   /** The leakage-safe split contract: near-duplicate documents land in
     * ONE split because membership hashes the cluster id — while the
     * planted pair's own doc ids hash to DIFFERENT per-doc buckets, i.e.
