@@ -60,6 +60,7 @@ object Bench {
     "sample_split_leaksafe", "sample_cluster_balanced",
     "dedup_clusters", "dedup_clusters_star",
     "pipeline_curate", "pipeline_curate_learned", "pipeline_curate_packed",
+    "pipeline_curate_rebalanced",
     "graph_pagerank", "graph_communities", "graph_triangles",
     "emb_kmeans", "text_training_map", "text_quality_model",
     "text_bpe_train", "text_bpe_vocab", "text_bpe_encode",

@@ -1343,6 +1343,31 @@ object PipelineQueries {
     out
   }
 
+  /** Curation → LANGUAGE REBALANCING, composed: the learned pipeline's
+    * leakage-safe TRAIN split flows into
+    * [[Sampling.temperatureResample]] (α = 0.5), whose rates derive
+    * from the CURATED composition — the order a real run applies them
+    * (rebalancing raw counts and then curating would re-skew the mix).
+    * Emits the per-language rebalancing sheet: curated train size, the
+    * derived sqrt rate, kept count, first kept doc. One composed oracle
+    * (classifier replay + dedup + clusters + split + temperature CTEs)
+    * proves the stages agree hash-exactly end to end, like
+    * [[pipelineCuratePacked]] does for packing.
+    */
+  def pipelineCurateRebalanced(s: SparkSession, dir: String): DataFrame = {
+    val (split, kept1) = curatedSplitDocs(s, dir)
+    val train = split.filter(col("split") === "train")
+      .select(col("doc_id"), col("lang"))
+    val out = Sampling.temperatureResample(train, "doc_id", "lang", 0.5)
+      .groupBy(col("lang"))
+      .agg(max(col("n_group")).as("n_train"), max(col("rate")).as("rate"),
+        count(lit(1)).as("n_kept"), min(col("doc_id")).as("first_doc"))
+      .orderBy(col("lang"))
+      .localCheckpoint(true)
+    kept1.unpersist(blocking = false)
+    out
+  }
+
   /** Span-level duplication fraction per document (word 3-grams occurring
     * in ≥ 2 documents — [[TextAnalysis.dupSpans]]).
     */
@@ -1858,6 +1883,7 @@ object PipelineQueries {
     "pipeline_curate" -> (pipelineCurate _),
     "pipeline_curate_learned" -> (pipelineCurateLearned _),
     "pipeline_curate_packed" -> (pipelineCuratePacked _),
+    "pipeline_curate_rebalanced" -> (pipelineCurateRebalanced _),
     "pack_sequences" -> (packSequences _),
     "pack_shards" -> (packShards _),
     "pack_turns" -> (packTurns _),
@@ -2402,6 +2428,27 @@ object PipelineQueries {
       |SELECT CAST((rnk - 1) % 8 AS BIGINT) AS shard, count(*) AS n_docs,
       |  CAST(sum(tokens) AS BIGINT) AS tok_sum, min(doc_id) AS first_doc
       |FROM r GROUP BY 1 ORDER BY shard""".stripMargin
+
+  /** The composed curation → rebalancing oracle: the same curated-split
+    * prefix, its TRAIN half into the temperature CTEs (derived sqrt
+    * rates + the exact md5-fraction keep), rolled up per language.
+    */
+  private lazy val pipelineCurateRebalancedSql: String = curatedSplitCtes +
+    """,
+      |tr2 AS (SELECT doc_id, lang FROM spl
+      |        WHERE ('0x' || substring(md5(CAST(cluster_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80),
+      |c2 AS (SELECT lang, count(*) AS n_train FROM tr2 GROUP BY lang),
+      |m2 AS (SELECT min(n_train) AS nmin FROM c2),
+      |r2 AS (SELECT lang, n_train,
+      |         sqrt(CAST(m2.nmin AS DOUBLE) / CAST(c2.n_train AS DOUBLE)) AS rate
+      |       FROM c2, m2),
+      |k2 AS (SELECT tr2.doc_id, tr2.lang FROM tr2 JOIN r2 USING (lang)
+      |       WHERE CAST(('0x' || substring(md5(CAST(tr2.doc_id AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE)
+      |             / 4294967296.0 < r2.rate)
+      |SELECT k2.lang AS lang, max(r2.n_train) AS n_train, max(r2.rate) AS rate,
+      |  count(*) AS n_kept, min(k2.doc_id) AS first_doc
+      |FROM k2 JOIN r2 ON k2.lang = r2.lang
+      |GROUP BY k2.lang ORDER BY k2.lang""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // every cell recomputed exactly: row i's hash is md5 hex slice
@@ -3278,6 +3325,7 @@ object PipelineQueries {
          |FROM samp GROUP BY lang ORDER BY lang""".stripMargin,
     "pipeline_curate_learned" -> pipelineCurateLearnedSql,
     "pipeline_curate_packed" -> pipelineCuratePackedSql,
+    "pipeline_curate_rebalanced" -> pipelineCurateRebalancedSql,
     // tf × N / df: exact-integer numerator, one IEEE division — log-free
     // so the doubles are bit-identical cross-engine (see termSalience)
     "text_salient_terms" ->

@@ -41,6 +41,7 @@ class PlanGuardSpec extends SparkTestBase {
     "ann_recall_report" -> "composes the ANN legs above plus five 1-row × 1-row recall scalars",
     "sample_weighted" -> "1-row global weight-total broadcast for prefix-sum normalization",
     "sample_temperature" -> "1-row global min-group-count broadcast into the group-cardinality rate relation; the rate join into the corpus scan itself is keyed",
+    "pipeline_curate_rebalanced" -> "sample_temperature's 1-row min-group-count broadcast, applied over the curated train split (the curation prefix itself is BNLJ-free)",
     "sample_unimax" -> "two 1-row broadcasts into the GROUP-scale relation (global budget/count, then capped mass); the corpus appears only in the one token groupBy",
     "sample_unimax_apply" -> "sample_unimax's two 1-row group-scale broadcasts; the realization join of the kilobyte (group, epochs) relation into the corpus scan is keyed",
     "sketch_overlap" -> "event-type-pair-sized (6×6) sketch blob join; blobs are kilobytes",
