@@ -102,7 +102,10 @@ object ScaleCurve {
     "ann_topk_pq_refined",
     // UniMax realization: the allocation's corpus pass + one
     // broadcast-joined second scan
-    "sample_unimax_apply")
+    "sample_unimax_apply",
+    // curation -> rebalancing composition: the learned pipeline's cost
+    // (curve 0.21) + temperature's group-scale tail
+    "pipeline_curate_rebalanced")
 
   /** SPARK_GRAFT_SCALE_ONLY: comma-separated exact names — run a subset
     * (new-row refresh) without re-measuring the whole table.
