@@ -475,4 +475,38 @@ object TextAnalysis {
           greatest(col("n_tokens") - 1, lit(1L)), 6).as("top_bigram_ratio"))
       .orderBy(col(idCol))
   }
+
+  /** Distinct-n corpus DIVERSITY by group (source/lang): dist-1 =
+    * distinct unigrams / total unigrams and dist-2 = distinct bigrams /
+    * total bigrams (Li et al. 2016) — the standard lexical-diversity
+    * audit for a training mixture (a source whose dist-n collapses is
+    * boilerplate/templated text that repetition filters miss at the
+    * per-document level, because each DOCUMENT looks fine). All counts
+    * exact integers; the two ratios are single IEEE divisions of exact
+    * longs, so the report is hash-exact in any engine.
+    *
+    * Scale shape: two explode scans (unigrams, bigrams) into hash
+    * aggregations keyed by (group, gram) — the shuffle carries distinct
+    * grams, vocabulary-scale per group, never corpus-scale; partials
+    * combine map-side. At 100 TB this is the same shape as
+    * [[vocabulary]], grouped.
+    */
+  def diversity(docs: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val base = docs.select(col(groupCol), Text.tokens(col(textCol)).as("_toks"))
+    val uni = base.select(col(groupCol), explode(col("_toks")).as("_g"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_uni"), countDistinct(col("_g")).as("d_uni"))
+    val bi = base.filter(size(col("_toks")) >= 2)
+      .select(col(groupCol), explode(transform(
+        sequence(lit(1), size(col("_toks")) - 1),
+        i => concat_ws(" ", element_at(col("_toks"), i), element_at(col("_toks"), i + 1))))
+        .as("_g"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_bi"), countDistinct(col("_g")).as("d_bi"))
+    uni.join(bi, Seq(groupCol))
+      .select(col(groupCol), col("n_uni"), col("d_uni"), col("n_bi"), col("d_bi"),
+        (col("d_uni").cast("double") / col("n_uni").cast("double")).as("dist1"),
+        (col("d_bi").cast("double") / col("n_bi").cast("double")).as("dist2"))
+      .orderBy(col(groupCol))
+  }
 }

@@ -684,6 +684,14 @@ object PipelineQueries {
   def textRepetition(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetitionSignals(Tables.documents(s, dir), "doc_id", "text")
 
+  /** Distinct-n lexical diversity per source ([[TextAnalysis.diversity]]):
+    * dist-1/dist-2 over exact gram counts — flags templated sources whose
+    * per-document repetition looks fine but whose cross-document gram
+    * reuse collapses; all-integer counts + two exact-long divisions.
+    */
+  def textDiversity(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.diversity(Tables.documents(s, dir), "source", "text")
+
   /** Three synthetic PII carriers planted IN-QUERY (the corpus itself is
     * PII-free word salad), so the oracle comparison exercises real
     * redactions, not just both engines agreeing on zero matches — the
@@ -1879,6 +1887,7 @@ object PipelineQueries {
     "text_salient_terms" -> (textSalientTerms _),
     "text_decontaminate" -> (textDecontaminate _),
     "text_repetition" -> (textRepetition _),
+    "text_diversity" -> (textDiversity _),
     "chunk_documents" -> (chunkDocuments _),
     "pipeline_curate" -> (pipelineCurate _),
     "pipeline_curate_learned" -> (pipelineCurateLearned _),
@@ -3326,6 +3335,25 @@ object PipelineQueries {
     "pipeline_curate_learned" -> pipelineCurateLearnedSql,
     "pipeline_curate_packed" -> pipelineCuratePackedSql,
     "pipeline_curate_rebalanced" -> pipelineCurateRebalancedSql,
+    // distinct-n diversity: all-integer gram counts, two exact-long
+    // IEEE divisions — bit-identical cross-engine
+    "text_diversity" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS toks
+        |  FROM documents),
+        |u AS (SELECT source, unnest(toks) AS g FROM t),
+        |bg AS (SELECT source, toks[i] || ' ' || toks[i+1] AS g
+        |       FROM t, unnest(generate_series(1, len(toks) - 1)) AS s(i)
+        |       WHERE len(toks) >= 2),
+        |us AS (SELECT source, count(*) AS n_uni, count(DISTINCT g) AS d_uni
+        |       FROM u GROUP BY source),
+        |bs AS (SELECT source, count(*) AS n_bi, count(DISTINCT g) AS d_bi
+        |       FROM bg GROUP BY source)
+        |SELECT us.source AS source, n_uni, d_uni, n_bi, d_bi,
+        |  CAST(d_uni AS DOUBLE) / CAST(n_uni AS DOUBLE) AS dist1,
+        |  CAST(d_bi AS DOUBLE) / CAST(n_bi AS DOUBLE) AS dist2
+        |FROM us JOIN bs USING (source) ORDER BY source""".stripMargin,
     // tf × N / df: exact-integer numerator, one IEEE division — log-free
     // so the doubles are bit-identical cross-engine (see termSalience)
     "text_salient_terms" ->

@@ -175,4 +175,16 @@ class TextAnalysisSpec extends SparkTestBase {
       2L -> ((2L, 1L))), // "p q r" made the LM on the alphabetical tie-break
       s"got $out")
   }
+
+  test("diversity: exact distinct-n counts and ratios per group, cross-document") {
+    // s1: "a b a b" (uni 4/2, bi "a b","b a","a b" -> 3/2) + "c" (uni +1/+1, no bi)
+    // s2: "x y z" (uni 3/3, bi 2/2)
+    val docs = Seq((1L, "s1", "a b a b"), (2L, "s1", "c"), (3L, "s2", "x y z"))
+      .toDF("doc_id", "source", "text")
+    val out = TextAnalysis.diversity(docs, "source", "text")
+      .as[(String, Long, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(out == Seq(
+      ("s1", 5L, 3L, 3L, 2L, 3.0 / 5.0, 2.0 / 3.0),
+      ("s2", 3L, 3L, 2L, 2L, 1.0, 1.0)), s"got $out")
+  }
 }
