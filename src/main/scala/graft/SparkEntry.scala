@@ -49,9 +49,9 @@ object SparkEntry {
     "ann_topk_pca" -> ("PCA projection requires an eigen solve (Jacobi " +
       "rotations) inexpressible in SQL; gated by SimilaritySpec recall " +
       "floors + PcaSpec eigenbasis checks"),
-    "ann_recall_report" -> ("meta-report over the five ANN legs; its " +
+    "ann_recall_report" -> ("meta-report over the six ANN legs; its " +
       "evidence lives in the legs' own hash oracles (brute/lsh/ivf/pq/" +
-      "ivfpq) + SimilaritySpec recall floors"),
+      "pq_refined/ivfpq) + SimilaritySpec recall floors"),
     "q_approx_distinct" -> ("HyperLogLog++ estimator internals are " +
       "engine-specific (DuckDB's approx_count_distinct differs by " +
       "construction); error band hash-enforced via sketch_error_report"),

@@ -222,7 +222,7 @@ object PipelineQueries {
     */
   /** Session-lifetime cache of ANN leg top-k id-sets, keyed by (sfDir,
     * leg) — the `Dedup.shingleHashes` discipline applied to the recall
-    * audit: [[annRecallReport]] must measure all six leg pipelines, but
+    * audit: [[annRecallReport]] must measure all seven leg pipelines, but
     * re-running them on every report invocation structurally DOUBLED the
     * ANN family's bench cost each round (round-9 verdict #2). A leg's
     * output is |queries| × k (query_id, neighbor_id) rows — kilobytes,
@@ -253,6 +253,8 @@ object PipelineQueries {
       ("ivf", 0.30, annLegOnce(s, dir, "ivf")(annTopkIvf(s, dir))),
       ("pca", 0.40, annLegOnce(s, dir, "pca")(annTopkPca(s, dir))),
       ("pq", 0.25, annLegOnce(s, dir, "pq")(annTopkPq(s, dir))),
+      ("pq_refined", 0.40,
+        annLegOnce(s, dir, "pq_refined")(annTopkPqRefined(s, dir))),
       ("ivfpq", 0.30, annLegOnce(s, dir, "ivfpq")(annTopkIvfPq(s, dir))))
     val reports = legs.map { case (name, floor, df) =>
       val hits = df.join(brute, Seq("query_id", "neighbor_id"), "left_semi")

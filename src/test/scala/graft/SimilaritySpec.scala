@@ -109,13 +109,19 @@ class SimilaritySpec extends SparkTestBase {
       "nprobe/nlist = 4/16 probes a quarter of the corpus)")
   }
 
-  test("ann_recall_report covers all five legs and self-satisfies its emitted floors at sf0.01") {
+  test("ann_recall_report covers all six legs and self-satisfies its emitted floors at sf0.01") {
     val rep = graft.queries.PipelineQueries
       .annRecallReport(spark, "/root/testdata/sf0.01")
       .select("leg", "k", "recall_floor", "recall_pct")
       .as[(String, Long, Double, Double)].collect().toSeq
-    assert(rep.map(_._1).sorted == Seq("ivf", "ivfpq", "lsh", "pca", "pq"),
+    assert(rep.map(_._1).sorted ==
+      Seq("ivf", "ivfpq", "lsh", "pca", "pq", "pq_refined"),
       s"report legs: ${rep.map(_._1)}")
+    // the refine stage can only promote true neighbors: its measured
+    // recall must dominate the PQ leg it candidates from
+    val byLeg = rep.map(r => r._1 -> r._4).toMap
+    assert(byLeg("pq_refined") >= byLeg("pq"),
+      s"refined ${byLeg("pq_refined")} below pq ${byLeg("pq")}")
     rep.foreach { case (leg, k, floor, pct) =>
       assert(k == 5L)
       assert(pct >= floor,
