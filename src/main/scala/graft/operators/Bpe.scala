@@ -146,6 +146,17 @@ object Bpe {
   private[graft] def unpersistSegments(words: DataFrame): Unit =
     releaseCheckpoint(words)
 
+  /** The learned merge list rendered as the (merge_idx, lhs, rhs,
+    * merged, n_pairs) table — the serving half of [[train]], shared
+    * with session-cached callers that already hold the merges.
+    */
+  private[graft] def mergesDf(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[Merge]): DataFrame =
+    spark.createDataFrame(merges.map(m =>
+        (m.idx, m.lhs, m.rhs, m.lhs + m.rhs, m.cnt)))
+      .toDF("merge_idx", "lhs", "rhs", "merged", "n_pairs")
+      .orderBy(col("merge_idx"))
+
   /** The learned merge table as a DataFrame: (merge_idx, lhs, rhs,
     * merged, n_pairs), ordered by training round.
     */
@@ -153,10 +164,26 @@ object Bpe {
     val spark = docs.sparkSession
     val (merges, words) = trainWithSegments(docs, textCol, nMerges)
     unpersistSegments(words)
-    spark.createDataFrame(merges.map(m =>
-        (m.idx, m.lhs, m.rhs, m.lhs + m.rhs, m.cnt)))
-      .toDF("merge_idx", "lhs", "rhs", "merged", "n_pairs")
-      .orderBy(col("merge_idx"))
+    mergesDf(spark, merges)
+  }
+
+  /** Encode a corpus against an ALREADY-TRAINED segment table: per
+    * document, the word count and the BPE token count. The serving half
+    * of [[trainAndEncode]] — callers that hold a session-cached segment
+    * table (which stays pinned) pay only the one corpus scan + the
+    * vocabulary-scale join here. Does NOT release `words`.
+    */
+  private[graft] def encodeFrom(words: DataFrame, docs: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val segSizes = words.select(col("word"), size(col("syms")).cast("long").as("_n"))
+    docs.select(col(idCol),
+        explode(graft.functions.Text.tokens(col(textCol))).as("word"))
+      // explicit: the segment table is vocabulary-scale (Heaps' law) —
+      // pin the no-corpus-shuffle shape rather than leave it to stats
+      .join(broadcast(segSizes), Seq("word"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("_n")).as("n_bpe_tokens"))
+      .orderBy(col(idCol))
   }
 
   /** Train on the corpus, then encode it: per document, the word count
@@ -166,13 +193,7 @@ object Bpe {
   def trainAndEncode(docs: DataFrame, idCol: String, textCol: String,
       nMerges: Int): DataFrame = {
     val (_, words) = trainWithSegments(docs, textCol, nMerges)
-    val segSizes = words.select(col("word"), size(col("syms")).cast("long").as("_n"))
-    val out = docs.select(col(idCol),
-        explode(graft.functions.Text.tokens(col(textCol))).as("word"))
-      .join(segSizes, Seq("word"))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_words"), sum(col("_n")).as("n_bpe_tokens"))
-      .orderBy(col(idCol))
+    val out = encodeFrom(words, docs, idCol, textCol)
       // eager: the per-doc result (docs-sized, two longs per row) is far
       // smaller than the segment table it joins against; materializing
       // it here lets the vocabulary-scale checkpoint release immediately
@@ -199,8 +220,20 @@ object Bpe {
   def fertility(docs: DataFrame, groupCol: String, textCol: String,
       nMerges: Int): DataFrame = {
     val (_, words) = trainWithSegments(docs, textCol, nMerges)
+    val out = fertilityFrom(words, docs, groupCol, textCol)
+      .localCheckpoint(true) // group-scale; frees the segment table eagerly
+    unpersistSegments(words)
+    out
+  }
+
+  /** [[fertility]]'s serving pass against an already-trained segment
+    * table — one corpus scan, one broadcast of the vocabulary-scale
+    * segment lengths, group-keyed hash agg. Does NOT release `words`.
+    */
+  private[graft] def fertilityFrom(words: DataFrame, docs: DataFrame,
+      groupCol: String, textCol: String): DataFrame = {
     val segSizes = words.select(col("word"), size(col("syms")).cast("long").as("_n"))
-    val out = docs.select(col(groupCol),
+    docs.select(col(groupCol),
         explode(graft.functions.Text.tokens(col(textCol))).as("word"))
       .join(broadcast(segSizes), Seq("word"))
       .groupBy(col(groupCol))
@@ -208,9 +241,6 @@ object Bpe {
       .withColumn("fertility",
         col("n_bpe_tokens").cast("double") / col("n_words").cast("double"))
       .orderBy(col(groupCol))
-      .localCheckpoint(true) // group-scale; frees the segment table eagerly
-    unpersistSegments(words)
-    out
   }
 
   /** The symbol vocabulary after training: every surviving symbol with
@@ -221,16 +251,22 @@ object Bpe {
     */
   def vocab(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
     val (_, words) = trainWithSegments(docs, textCol, nMerges)
-    val out = words
+    val out = vocabFrom(words)
+      .localCheckpoint(true) // tiny; frees the segment table eagerly
+    unpersistSegments(words)
+    out
+  }
+
+  /** [[vocab]]'s serving pass against an already-trained segment table
+    * (vocabulary-scale explode + hash agg). Does NOT release `words`.
+    */
+  private[graft] def vocabFrom(words: DataFrame): DataFrame =
+    words
       .select(explode(col("syms")).as("token"), col("freq"))
       .groupBy(col("token"))
       .agg(sum(col("freq")).as("n_occurrences"),
         count(lit(1)).as("n_positions"))
       .orderBy(col("token"))
-      .localCheckpoint(true) // tiny; frees the segment table eagerly
-    unpersistSegments(words)
-    out
-  }
 
   // ---------------------------------------------------------- oracle SQL
 

@@ -577,7 +577,8 @@ object Dedup {
     * ([[clusterIds]]/[[clusterIdsStar]] output): documents in one
     * near-dup component are semantically-equivalent rewrites, i.e. free
     * (anchor, positive) supervision for embedding-model training. The
-    * pairing is a RING in id order — member_i with member_{i+1} — so a
+    * pairing is an open CHAIN in id order — member_i with member_{i+1},
+    * no wrap-around (last, first) pair — so a
     * component of size k yields exactly k−1 pairs (singletons none),
     * and transitivity still connects every member through the chain.
     * LINEAR where the naive within-cluster self-join is quadratic: a

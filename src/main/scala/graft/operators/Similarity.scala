@@ -135,6 +135,20 @@ object Similarity {
           col("cosine").as("_score")),
       k)
 
+  /** Embedding-space POSITIVES from a brute candidate list — the mirror
+    * of [[hardNegatives]]: the top-k candidates scoring AT OR ABOVE
+    * `tau` (semantically-near neighbors, the anchor's positive pool for
+    * contrastive training). Same bounded re-rank over the already-small
+    * candidate relation; queries with no candidate above tau emit no
+    * rows.
+    */
+  def positivesFromTopK(topk: DataFrame, k: Int, tau: Double): DataFrame =
+    rankTopK(
+      topk.filter(col("cosine") >= tau)
+        .select(col("query_id"), col("neighbor_id").as("_cid"),
+          col("cosine").as("_score")),
+      k)
+
   // ------------------------------------------------- hyperplane LSH path
 
   /** Deterministic Gaussian hyperplanes: `tables * bits` planes of `dim`
@@ -906,9 +920,18 @@ object Similarity {
     * |queries|·kCand vectors — independent of corpus size — instead of
     * the whole corpus, so at 100 TB the refine stage reads a few
     * thousand full vectors per query batch while the corpus is only
-    * ever scanned in its m-byte PQ-coded form. The re-rank join is
-    * keyed on the candidate ids (the candidate relation is tiny and
-    * broadcasts); scoring is the same 6 dp-rounded cosine as
+    * ever scanned in its m-byte PQ-coded form. The re-rank join streams
+    * the corpus against an explicit `broadcast()` of the
+    * candidate⋈query relation — |queries|·kCand rows BY CONSTRUCTION —
+    * so the no-corpus-shuffle shape is pinned in the code rather than
+    * left to the planner's statistics over a derived relation
+    * (round-11 advice; the previous shape happened to avoid one
+    * exchange at bench scale only because the planner auto-broadcast
+    * the sub-threshold CORPUS side — precisely the stats-dependence
+    * being removed). The one exchange the pinned shape adds feeds the
+    * final top-k aggregation and carries only the bounded scored
+    * candidate rows, never the corpus; scoring is the same 6
+    * dp-rounded cosine as
     * [[bruteTopK]], so a refined neighbor list agrees bit-for-bit with
     * brute force whenever the true top-k survives the candidate stage.
     */
@@ -923,9 +946,9 @@ object Similarity {
       VectorOps.norm(col(vecCol)).as("_qn"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
       VectorOps.norm(col(vecCol)).as("_cn"))
-    val scored = cand
-      .join(broadcast(q), Seq("query_id"))
-      .join(c, Seq("neighbor_id"))
+    val scored = c
+      .join(broadcast(cand.join(broadcast(q), Seq("query_id"))),
+        Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id").as("_cid"),
         round(VectorOps.dot(col("_qv"), col("_cv")) / (col("_qn") * col("_cn")), 6)
           .as("_score"))

@@ -201,6 +201,151 @@ object PipelineQueries {
         "vec_id", "embedding", 4 * AnnK),
       AnnK, CosTau)
 
+  /** Contrastive TRIPLET mining (round 12): the (anchor, positive,
+    * negative) supervision a contrastive-embedding trainer consumes,
+    * assembled from ONE brute candidate list per anchor — positives =
+    * top-k candidates at cosine ≥ tau ([[Similarity.positivesFromTopK]]),
+    * negatives = the top-k hard negatives below tau
+    * ([[Similarity.hardNegatives]]), paired RANK-ALIGNED (the i-th most
+    * similar positive with the i-th hardest negative — the standard
+    * "hardest with hardest" curriculum pairing; the inner join
+    * truncates to min(n_pos, n_neg) per anchor, deterministically).
+    * Anchors whose candidate list has no positive above tau emit no
+    * rows — they have nothing to supervise.
+    *
+    * Scale shape: both legs re-rank the SAME |queries| × 4k bounded
+    * candidate relation; the plan scores the corpus once per leg (two
+    * bounded brute passes — at production scale the candidate stage
+    * would be served by any indexed ANN leg instead, same downstream
+    * shape). The rank-align join is |queries|×k rows on both sides.
+    */
+  /** The triplet positive/negative band: 0.3 rather than the near-dup
+    * CosTau 0.4 — this corpus's true-pair cosines sit at 0.3–0.6
+    * (see [[dedupEmbedCosine]]'s regime note), and contrastive positives
+    * are "semantically near", a strictly wider band than "near-dup";
+    * at 0.4 the sf0.001 anchor set has zero positives and the miner
+    * would be registered empty.
+    */
+  private val TripletTau = 0.3
+
+  def mineTriplets(s: SparkSession, dir: String): DataFrame = {
+    val cand = Similarity.bruteTopK(annQueries(s, dir),
+      Tables.embeddings(s, dir), "vec_id", "embedding", 4 * AnnK)
+    val pos = Similarity.positivesFromTopK(cand, AnnK, TripletTau)
+      .select(col("query_id"), col("rank"),
+        col("neighbor_id").as("positive_id"), col("cosine").as("pos_cos"))
+    val neg = Similarity.hardNegatives(cand, AnnK, TripletTau)
+      .select(col("query_id"), col("rank"),
+        col("neighbor_id").as("negative_id"), col("cosine").as("neg_cos"))
+    pos.join(neg, Seq("query_id", "rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Per-vector distance to its group centroid (round 12) — the
+    * embedding-space data-quality audit: a vector far from its group's
+    * centroid is a mislabeling / noise candidate (the embedding analog
+    * of `q_outliers`). Centroids are the hash-green `emb_centroids`
+    * relation (4 dp-rounded per-dim means over vec_id % 8 groups)
+    * pivoted to arrays; the distance is the index-order fold
+    * sqrt(Σ(x−c)²) via the same native dot-product contract every
+    * cosine here uses, rounded to 6 dp.
+    *
+    * Scale shape: one posexplode aggregation builds the GROUP×DIM-scale
+    * centroid relation (kilobytes), which broadcasts back into a single
+    * corpus scan — no corpus shuffle, the [[Similarity]] serving
+    * discipline.
+    */
+  def embCentroidDist(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorOps
+    val centArr = embCentroids(s, dir)
+      .groupBy(col("grp"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("centroid")))),
+        e => e("centroid")).as("_cent"))
+    val diff = zip_with(col("embedding"), col("_cent"),
+      (x, c) => x.cast("double") - c)
+    Tables.embeddings(s, dir)
+      .withColumn("grp", pmod(col("vec_id"), lit(8L)))
+      .join(broadcast(centArr), Seq("grp"))
+      .select(col("vec_id"), col("grp"),
+        round(sqrt(VectorOps.dot(diff, diff)), 6).as("dist"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** DoReMi-style domain reweighting (round 12; Xie et al. 2023,
+    * "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
+    * Pretraining" — the multiplicative-weights skeleton, with the
+    * heuristic quality score standing in for the proxy-model excess
+    * loss, since no reference LM exists in-engine): per source,
+    * loss = round(1 − mean quality, 6), then 5 rounds of
+    * w ← round6(w · exp(loss)) from w = 1, and the final mixture rate
+    * = round6(w / Σw). Σw is an exact BigDecimal sum of 6 dp values
+    * (order-independent), mirrored by the oracle's DECIMAL sum; the
+    * exp inputs/outputs pass through the same 6 dp rounding discipline
+    * as the [[LogReg]] sigmoid chain, so DuckDB replays every weight.
+    *
+    * Scale shape: ONE corpus scan into a map-side-combined per-source
+    * aggregation; the multiplicative-weights loop runs on the collected
+    * GROUP-scale relation (one row per source — the bounded-driver
+    * contract of [[graft.operators.LogReg]]/[[graft.operators.Bpe]]),
+    * and the result ships back as a LocalRelation. At 100 TB this
+    * operator costs exactly one pass.
+    */
+  def sampleDoremi(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val st = TextAnalysis.stats(docs, "doc_id", "text")
+      .select(col("doc_id"), col("quality"))
+    val bySource = docs.select(col("doc_id"), col("source"))
+      .join(st, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("quality").cast("decimal(30,15)")).cast("double").as("qs"))
+      .collect() // one row per SOURCE — domain inventories are bounded
+    val weighted = bySource.map { r =>
+      val (src, n, qs) = (r.getString(0), r.getLong(1), r.getDouble(2))
+      val loss = Similarity.round6(1.0 - qs / n)
+      var w = 1.0
+      for (_ <- 1 to 5) w = Similarity.round6(w * math.exp(loss))
+      (src, n, loss, w)
+    }.sortBy(_._1).toSeq
+    val totalW = weighted.map(t => BigDecimal(t._4)).sum.toDouble
+    val out = weighted.map { case (src, n, loss, w) =>
+      (src, n, loss, w, Similarity.round6(w / totalW))
+    }
+    s.createDataFrame(out)
+      .toDF("source", "n_docs", "loss", "weight", "rate")
+      .orderBy(col("source"))
+  }
+
+  /** Reliability-diagram audit of the trained quality classifier
+    * (round 12) — the calibration table an ML-ops stack reads before
+    * trusting scores as probabilities: scores bucketed into deciles,
+    * per bin the count, exact mean score (DECIMAL sum ÷ count), the
+    * positive-label count and fraction. A well-calibrated bin has
+    * mean_score ≈ frac_pos. Scores come from the session-shared
+    * training run ([[qualityTrajectoryOnce]]); the oracle re-derives
+    * the same weights by unrolling the 10 GD steps.
+    *
+    * Scale shape: ONE feature scan with a codegen sigmoid projection
+    * into a 10-bin hash aggregation — nothing above bin-scale moves.
+    */
+  def textQualityCalibration(s: SparkSession, dir: String): DataFrame = {
+    val score = LogReg.probability(col("x"),
+      qualityTrajectoryOnce(s, dir).last)
+    qualityTrainingFrame(s, dir)
+      .select(score.as("score"), col("y"))
+      .withColumn("bin",
+        least(floor(col("score") * 10).cast("long"), lit(9L)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("score").cast("decimal(30,15)")).cast("double") /
+          count(lit(1))).as("mean_score"),
+        sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("n_pos"))
+      .withColumn("frac_pos",
+        col("n_pos").cast("double") / col("n").cast("double"))
+      .orderBy(col("bin"))
+  }
+
   /** Driver-visible ANN quality report: every approximate top-k leg
     * measured against [[annTopkBrute]] on the same queries, one row per
     * leg — `(leg, k, recall_floor, recall_pct)`. The floors are the
@@ -532,6 +677,42 @@ object PipelineQueries {
       when(col("quality") >= 0.8, 1.0).otherwise(0.0).as("y"))
   }
 
+  /** Session-lifetime cache of the quality-classifier TRAINING RUN —
+    * the full 10-checkpoint trajectory, keyed by sfDir (round 12, the
+    * [[bpeOnce]]/[[curatedSplitOnce]] discipline applied to the model
+    * family): `text_quality_model`, `text_quality_serve`'s registry
+    * bootstrap, `text_training_map`, and the learned-curation prefix
+    * all need the SAME deterministic full-batch GD run, and each
+    * retraining it paid the 10-iteration driver loop once per query.
+    * What's cached is iters × (d+1) doubles of PURE DRIVER STATE — no
+    * Spark lineage at all, so no SparkContext liveness check is needed;
+    * scoring stays a lazy codegen projection over a fresh corpus scan.
+    * Results are bit-identical to per-query training (each GD step is a
+    * pure function of (weights, data), spec-pinned), and every oracle
+    * still unrolls the 10 iterations from scratch.
+    */
+  private val qualityTrajectoryCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Array[Double]]]()
+
+  private def qualityTrajectoryOnce(s: SparkSession,
+      dir: String): Seq[Array[Double]] =
+    qualityTrajectoryCache.computeIfAbsent(dir, _ => {
+      // materialize the narrow feature table once for the 10 training
+      // scans (the trainAndScore discipline), release before returning
+      val feats = qualityTrainingFrame(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ws = LogReg.trainTrajectory(feats, "x", "y", dim = 5,
+        iters = 10, lr = 5.0)
+      feats.unpersist(blocking = false)
+      ws
+    })
+
+  /** Deliberately does NOT serve from [[qualityTrajectoryOnce]] — the
+    * annLegOnce rule: the standalone TRAIN query's bench timing must
+    * keep measuring the real 10-iteration GD run; the derived consumers
+    * (serve registry, training map, calibration, the curated-pipeline
+    * gate) are the ones that share the session-cached trajectory.
+    */
   def textQualityModel(s: SparkSession, dir: String): DataFrame =
     LogReg.trainAndScore(qualityTrainingFrame(s, dir), "doc_id", "x", "y",
         dim = 5, iters = 10, lr = 5.0)
@@ -551,22 +732,24 @@ object PipelineQueries {
   private val servedModels =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Registry path for a session artifact keyed by sfDir: md5 of the
+    * full dir string, not String.hashCode — two sfDirs with colliding
+    * 32-bit hashCodes would map to one registry path and the second
+    * write would silently overwrite the first's artifact (round-10
+    * ADVICE); md5 makes the path collision-free in practice.
+    */
+  private def registryPath(dir: String, kind: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val key = md.digest(dir.getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+    modelRegistryRoot.resolve(s"${kind}_$key").toString
+  }
+
   private def qualityModelPath(s: SparkSession, dir: String): String =
     servedModels.computeIfAbsent(dir, _ => {
-      // materialize the narrow feature table once for the 10 training
-      // scans (the trainAndScore discipline), release before returning
-      val feats = qualityTrainingFrame(s, dir)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val w = LogReg.train(feats, "x", "y", dim = 5, iters = 10, lr = 5.0)
-      feats.unpersist(blocking = false)
-      // md5 of the full dir string, not String.hashCode: two sfDirs with
-      // colliding 32-bit hashCodes would map to one registry path and the
-      // second saveModel would silently overwrite the first's weights
-      // (round-10 ADVICE) — md5 makes the path collision-free in practice
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val key = md.digest(dir.getBytes("UTF-8"))
-        .map(b => f"${b & 0xff}%02x").mkString
-      val path = modelRegistryRoot.resolve(key).toString
+      // final checkpoint of the session-shared training run
+      val w = qualityTrajectoryOnce(s, dir).last
+      val path = registryPath(dir, "model")
       LogReg.saveModel(s, w, path)
       path
     })
@@ -616,11 +799,7 @@ object PipelineQueries {
     * on the 1e-7 grid).
     */
   def textTrainingMap(s: SparkSession, dir: String): DataFrame = {
-    val feats = qualityTrainingFrame(s, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ws = LogReg.trainTrajectory(feats, "x", "y", dim = 5, iters = 10,
-      lr = 5.0)
-    feats.unpersist(blocking = false)
+    val ws = qualityTrajectoryOnce(s, dir)
     val iters = ws.size
     val tCols = ws.zipWithIndex.map { case (w, i) =>
       val p = LogReg.probability(col("x"), w)
@@ -743,38 +922,79 @@ object PipelineQueries {
     */
   private val BpeMerges = 16
 
+  /** Session-lifetime cache of the trained BPE state — the
+    * [[curatedSplitOnce]] discipline applied to the tokenizer family
+    * (round-11 verdict Next #4): `text_bpe_train/vocab/encode/fertility`
+    * all need the SAME `BpeMerges`-round training run, and each
+    * retraining it from scratch paid the driver-loop training cost four
+    * times per session (~8.2 s of the round-11 bench — the training
+    * loop dominates every one of the four). The run happens AT MOST
+    * ONCE per (JVM, sfDir); what's kept is exactly what a serving stack
+    * ships: the driver-sized merge list plus the vocabulary-scale
+    * segment table, the latter WRITTEN TO PARQUET under the per-JVM
+    * registry root — a few KB/MB by Heaps' law — and the training
+    * checkpoint released. Parquet rather than keeping the training
+    * run's localCheckpoint pinned, for the same plan-determinism reason
+    * as [[curatedSplitOnce]]: a checkpointed LogicalRDD's preserved
+    * creation-time partitioning makes downstream plan shapes depend on
+    * which session state trained first, while a parquet scan leaf
+    * canonicalizes structurally in any session. Results are
+    * byte-identical to the uncached path: the four oracles unroll the
+    * full training from scratch and stay hash-green.
+    */
+  private val bpeCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[graft.operators.Bpe.Merge], String)]()
+
+  private def bpeOnce(s: SparkSession,
+      dir: String): (Seq[graft.operators.Bpe.Merge], DataFrame) = {
+    val (merges, path) = bpeCache.computeIfAbsent(dir, _ => {
+      val (m, words) = graft.operators.Bpe.trainWithSegments(
+        Tables.documents(s, dir), "text", BpeMerges)
+      val out = registryPath(dir, "bpe_segments")
+      words.write.mode("overwrite").parquet(out)
+      graft.operators.Bpe.unpersistSegments(words)
+      (m, out)
+    })
+    (merges, s.read.parquet(path))
+  }
+
   /** BPE tokenizer training over the corpus ([[graft.operators.Bpe]]):
     * the learned merge table after 16 rounds — one corpus-scale word
     * count, then vocabulary-scale bounded-driver-loop rounds; the
     * oracle unrolls the identical argmax + greedy-merge iteration.
+    * Deliberately does NOT serve from [[bpeOnce]] — the annLegOnce
+    * rule: the standalone TRAIN query's bench timing must keep
+    * measuring the real training run; the three derived consumers
+    * (vocab/encode/fertility) are the ones that share the session
+    * cache.
     */
   def textBpeTrain(s: SparkSession, dir: String): DataFrame =
     graft.operators.Bpe.train(Tables.documents(s, dir), "text", BpeMerges)
 
   /** Corpus encoding under the merges [[textBpeTrain]] learns: per-doc
     * word and BPE-token counts via one join of corpus words against the
-    * vocabulary-scale segmentation table.
+    * session-cached vocabulary-scale segmentation table.
     */
   def textBpeEncode(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Bpe.trainAndEncode(Tables.documents(s, dir),
-      "doc_id", "text", BpeMerges)
+    graft.operators.Bpe.encodeFrom(bpeOnce(s, dir)._2,
+      Tables.documents(s, dir), "doc_id", "text")
 
   /** The trained symbol vocabulary (base chars + merged tokens) with
     * weighted occurrence counts — the shippable tokenizer artifact.
     */
   def textBpeVocab(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Bpe.vocab(Tables.documents(s, dir), "text", BpeMerges)
+    graft.operators.Bpe.vocabFrom(bpeOnce(s, dir)._2)
 
   /** Tokenizer fertility by language ([[graft.operators.Bpe.fertility]]):
     * BPE tokens per word under the corpus-trained merges — the
     * tokenizer-equity audit (low-resource languages fragment into more
     * tokens per word, costing more context budget per document).
     * All-integer counts + one exact-long IEEE division, replayed by the
-    * unrolled training oracle end to end.
+    * unrolled training oracle end to end. Serves from [[bpeOnce]].
     */
   def textBpeFertility(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Bpe.fertility(Tables.documents(s, dir), "lang", "text",
-      BpeMerges)
+    graft.operators.Bpe.fertilityFrom(bpeOnce(s, dir)._2,
+      Tables.documents(s, dir), "lang", "text")
 
   /** Int8 absmax quantization of the embedding store ([[Quantize]] — the
     * 4× storage cut every 100 TB vector deployment applies), exploded to
@@ -1053,8 +1273,9 @@ object PipelineQueries {
     * the complement of `mine_hard_negatives`: documents in one near-dup
     * component are semantically-equivalent rewrites of each other, i.e.
     * free (anchor, positive) supervision for embedding-model training.
-    * Pairing is a RING over each cluster's members in doc_id order
-    * (member_i with member_{i+1}), emitting exactly |C|−1 pairs per
+    * Pairing is an open CHAIN over each cluster's members in doc_id
+    * order (member_i with member_{i+1}, no wrap-around closing pair),
+    * emitting exactly |C|−1 pairs per
     * component — LINEAR in cluster size where the naive all-pairs
     * explode is quadratic (a 1M-member boilerplate cluster at 100 TB
     * yields 1M−1 pairs, not 5·10^11). The lead() window partitions by
@@ -1276,41 +1497,82 @@ object PipelineQueries {
     * composed pipeline is hash-checked end-to-end, not just its pieces.
     * Scale shape: one persist at the multi-consumer stage boundary
     * (pair generation, cluster init, final join — v1's recipe), ids-only
-    * semi joins between stages, output severed before the persist is
-    * released.
+    * semi joins between stages — and since round 12 the whole stage-1–4
+    * prefix runs AT MOST ONCE per session via [[curatedSplitOnce]],
+    * shared with the packed/rebalanced/unimax compositions.
     */
-  def pipelineCurateLearned(s: SparkSession, dir: String): DataFrame = {
-    val (split, kept1) = curatedSplitDocs(s, dir)
-    val out = split
+  def pipelineCurateLearned(s: SparkSession, dir: String): DataFrame =
+    curatedSplitOnce(s, dir)
       .groupBy(col("split"), col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("cluster_id")).as("n_clusters"),
         min(col("doc_id")).as("first_doc"),
         sum(col("n_chars")).as("total_chars"))
       .orderBy(col("split"), col("lang"))
-      .localCheckpoint(true)
-    kept1.unpersist(blocking = false)
-    out
+
+  /** Session-lifetime cache of the curation PREFIX shared by the four
+    * `pipeline_curate_*` flagships — the [[annLegOnce]] discipline
+    * applied to stages 1–4 (round-11 verdict Next #3): trained gate →
+    * exact dedup → star-contraction CC → cluster-keyed leakage-safe
+    * split is the same chain in all four queries, and re-executing it
+    * per query meant four corpus re-reads per session (≈18.5 s of the
+    * round-11 bench; at 100 TB, four full passes). The prefix runs AT
+    * MOST ONCE per (JVM, sfDir): its doc-granularity output is narrowed
+    * to the ids+metadata relation every consumer needs — (doc_id, lang,
+    * n_chars, tokens, cluster_id, split), no text bodies — and WRITTEN
+    * TO PARQUET under the per-JVM registry root (the
+    * [[qualityModelPath]] pattern), NOT collected to the driver (the
+    * relation is corpus-cardinality, so the driver-side LocalRelation
+    * trick annLegOnce uses for its |queries|×k id sets would not scale
+    * here). This is literally the stage boundary a real 100 TB run
+    * writes to storage once and reads four times — and parquet (rather
+    * than an eager `localCheckpoint`) is deliberate for plan
+    * DETERMINISM: a checkpointed LogicalRDD preserves its creation-time
+    * partitioning/ordering with creation-time expression ids, which
+    * blocks ReuseExchange canonicalization and made each consumer's
+    * plan shape depend on WHICH session state first populated the cache
+    * (found when `PlanShapeDumpSpec` regenerated different exchange
+    * counts inside the shared test session than the fresh dump
+    * session); a parquet scan leaf canonicalizes structurally, so the
+    * serving plans — and the byte-pinned PLANSHAPE rows — are identical
+    * in any session, and consumers get real column pruning. Results are
+    * byte-identical to the uncached chain — the composed oracles replay
+    * all stages from scratch and stay hash-green.
+    */
+  private val curatedSplitCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def curatedSplitOnce(s: SparkSession, dir: String): DataFrame = {
+    val path = curatedSplitCache.computeIfAbsent(dir, _ => {
+      val (split, kept1) = curatedSplitDocs(s, dir)
+      val out = registryPath(dir, "curated_split")
+      split.select(col("doc_id"), col("lang"), col("n_chars"),
+          size(Text.tokens(col("text"))).cast("long").as("tokens"),
+          col("cluster_id"), col("split"))
+        .write.mode("overwrite").parquet(out)
+      kept1.unpersist(blocking = false)
+      out
+    })
+    s.read.parquet(path)
   }
 
   /** Stages 1–4 of [[pipelineCurateLearned]] at document granularity:
     * trained gate → exact dedup → star-contraction clusters →
     * cluster-keyed leakage-safe split. Returns the split-assigned doc
-    * relation plus the persisted stage-boundary frame (callers aggregate
-    * / compose, then release the persist after severing lineage).
+    * relation plus the persisted stage-boundary frame (the caller —
+    * [[curatedSplitOnce]] — narrows, checkpoints, then releases the
+    * persist).
     */
   private def curatedSplitDocs(s: SparkSession,
       dir: String): (DataFrame, DataFrame) = {
     val docs = Tables.documents(s, dir)
-    val st = TextAnalysis.stats(docs, "doc_id", "text")
-    val feats = st.select(col("doc_id"),
-      array(lit(1.0), col("punct_ratio"), col("stop_ratio"),
-        least(col("n_tokens") / 100.0, lit(1.0)),
-        col("mean_tok_len") / 10.0).as("x"),
-      when(col("quality") >= 0.8, 1.0).otherwise(0.0).as("y"))
-    val keptIds = LogReg.trainAndScore(feats, "doc_id", "x", "y",
-        dim = 5, iters = 10, lr = 5.0)
-      .filter(col("pred") === 1).select(col("doc_id"))
+    // the trained gate = the session-shared text_quality_model run's
+    // final checkpoint; pred === 1 ⇔ score >= 0.5, scored as a lazy
+    // codegen projection over the shared feature frame
+    val w = qualityTrajectoryOnce(s, dir).last
+    val keptIds = qualityTrainingFrame(s, dir)
+      .filter(LogReg.probability(col("x"), w) >= 0.5)
+      .select(col("doc_id"))
     val kept0 = docs.join(keptIds, Seq("doc_id"), "left_semi")
     val kept1 = Dedup.exactByHash(kept0, "text", "doc_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1332,25 +1594,20 @@ object PipelineQueries {
     *
     * Scale shape: everything up to the split is exactly
     * `pipeline_curate_learned` (one persist at the multi-consumer stage
-    * boundary, ids-only semi joins); the packing stage adds one
+    * boundary, ids-only semi joins) and is served from the shared
+    * [[curatedSplitOnce]] session checkpoint; the packing stage adds one
     * value-scale bounds broadcast + the two-level bucketed rank over the
     * (id, tokens) pair relation — nothing corpus-wide ever single-sorts.
-    * Cost ≈ sum of the stages by construction.
+    * Cost ≈ shared prefix (paid once per session) + the marginal stage.
     */
   def pipelineCuratePacked(s: SparkSession, dir: String): DataFrame = {
-    val (split, kept1) = curatedSplitDocs(s, dir)
-    val train = split.filter(col("split") === "train")
-      .select(col("doc_id"),
-        size(Text.tokens(col("text"))).cast("long").as("tokens"))
-    val out = Packing.shardByTokenBalance(train, "doc_id", "tokens",
-        nShards = 8)
+    val train = curatedSplitOnce(s, dir).filter(col("split") === "train")
+      .select(col("doc_id"), col("tokens"))
+    Packing.shardByTokenBalance(train, "doc_id", "tokens", nShards = 8)
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("tok_sum"),
         min(col("doc_id")).as("first_doc"))
       .orderBy(col("shard"))
-      .localCheckpoint(true)
-    kept1.unpersist(blocking = false)
-    out
   }
 
   /** Curation → LANGUAGE REBALANCING, composed: the learned pipeline's
@@ -1365,17 +1622,73 @@ object PipelineQueries {
     * [[pipelineCuratePacked]] does for packing.
     */
   def pipelineCurateRebalanced(s: SparkSession, dir: String): DataFrame = {
-    val (split, kept1) = curatedSplitDocs(s, dir)
-    val train = split.filter(col("split") === "train")
+    val train = curatedSplitOnce(s, dir).filter(col("split") === "train")
       .select(col("doc_id"), col("lang"))
-    val out = Sampling.temperatureResample(train, "doc_id", "lang", 0.5)
+    Sampling.temperatureResample(train, "doc_id", "lang", 0.5)
       .groupBy(col("lang"))
       .agg(max(col("n_group")).as("n_train"), max(col("rate")).as("rate"),
         count(lit(1)).as("n_kept"), min(col("doc_id")).as("first_doc"))
       .orderBy(col("lang"))
-      .localCheckpoint(true)
-    kept1.unpersist(blocking = false)
-    out
+  }
+
+  /** Curation → UNIMAX REALIZATION, composed (round-11 verdict Next #7):
+    * the learned pipeline's leakage-safe TRAIN split flows into
+    * [[Sampling.unimaxRealize]] (4-epoch ceiling, 3×-corpus budget) —
+    * the knob-free successor to the temperature rebalancing above, and
+    * the waterfill a 2024+-era run would actually apply, exercised here
+    * over a POST-CURATION distribution rather than the raw corpus.
+    * Emits the per-language realization sheet a training launch reads:
+    * curated train doc count, unique-token mass, REALIZED token mass
+    * (Σ tokens·n_copies — expected equal to the language's allocation),
+    * dropped-doc count (n_copies = 0), first kept doc. One composed
+    * oracle statement (classifier replay + dedup + recursive-CTE
+    * components + cluster-keyed split + the all-integer waterfill + the
+    * md5-Bernoulli realization) proves every stage agrees hash-exactly
+    * end to end.
+    *
+    * Scale shape: the shared [[curatedSplitOnce]] prefix (one corpus
+    * pass per session, checkpointed) + one group-scale waterfill (the
+    * single-partition window runs over the per-LANGUAGE relation —
+    * kilobytes for any real inventory) + one keyed broadcast of the
+    * (lang, epochs) relation back into the checkpointed scan. No corpus
+    * shuffle, no row explosion (copies stay a count column).
+    */
+  /** Curation → TRAINING SHUFFLE, composed (round 12): the learned
+    * pipeline's leakage-safe TRAIN split dealt through
+    * [[Sampling.shardedShuffle]] (16 shards, within-shard md5 rank) —
+    * the "N shuffled output files" layout a dataloader consumes,
+    * derived from the CURATED corpus. Emits the per-shard manifest
+    * (doc count, lowest id, and the shard's shuffle-order HEAD doc —
+    * the pos = 1 row, which pins the md5 rank itself into the hash
+    * oracle, not just the bucket assignment).
+    *
+    * Scale shape: shared [[curatedSplitOnce]] prefix + the
+    * hash-partitioned per-shard rank (16 independent sorts — the
+    * TeraSort shape, never a global window).
+    */
+  def pipelineCurateShuffled(s: SparkSession, dir: String): DataFrame = {
+    val train = curatedSplitOnce(s, dir).filter(col("split") === "train")
+      .select(col("doc_id"))
+    Sampling.shardedShuffle(train, "doc_id", 16)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("first_doc"),
+        min(when(col("pos") === 1, col("doc_id"))).as("head_doc"))
+      .orderBy(col("shard"))
+  }
+
+  def pipelineCurateUnimax(s: SparkSession, dir: String): DataFrame = {
+    val train = curatedSplitOnce(s, dir).filter(col("split") === "train")
+      .select(col("doc_id"), col("lang"), col("tokens"))
+    Sampling.unimaxRealize(train, "doc_id", "lang", "tokens",
+        maxEpochs = 4, budgetPerTotal = 3)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tokens")).as("tok_unique"),
+        sum(col("tokens") * col("n_copies")).as("tok_realized"),
+        sum(when(col("n_copies") === 0, 1L).otherwise(0L)).as("n_dropped"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy(col("lang"))
   }
 
   /** Span-level duplication fraction per document (word 3-grams occurring
@@ -1895,6 +2208,12 @@ object PipelineQueries {
     "pipeline_curate_learned" -> (pipelineCurateLearned _),
     "pipeline_curate_packed" -> (pipelineCuratePacked _),
     "pipeline_curate_rebalanced" -> (pipelineCurateRebalanced _),
+    "pipeline_curate_unimax" -> (pipelineCurateUnimax _),
+    "pipeline_curate_shuffled" -> (pipelineCurateShuffled _),
+    "mine_triplets" -> (mineTriplets _),
+    "emb_centroid_dist" -> (embCentroidDist _),
+    "sample_doremi" -> (sampleDoremi _),
+    "text_quality_calibration" -> (textQualityCalibration _),
     "pack_sequences" -> (packSequences _),
     "pack_shards" -> (packShards _),
     "pack_turns" -> (packTurns _),
@@ -2460,6 +2779,47 @@ object PipelineQueries {
       |  count(*) AS n_kept, min(k2.doc_id) AS first_doc
       |FROM k2 JOIN r2 ON k2.lang = r2.lang
       |GROUP BY k2.lang ORDER BY k2.lang""".stripMargin
+
+  /** The composed curation → UniMax oracle: the curated-split prefix,
+    * its TRAIN half's per-doc token counts into the sample_unimax_apply
+    * waterfill + realization CTEs, rolled up per language. The capped
+    * decision is all-integer and the two doubles (alloc, epochs) are
+    * single correctly-rounded IEEE divisions, so the realized copy
+    * counts replay bit-exactly.
+    */
+  private lazy val pipelineCurateUnimaxSql: String = curatedSplitCtes +
+    """,
+      |umtr AS (SELECT doc_id, lang FROM spl
+      |        WHERE ('0x' || substring(md5(CAST(cluster_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80),
+      |umtk AS (SELECT t.doc_id, umtr.lang, CAST(len(t.toks) AS BIGINT) AS tokens
+      |        FROM t JOIN umtr USING (doc_id)),
+      |umg AS (SELECT lang, CAST(sum(tokens) AS BIGINT) AS n_tokens FROM umtk GROUP BY lang),
+      |ums AS (SELECT CAST(3 * sum(n_tokens) AS BIGINT) AS budget, count(*) AS nl FROM umg),
+      |umw AS (SELECT lang, n_tokens, n_tokens * 4 AS cap,
+      |        sum(n_tokens * 4) OVER (ORDER BY n_tokens * 4, lang
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS csum,
+      |        row_number() OVER (ORDER BY n_tokens * 4, lang) AS i
+      |      FROM umg),
+      |umf AS (SELECT umw.*, ums.budget, ums.nl,
+      |        (cap * (ums.nl - i) <= ums.budget - csum) AS capped FROM umw, ums),
+      |umc AS (SELECT coalesce(sum(cap) FILTER (WHERE capped), 0) AS capsum,
+      |        count(*) FILTER (WHERE capped) AS k FROM umf),
+      |uma AS (SELECT umf.lang,
+      |        (CASE WHEN umf.capped THEN CAST(umf.cap AS DOUBLE)
+      |              ELSE CAST(umf.budget - umc.capsum AS DOUBLE) / CAST(umf.nl - umc.k AS DOUBLE)
+      |         END) / CAST(umf.n_tokens AS DOUBLE) AS epochs
+      |      FROM umf, umc),
+      |umrz AS (SELECT umtk.doc_id, umtk.lang, umtk.tokens,
+      |        CAST(floor(uma.epochs) + CASE WHEN
+      |            CAST(('0x' || substring(md5(CAST(umtk.doc_id AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE)
+      |              / 4294967296.0 < uma.epochs - floor(uma.epochs)
+      |          THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+      |      FROM umtk JOIN uma ON umtk.lang = uma.lang)
+      |SELECT lang, count(*) AS n_docs, CAST(sum(tokens) AS BIGINT) AS tok_unique,
+      |  CAST(sum(tokens * n_copies) AS BIGINT) AS tok_realized,
+      |  CAST(count(*) FILTER (WHERE n_copies = 0) AS BIGINT) AS n_dropped,
+      |  min(doc_id) AS first_doc
+      |FROM umrz GROUP BY lang ORDER BY lang""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // every cell recomputed exactly: row i's hash is md5 hex slice
@@ -3337,6 +3697,112 @@ object PipelineQueries {
     "pipeline_curate_learned" -> pipelineCurateLearnedSql,
     "pipeline_curate_packed" -> pipelineCuratePackedSql,
     "pipeline_curate_rebalanced" -> pipelineCurateRebalancedSql,
+    "pipeline_curate_unimax" -> pipelineCurateUnimaxSql,
+    // the curated train split dealt by the sample_shuffle md5-rank CTEs;
+    // the head_doc column pins the within-shard rank, not just buckets
+    "pipeline_curate_shuffled" -> (curatedSplitCtes +
+      """,
+        |shtr AS (SELECT doc_id FROM spl
+        |         WHERE ('0x' || substring(md5(CAST(cluster_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80),
+        |shk AS (SELECT doc_id,
+        |    md5(CAST(doc_id AS VARCHAR)) AS mdkey,
+        |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 16 AS shard
+        |  FROM shtr),
+        |shp AS (SELECT shard, doc_id,
+        |    row_number() OVER (PARTITION BY shard ORDER BY mdkey, doc_id) AS pos
+        |  FROM shk)
+        |SELECT shard, count(*) AS n_docs, min(doc_id) AS first_doc,
+        |  min(CASE WHEN pos = 1 THEN doc_id END) AS head_doc
+        |FROM shp GROUP BY shard ORDER BY shard""".stripMargin),
+    // both legs re-rank the same top-4k brute candidate list (the
+    // mine_hard_negatives CTEs), rank-aligned inner join pairs the i-th
+    // best positive with the i-th hardest negative
+    "mine_triplets" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT * FROM e WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    round(list_dot_product(q.v, c.v) /
+         |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6)
+         |      AS cosine
+         |  FROM q, e c WHERE c.vec_id != q.vec_id),
+         |cand AS (SELECT * FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+         |    FROM scored) t WHERE rnk <= ${4 * AnnK}),
+         |pos AS (SELECT query_id, neighbor_id, cosine, row_number() OVER (
+         |        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+         |      FROM cand WHERE cosine >= ${TripletTau}e0),
+         |neg AS (SELECT query_id, neighbor_id, cosine, row_number() OVER (
+         |        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+         |      FROM cand WHERE cosine < ${TripletTau}e0)
+         |SELECT p.query_id, CAST(p.rnk AS BIGINT) AS rank,
+         |  p.neighbor_id AS positive_id, p.cosine AS pos_cos,
+         |  n.neighbor_id AS negative_id, n.cosine AS neg_cos
+         |FROM pos p JOIN neg n ON p.query_id = n.query_id AND p.rnk = n.rnk
+         |WHERE p.rnk <= $AnnK
+         |ORDER BY p.query_id, rank""".stripMargin,
+    // centroids are the emb_centroids relation (4 dp absorbs summation
+    // order); the distance fold is the index-order dot contract
+    "emb_centroid_dist" ->
+      """WITH d AS (SELECT vec_id % 8 AS grp, embedding AS e FROM embeddings),
+        |x AS (SELECT grp, unnest(range(1, len(e) + 1)) AS i, e FROM d),
+        |c AS (SELECT grp, i, round(avg(CAST(e[i] AS DOUBLE)), 4) AS centroid
+        |      FROM x GROUP BY grp, i),
+        |ca AS (SELECT grp, list(centroid ORDER BY i) AS cent FROM c GROUP BY grp),
+        |df AS (SELECT e2.vec_id, e2.vec_id % 8 AS grp,
+        |    list_transform(range(1, len(e2.embedding) + 1),
+        |      i -> CAST(e2.embedding[i] AS DOUBLE) - ca.cent[i]) AS diff
+        |  FROM embeddings e2 JOIN ca ON e2.vec_id % 8 = ca.grp)
+        |SELECT vec_id, grp,
+        |  round(sqrt(list_dot_product(diff, diff)), 6) AS dist
+        |FROM df ORDER BY vec_id""".stripMargin,
+    // multiplicative weights unrolled: loss and every weight round to
+    // 6 dp (the LogReg exp discipline), the normalizer is an exact
+    // DECIMAL sum of 6 dp values
+    "sample_doremi" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    round(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 1.0 / greatest(length(text), 1), 6) AS punct_ratio,
+        |    round(len(list_filter(toks, t -> list_contains(['the','a','and','of','to','in','is','on','for','with'], t))) * 1.0 / greatest(len(toks), 1), 6) AS stop_ratio
+        |  FROM t),
+        |qual AS (
+        |  SELECT doc_id,
+        |    round(least(n_tokens / 100.0, 1.0) * 0.4 + (1.0 - punct_ratio) * 0.3 +
+        |      (1.0 - stop_ratio) * 0.3, 6) AS q
+        |  FROM s),
+        |m AS (SELECT d.source, count(*) AS n_docs,
+        |    round(1.0 - CAST(sum(CAST(qual.q AS DECIMAL(30,15))) AS DOUBLE) / count(*), 6) AS loss
+        |  FROM documents d JOIN qual USING (doc_id) GROUP BY d.source),
+        |w5 AS (SELECT source, n_docs, loss,
+        |    round(round(round(round(round(1.0 * exp(loss), 6) * exp(loss), 6)
+        |      * exp(loss), 6) * exp(loss), 6) * exp(loss), 6) AS weight
+        |  FROM m),
+        |tot AS (SELECT CAST(sum(CAST(weight AS DECIMAL(30,15))) AS DOUBLE) AS tw FROM w5)
+        |SELECT w5.source, w5.n_docs, w5.loss, w5.weight,
+        |  round(w5.weight / tot.tw, 6) AS rate
+        |FROM w5, tot ORDER BY w5.source""".stripMargin,
+    // the trained classifier's reliability diagram: same w10 scoring
+    // chain, decile bins, DECIMAL-exact mean score per bin
+    "text_quality_calibration" -> (logRegCtes +
+      """
+        |sc AS (SELECT f.doc_id,
+        |    round(1.0 / (1.0 + exp(-round(list_sum(list_transform(range(1, 6),
+        |      j -> f.x[j] * w.w[j])), 6))), 6) AS score,
+        |    CAST(f.y AS BIGINT) AS label
+        |  FROM f CROSS JOIN w10 w),
+        |b AS (SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS bin, score, label
+        |      FROM sc)
+        |SELECT bin, count(*) AS n,
+        |  CAST(sum(CAST(score AS DECIMAL(30,15))) AS DOUBLE) / count(*) AS mean_score,
+        |  CAST(count(*) FILTER (WHERE label = 1) AS BIGINT) AS n_pos,
+        |  CAST(count(*) FILTER (WHERE label = 1) AS DOUBLE) / count(*) AS frac_pos
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin),
     // distinct-n diversity: all-integer gram counts, two exact-long
     // IEEE divisions — bit-identical cross-engine
     "text_diversity" ->
@@ -3352,10 +3818,12 @@ object PipelineQueries {
         |       FROM u GROUP BY source),
         |bs AS (SELECT source, count(*) AS n_bi, count(DISTINCT g) AS d_bi
         |       FROM bg GROUP BY source)
-        |SELECT us.source AS source, n_uni, d_uni, n_bi, d_bi,
+        |SELECT us.source AS source, n_uni, d_uni,
+        |  coalesce(n_bi, 0) AS n_bi, coalesce(d_bi, 0) AS d_bi,
         |  CAST(d_uni AS DOUBLE) / CAST(n_uni AS DOUBLE) AS dist1,
-        |  CAST(d_bi AS DOUBLE) / CAST(n_bi AS DOUBLE) AS dist2
-        |FROM us JOIN bs USING (source) ORDER BY source""".stripMargin,
+        |  CASE WHEN coalesce(n_bi, 0) = 0 THEN NULL
+        |       ELSE CAST(d_bi AS DOUBLE) / CAST(n_bi AS DOUBLE) END AS dist2
+        |FROM us LEFT JOIN bs USING (source) ORDER BY source""".stripMargin,
     // tf × N / df: exact-integer numerator, one IEEE division — log-free
     // so the doubles are bit-identical cross-engine (see termSalience)
     "text_salient_terms" ->

@@ -88,6 +88,68 @@ class DriverContractSpec extends SparkTestBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("mine_triplets: every triplet has pos_cos >= tau > neg_cos (rank-aligned legs)") {
+    val rows = SparkEntry.queries("mine_triplets")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val pos = r.getAs[Double]("pos_cos")
+      val neg = r.getAs[Double]("neg_cos")
+      assert(pos >= 0.3 && neg < 0.3 && pos > neg, s"bad triplet: $r")
+    }
+  }
+
+  test("sample_doremi: rates form a mixture and are monotone in loss") {
+    val rows = SparkEntry.queries("sample_doremi")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getAs[Double]("loss"), r.getAs[Double]("rate")))
+    assert(rows.length >= 2)
+    // each rate is 6 dp-rounded, so the sum may drift by <= n half-ulps
+    assert(math.abs(rows.map(_._2).sum - 1.0) <= 1e-5 * rows.length,
+      s"rates don't sum to 1: ${rows.toSeq}")
+    // multiplicative weights upweight lossier domains (round6 preserves
+    // weak monotonicity of w = exp-iterates)
+    rows.sortBy(_._1).sliding(2).foreach {
+      case Array((l1, r1), (l2, r2)) =>
+        assert(l1 > l2 || r1 <= r2 + 1e-12, s"rate not monotone: ($l1,$r1) ($l2,$r2)")
+      case _ => ()
+    }
+  }
+
+  test("text_quality_calibration: bins cover the corpus and mean scores sit inside their bins") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("text_quality_calibration")(spark, dir).collect()
+    val total = rows.map(_.getAs[Long]("n")).sum
+    assert(total == Tables.documents(spark, dir).count(), s"bins lose rows: $total")
+    rows.foreach { r =>
+      val bin = r.getAs[Long]("bin")
+      val m = r.getAs[Double]("mean_score")
+      val lo = bin / 10.0
+      val hi = if (bin == 9) 1.0 else (bin + 1) / 10.0
+      assert(m >= lo && m <= hi, s"mean_score outside bin: $r")
+      val fp = r.getAs[Double]("frac_pos")
+      assert(fp >= 0.0 && fp <= 1.0)
+    }
+  }
+
+  test("emb_centroid_dist: one row per vector, non-negative, non-degenerate") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("emb_centroid_dist")(spark, dir)
+      .collect().map(_.getAs[Double]("dist"))
+    assert(rows.length == Tables.embeddings(spark, dir).count())
+    assert(rows.forall(_ >= 0.0) && rows.max > 0.0)
+  }
+
+  test("pipeline_curate_shuffled: shard doc counts sum to the curated train count") {
+    val dir = "/root/testdata/sf0.001"
+    val shuffled = SparkEntry.queries("pipeline_curate_shuffled")(spark, dir)
+      .collect().map(_.getAs[Long]("n_docs")).sum
+    val train = SparkEntry.queries("pipeline_curate_learned")(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("split") === "train")
+      .collect().map(_.getAs[Long]("n_docs")).sum
+    assert(shuffled == train,
+      s"shuffle manifest ($shuffled docs) != curated train split ($train docs)")
+  }
+
   // one sf0.001 Verify dump shared by the contract-shape test and the
   // full oracle gate below — the dump IS the expensive part
   private lazy val verifyOut: String = {

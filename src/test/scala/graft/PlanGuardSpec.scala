@@ -36,14 +36,15 @@ class PlanGuardSpec extends SparkTestBase {
     "ann_topk_pq" -> "encoded corpus × broadcast(bounded query set) ADC scoring",
     "ann_topk_pq_refined" -> "ann_topk_pq's BNLJ (encoded corpus × broadcast bounded query set); the refine stage itself is keyed joins over |queries|×kCand candidate rows",
     "mine_hard_negatives" -> "ann_topk_brute's BNLJ (corpus × broadcast bounded query set); the mining itself is a projection + bounded re-rank over |queries|×kCand rows",
+    "mine_triplets" -> "ann_topk_brute's BNLJ (both triplet legs re-rank the same corpus × broadcast bounded-query-set candidate list — the second leg's copy dedupes via exchange reuse); the rank-align join is |queries|×k keyed rows",
     "emb_decontaminate" -> "corpus streams against broadcast(eval set); eval sets are benchmark-sized constants regardless of corpus scale",
-    "pack_shards" -> "1-row min/max token-span scalar broadcast into the bucketing projection (appears twice: once under the offsets branch, once under the final join); the offsets join itself is a keyed broadcast of nBuckets rows",
     "ann_recall_report" -> "composes the ANN legs above plus six 1-row × 1-row recall scalars",
     "sample_weighted" -> "1-row global weight-total broadcast for prefix-sum normalization",
     "sample_temperature" -> "1-row global min-group-count broadcast into the group-cardinality rate relation; the rate join into the corpus scan itself is keyed",
     "pipeline_curate_rebalanced" -> "sample_temperature's 1-row min-group-count broadcast, applied over the curated train split (the curation prefix itself is BNLJ-free)",
     "sample_unimax" -> "two 1-row broadcasts into the GROUP-scale relation (global budget/count, then capped mass); the corpus appears only in the one token groupBy",
     "sample_unimax_apply" -> "sample_unimax's two 1-row group-scale broadcasts; the realization join of the kilobyte (group, epochs) relation into the corpus scan is keyed",
+    "pipeline_curate_unimax" -> "sample_unimax_apply's two 1-row group-scale broadcasts, applied over the curated train split (the cached curation prefix itself is BNLJ-free)",
     "sketch_overlap" -> "event-type-pair-sized (6×6) sketch blob join; blobs are kilobytes",
     "sketch_error_report" -> "composes sketch_overlap's pair-sized blob join plus the rollup legs' 1-row global sketch merges; every BNLJ side is sketch-count-sized",
     "sketch_rollup" -> "1-row × 1-row global HLL/KLL sketch merges (documented crossJoin)",

@@ -65,6 +65,25 @@ class SimilaritySpec extends SparkTestBase {
     assert(hn == Seq((1L, 2L), (2L, 3L)))
   }
 
+  test("positivesFromTopK mirrors hardNegatives: the two legs partition the candidate list at tau") {
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.99f, 0.1f)),
+      (2L, Array(0.8f, 0.6f)), (3L, Array(0.6f, 0.8f)),
+      (4L, Array(0.1f, 0.99f)), (5L, Array(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val q = corpus.filter($"vec_id" === 0L)
+    val topk = Similarity.bruteTopK(q, corpus, "vec_id", "embedding", 5)
+    val pos = Similarity.positivesFromTopK(topk, 5, tau = 0.95)
+      .select("neighbor_id", "cosine").as[(Long, Double)].collect().toSeq
+    val neg = Similarity.hardNegatives(topk, 5, tau = 0.95)
+      .select("neighbor_id", "cosine").as[(Long, Double)].collect().toSeq
+    assert(pos.map(_._1) == Seq(1L), s"positives: $pos")
+    assert(pos.forall(_._2 >= 0.95) && neg.forall(_._2 < 0.95))
+    // exact partition: every candidate lands in exactly one leg
+    assert((pos.map(_._1) ++ neg.map(_._1)).sorted ==
+      topk.select("neighbor_id").as[Long].collect().toSeq.sorted)
+  }
+
   test("fast-path round6 equals BigDecimal HALF_UP on random and boundary values") {
     def exact(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble

@@ -187,4 +187,18 @@ class TextAnalysisSpec extends SparkTestBase {
       ("s1", 5L, 3L, 3L, 2L, 3.0 / 5.0, 2.0 / 3.0),
       ("s2", 3L, 3L, 2L, 2L, 1.0, 1.0)), s"got $out")
   }
+
+  test("diversity: a group whose every doc has < 2 tokens stays in the report (n_bi = 0, NULL dist2)") {
+    // round-11 verdict nit: the bigram side used to inner-join, silently
+    // dropping such a group instead of reporting its bigram-free state
+    val docs = Seq((1L, "s1", "a b"), (2L, "s2", "x"), (3L, "s2", "y"))
+      .toDF("doc_id", "source", "text")
+    val out = TextAnalysis.diversity(docs, "source", "text").collect()
+    assert(out.length == 2, s"got ${out.toSeq}")
+    val s2 = out.find(_.getString(0) == "s2").get
+    assert(s2.getLong(1) == 2L && s2.getLong(2) == 2L, s"uni counts: $s2")
+    assert(s2.getLong(3) == 0L && s2.getLong(4) == 0L, s"bi counts: $s2")
+    assert(s2.getDouble(5) == 1.0, s"dist1: $s2")
+    assert(s2.isNullAt(6), s"dist2 must be NULL for a bigram-free group: $s2")
+  }
 }
