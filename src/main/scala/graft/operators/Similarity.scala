@@ -954,4 +954,50 @@ object Similarity {
           .as("_score"))
     rankTopK(scored, k)
   }
+
+  /** Greedy k-center coreset selection (Gonzalez 1985 farthest-point
+    * traversal) — the diversity-maximizing subset selector a curation
+    * pipeline uses to pick k maximally-spread exemplars (seed set
+    * construction, diverse eval sampling, dedup-resistant probe sets).
+    * Deterministic contract: the seed is the LOWEST id; each later
+    * round selects the vector maximizing its min 6 dp-rounded Euclidean
+    * distance to the already-selected set, ties broken by lowest id —
+    * so the selection order is a pure function of the data and the
+    * DuckDB oracle unrolls the same k−1 argmax rounds. Emits
+    * (sel_round, id, dist) where `dist` is the max-min distance at
+    * selection time (the k-center radius curve; 0 for the seed).
+    *
+    * Scale shape: k−1 corpus scans, each a narrow projection against
+    * the BROADCAST-LITERAL selected set (≤ k vectors of driver state,
+    * the [[graft.operators.KMeans]] bounded-driver contract) into a
+    * TakeOrdered(1) — no join, no shuffle beyond the top-1 reduction.
+    * Greedy k-center is inherently k sequential passes; k is a small
+    * constant (exemplar counts, not corpus fractions).
+    */
+  def kCenter(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val spark = emb.sparkSession
+    val seed = emb.orderBy(col(idCol)).limit(1)
+      .select(col(idCol), col(vecCol)).collect()(0)
+    def vecOf(r: org.apache.spark.sql.Row): Array[Double] =
+      r.getSeq[Float](1).map(_.toDouble).toArray
+    var selected = Vector((seed.getLong(0), vecOf(seed), 0.0))
+    for (_ <- 2 to k) {
+      val minDist = selected.map { case (_, c, _) =>
+        val cLit = array(c.map(lit): _*)
+        val diff = zip_with(col(vecCol), cLit, (x, cc) => x.cast("double") - cc)
+        round(sqrt(VectorOps.dot(diff, diff)), 6)
+      }.reduce(least(_, _))
+      val next = emb.filter(!col(idCol).isin(selected.map(_._1): _*))
+        .select(col(idCol), col(vecCol), minDist.as("_d"))
+        .orderBy(col("_d").desc, col(idCol)).limit(1).collect()(0)
+      selected = selected :+ ((next.getLong(0), vecOf(next), next.getDouble(2)))
+    }
+    spark.createDataFrame(selected.zipWithIndex.map { case ((id, _, d), i) =>
+        (i + 1L, id, d)
+      })
+      .toDF("sel_round", "vec_id", "dist")
+      .orderBy(col("sel_round"))
+  }
 }

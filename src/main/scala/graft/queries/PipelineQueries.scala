@@ -272,6 +272,42 @@ object PipelineQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** Greedy k-center coreset over the embedding store (round 12;
+    * [[Similarity.kCenter]], k = 8): the selection order and max-min
+    * radius curve of the 8 maximally-spread exemplars — diverse seed /
+    * eval-probe selection. The oracle unrolls the same 7 argmax rounds
+    * (each: min 6 dp Euclidean distance to every prior selection,
+    * ORDER BY dist DESC, id LIMIT 1).
+    */
+  def embKcenter(s: SparkSession, dir: String): DataFrame =
+    Similarity.kCenter(Tables.embeddings(s, dir), "vec_id", "embedding",
+      k = 8)
+
+  /** Quality-threshold sweep (round 12) — the tuning sheet a curation
+    * run reads before fixing the classifier gate: for each threshold
+    * 0.1…0.9, how many documents survive, the surviving fraction, and
+    * the DECIMAL-exact mean score of the survivors. Scores come from
+    * the session-shared training run; one feature scan fanned ×9 by an
+    * exploded threshold array into a 9-group hash agg.
+    */
+  def textQualitySweep(s: SparkSession, dir: String): DataFrame = {
+    val score = LogReg.probability(col("x"),
+      qualityTrajectoryOnce(s, dir).last)
+    val scored = qualityTrainingFrame(s, dir).select(score.as("score"))
+    val total = lit(Tables.documents(s, dir).count())
+    scored
+      .select(col("score"), explode(array((1 to 9).map(i =>
+        (lit(i).cast("double") / lit(10.0)).as(s"_t$i")): _*)).as("thr"))
+      .filter(col("score") >= col("thr"))
+      .groupBy(col("thr"))
+      .agg(count(lit(1)).as("n_kept"),
+        (sum(col("score").cast("decimal(30,15)")).cast("double") /
+          count(lit(1))).as("mean_kept_score"))
+      .withColumn("frac_kept", col("n_kept").cast("double") / total.cast("double"))
+      .select(col("thr"), col("n_kept"), col("frac_kept"), col("mean_kept_score"))
+      .orderBy(col("thr"))
+  }
+
   /** DoReMi-style domain reweighting (round 12; Xie et al. 2023,
     * "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
     * Pretraining" — the multiplicative-weights skeleton, with the
@@ -2212,8 +2248,10 @@ object PipelineQueries {
     "pipeline_curate_shuffled" -> (pipelineCurateShuffled _),
     "mine_triplets" -> (mineTriplets _),
     "emb_centroid_dist" -> (embCentroidDist _),
+    "emb_kcenter" -> (embKcenter _),
     "sample_doremi" -> (sampleDoremi _),
     "text_quality_calibration" -> (textQualityCalibration _),
+    "text_quality_sweep" -> (textQualitySweep _),
     "pack_sequences" -> (packSequences _),
     "pack_shards" -> (packShards _),
     "pack_turns" -> (packTurns _),
@@ -2821,7 +2859,54 @@ object PipelineQueries {
       |  min(doc_id) AS first_doc
       |FROM umrz GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** The k-center oracle: 7 unrolled argmax rounds, each the min of the
+    * 6 dp Euclidean distances to every prior 1-row selection CTE,
+    * ORDER BY dist DESC, id LIMIT 1 — the [[Similarity.kCenter]]
+    * determinism contract replayed step for step.
+    */
+  private lazy val embKcenterSql: String = {
+    def distTo(j: Int): String =
+      s"round(sqrt(list_dot_product(" +
+        s"list_transform(range(1, len(e.v) + 1), i -> e.v[i] - s$j.v[i]), " +
+        s"list_transform(range(1, len(e.v) + 1), i -> e.v[i] - s$j.v[i]))), 6)"
+    val rounds = (2 to 8).map { r =>
+      val joins = (1 until r).map(j => s"CROSS JOIN s$j").mkString(" ")
+      val dists = (1 until r).map(distTo).mkString(", ")
+      val excl = (1 until r).map(j => s"e.vec_id != s$j.vec_id").mkString(" AND ")
+      s"""d$r AS (SELECT e.vec_id, e.v, least($dists) AS d
+         |  FROM e $joins WHERE $excl),
+         |s$r AS (SELECT vec_id, v, d FROM d$r ORDER BY d DESC, vec_id LIMIT 1),""".stripMargin
+    }.mkString("\n")
+    val sel = (1 to 8).map { r =>
+      s"SELECT $r AS sel_round, vec_id, ${if (r == 1) "0.0e0" else "d"} AS dist FROM s$r"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |s1 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
+       |$rounds
+       |x AS ($sel)
+       |SELECT CAST(sel_round AS BIGINT) AS sel_round, vec_id, dist
+       |FROM x ORDER BY sel_round""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "emb_kcenter" -> embKcenterSql,
+    // score sweep: same w10 scoring chain fanned across 9 thresholds;
+    // empty thresholds drop from BOTH engines (inner filter-then-group)
+    "text_quality_sweep" -> (logRegCtes +
+      """
+        |sc AS (SELECT f.doc_id,
+        |    round(1.0 / (1.0 + exp(-round(list_sum(list_transform(range(1, 6),
+        |      j -> f.x[j] * w.w[j])), 6))), 6) AS score
+        |  FROM f CROSS JOIN w10 w),
+        |n AS (SELECT count(*) AS total FROM documents),
+        |th AS (SELECT CAST(i AS DOUBLE) / 10.0e0 AS thr
+        |       FROM (SELECT unnest(range(1, 10)) AS i)),
+        |kept AS (SELECT th.thr, sc.score FROM sc CROSS JOIN th
+        |         WHERE sc.score >= th.thr)
+        |SELECT kept.thr, count(*) AS n_kept,
+        |  CAST(count(*) AS DOUBLE) / n.total AS frac_kept,
+        |  CAST(sum(CAST(kept.score AS DECIMAL(30,15))) AS DOUBLE) / count(*) AS mean_kept_score
+        |FROM kept, n GROUP BY kept.thr, n.total ORDER BY kept.thr""".stripMargin),
     // every cell recomputed exactly: row i's hash is md5 hex slice
     // [8i+1, 8i+8] mod width — the same aligned 4-byte slice the
     // aggregate reads from the binary digest

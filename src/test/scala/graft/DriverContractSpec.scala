@@ -139,6 +139,19 @@ class DriverContractSpec extends SparkTestBase {
     assert(rows.forall(_ >= 0.0) && rows.max > 0.0)
   }
 
+  test("text_quality_sweep: kept counts are monotone non-increasing in the threshold") {
+    val rows = SparkEntry.queries("text_quality_sweep")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getAs[Double]("thr"), r.getAs[Long]("n_kept"),
+        r.getAs[Double]("frac_kept")))
+    assert(rows.nonEmpty)
+    rows.sortBy(_._1).sliding(2).foreach {
+      case Array((t1, n1, _), (t2, n2, _)) =>
+        assert(t1 >= t2 || n1 >= n2, s"kept count rose with threshold: ($t1,$n1) ($t2,$n2)")
+      case _ => ()
+    }
+    rows.foreach { case (_, _, f) => assert(f >= 0.0 && f <= 1.0) }
+  }
+
   test("pipeline_curate_shuffled: shard doc counts sum to the curated train count") {
     val dir = "/root/testdata/sf0.001"
     val shuffled = SparkEntry.queries("pipeline_curate_shuffled")(spark, dir)

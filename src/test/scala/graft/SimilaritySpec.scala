@@ -84,6 +84,21 @@ class SimilaritySpec extends SparkTestBase {
       topk.select("neighbor_id").as[Long].collect().toSeq.sorted)
   }
 
+  test("kCenter greedy farthest-point traversal: seed = lowest id, then exact max-min argmax order") {
+    // collinear points: 0 at x=0 (seed), 1 at x=10, 3 at x=5, 2 at x=0.1
+    val emb = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(10.0f, 0.0f)),
+      (2L, Array(0.1f, 0.0f)), (3L, Array(5.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val sel = Similarity.kCenter(emb, "vec_id", "embedding", 4)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(sel == Seq(
+      (1L, 0L, 0.0),   // seed: lowest id, radius 0
+      (2L, 1L, 10.0),  // farthest from {0}
+      (3L, 3L, 5.0),   // max-min to {0,1}: 3 gives 5.0, 2 gives 0.1
+      (4L, 2L, 0.1)), s"got $sel")
+  }
+
   test("fast-path round6 equals BigDecimal HALF_UP on random and boundary values") {
     def exact(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
