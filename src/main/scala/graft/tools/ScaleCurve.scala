@@ -105,7 +105,24 @@ object ScaleCurve {
     "sample_unimax_apply",
     // curation -> rebalancing composition: the learned pipeline's cost
     // (curve 0.21) + temperature's group-scale tail
-    "pipeline_curate_rebalanced")
+    "pipeline_curate_rebalanced",
+    // round-12 additions. NOTE on the session caches (curatedSplitOnce /
+    // bpeOnce / qualityTrajectoryOnce, keyed per sfDir): the cache for
+    // each derived size builds during rep 1 and the curves use reps >= 2,
+    // so from round 12 on, the pipeline_curate_* and text_bpe_vocab/
+    // encode/fertility rows measure the MARGINAL serving stage — the
+    // steady-state per-invocation cost; the full prefix cost keeps its
+    // own rows via pipeline_curate (v1), text_quality_model, and
+    // text_bpe_train, which stay uncached by design.
+    "emb_kcenter",              // k-1 sequential argmax scans: expect ~1
+    "text_quality_sweep",       // trained scores x9 thresholds, 9-group agg
+    "mine_triplets",            // brute-shaped candidate list + two bounded re-ranks
+    "pipeline_curate_unimax",   // cached prefix + group-scale waterfill
+    "pipeline_curate_packed",   // cached prefix + two-level bucketed rank
+    "pipeline_curate_shuffled", // cached prefix + 16 hash-partitioned sorts
+    "sample_doremi",            // one corpus pass + group-scale driver loop
+    "emb_centroid_dist",        // centroid broadcast + one corpus scan
+    "text_quality_calibration") // trained scores into a 10-bin agg
 
   /** SPARK_GRAFT_SCALE_ONLY: comma-separated exact names — run a subset
     * (new-row refresh) without re-measuring the whole table.
