@@ -308,6 +308,37 @@ object PipelineQueries {
       .orderBy(col("thr"))
   }
 
+  /** The END-TO-END TRAINING MANIFEST (round 12) — the single artifact
+    * a training launch actually consumes, every stage composed: the
+    * learned curation's leakage-safe TRAIN split, realized under the
+    * UniMax repetition plan (docs with n_copies = 0 dropped; a doc's
+    * shard weight is its REALIZED token mass tokens·n_copies), dealt
+    * into 8 token-balanced shards by the LPT rank. Emits per shard the
+    * doc count, realized-token sum, and first doc. One oracle statement
+    * replays all seven stage families (classifier, dedup, components,
+    * split, waterfill, Bernoulli realization, global rank) hash-exactly
+    * — the deepest composition in the registry.
+    *
+    * Scale shape: shared [[curatedSplitOnce]] prefix + one group-scale
+    * waterfill + one keyed broadcast back into the checkpointed scan +
+    * the two-level bucketed rank. Nothing corpus-wide single-sorts; the
+    * realized copies stay a WEIGHT, never materialized rows.
+    */
+  def pipelineTrainManifest(s: SparkSession, dir: String): DataFrame = {
+    val train = curatedSplitOnce(s, dir).filter(col("split") === "train")
+      .select(col("doc_id"), col("lang"), col("tokens"))
+    val realized = Sampling.unimaxRealize(train, "doc_id", "lang", "tokens",
+        maxEpochs = 4, budgetPerTotal = 3)
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), (col("tokens") * col("n_copies")).as("w_tokens"))
+    Packing.shardByTokenBalance(realized, "doc_id", "w_tokens", nShards = 8)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("w_tokens")).as("tok_realized"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy(col("shard"))
+  }
+
   /** DoReMi-style domain reweighting (round 12; Xie et al. 2023,
     * "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
     * Pretraining" — the multiplicative-weights skeleton, with the
@@ -2246,6 +2277,7 @@ object PipelineQueries {
     "pipeline_curate_rebalanced" -> (pipelineCurateRebalanced _),
     "pipeline_curate_unimax" -> (pipelineCurateUnimax _),
     "pipeline_curate_shuffled" -> (pipelineCurateShuffled _),
+    "pipeline_train_manifest" -> (pipelineTrainManifest _),
     "mine_triplets" -> (mineTriplets _),
     "emb_centroid_dist" -> (embCentroidDist _),
     "emb_kcenter" -> (embKcenter _),
@@ -2818,14 +2850,15 @@ object PipelineQueries {
       |FROM k2 JOIN r2 ON k2.lang = r2.lang
       |GROUP BY k2.lang ORDER BY k2.lang""".stripMargin
 
-  /** The composed curation → UniMax oracle: the curated-split prefix,
-    * its TRAIN half's per-doc token counts into the sample_unimax_apply
-    * waterfill + realization CTEs, rolled up per language. The capped
-    * decision is all-integer and the two doubles (alloc, epochs) are
-    * single correctly-rounded IEEE divisions, so the realized copy
-    * counts replay bit-exactly.
+  /** The curated-split prefix extended through the UniMax waterfill +
+    * realization, ending at `umrz` (doc_id, lang, tokens, n_copies per
+    * curated TRAIN doc) — shared by the `pipeline_curate_unimax` oracle
+    * and the end-to-end training-manifest oracle. The capped decision
+    * is all-integer and the two doubles (alloc, epochs) are single
+    * correctly-rounded IEEE divisions, so the realized copy counts
+    * replay bit-exactly.
     */
-  private lazy val pipelineCurateUnimaxSql: String = curatedSplitCtes +
+  private lazy val curatedUnimaxCtes: String = curatedSplitCtes +
     """,
       |umtr AS (SELECT doc_id, lang FROM spl
       |        WHERE ('0x' || substring(md5(CAST(cluster_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80),
@@ -2852,12 +2885,32 @@ object PipelineQueries {
       |            CAST(('0x' || substring(md5(CAST(umtk.doc_id AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE)
       |              / 4294967296.0 < uma.epochs - floor(uma.epochs)
       |          THEN 1 ELSE 0 END AS BIGINT) AS n_copies
-      |      FROM umtk JOIN uma ON umtk.lang = uma.lang)
+      |      FROM umtk JOIN uma ON umtk.lang = uma.lang)""".stripMargin
+
+  private lazy val pipelineCurateUnimaxSql: String = curatedUnimaxCtes +
+    """
       |SELECT lang, count(*) AS n_docs, CAST(sum(tokens) AS BIGINT) AS tok_unique,
       |  CAST(sum(tokens * n_copies) AS BIGINT) AS tok_realized,
       |  CAST(count(*) FILTER (WHERE n_copies = 0) AS BIGINT) AS n_dropped,
       |  min(doc_id) AS first_doc
       |FROM umrz GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** The END-TO-END training-manifest oracle: curated split → UniMax
+    * realization → realized-token-balanced LPT packing, one statement —
+    * the deepest composition in the registry (quality gate, exact
+    * dedup, recursive-CTE components, cluster-keyed split, all-integer
+    * waterfill, md5-Bernoulli realization, and the global rank deal,
+    * all hash-agreeing end to end).
+    */
+  private lazy val pipelineTrainManifestSql: String = curatedUnimaxCtes +
+    """,
+      |mfw AS (SELECT doc_id, tokens * n_copies AS w_tokens
+      |        FROM umrz WHERE n_copies > 0),
+      |mfr AS (SELECT *, row_number() OVER (ORDER BY w_tokens DESC, doc_id) AS rnk
+      |        FROM mfw)
+      |SELECT CAST((rnk - 1) % 8 AS BIGINT) AS shard, count(*) AS n_docs,
+      |  CAST(sum(w_tokens) AS BIGINT) AS tok_realized, min(doc_id) AS first_doc
+      |FROM mfr GROUP BY 1 ORDER BY shard""".stripMargin
 
   /** The k-center oracle: 7 unrolled argmax rounds, each the min of the
     * 6 dp Euclidean distances to every prior 1-row selection CTE,
@@ -3783,6 +3836,7 @@ object PipelineQueries {
     "pipeline_curate_packed" -> pipelineCuratePackedSql,
     "pipeline_curate_rebalanced" -> pipelineCurateRebalancedSql,
     "pipeline_curate_unimax" -> pipelineCurateUnimaxSql,
+    "pipeline_train_manifest" -> pipelineTrainManifestSql,
     // the curated train split dealt by the sample_shuffle md5-rank CTEs;
     // the head_doc column pins the within-shard rank, not just buckets
     "pipeline_curate_shuffled" -> (curatedSplitCtes +

@@ -152,6 +152,18 @@ class DriverContractSpec extends SparkTestBase {
     rows.foreach { case (_, _, f) => assert(f >= 0.0 && f <= 1.0) }
   }
 
+  test("pipeline_train_manifest: shard realized-token totals equal the unimax realization's") {
+    // the manifest's 8 shards partition exactly the realized corpus the
+    // unimax sheet accounts (dropped docs contribute 0 to both sides)
+    val dir = "/root/testdata/sf0.001"
+    val shards = SparkEntry.queries("pipeline_train_manifest")(spark, dir)
+      .collect().map(_.getAs[Long]("tok_realized")).sum
+    val sheet = SparkEntry.queries("pipeline_curate_unimax")(spark, dir)
+      .collect().map(_.getAs[Long]("tok_realized")).sum
+    assert(shards == sheet,
+      s"manifest realized tokens ($shards) != unimax sheet ($sheet)")
+  }
+
   test("pipeline_curate_shuffled: shard doc counts sum to the curated train count") {
     val dir = "/root/testdata/sf0.001"
     val shuffled = SparkEntry.queries("pipeline_curate_shuffled")(spark, dir)
