@@ -122,7 +122,8 @@ object ScaleCurve {
     "pipeline_curate_shuffled", // cached prefix + 16 hash-partitioned sorts
     "sample_doremi",            // one corpus pass + group-scale driver loop
     "emb_centroid_dist",        // centroid broadcast + one corpus scan
-    "text_quality_calibration") // trained scores into a 10-bin agg
+    "text_quality_calibration", // trained scores into a 10-bin agg
+    "pipeline_train_manifest")  // cached prefix + waterfill + LPT rank (marginal)
 
   /** SPARK_GRAFT_SCALE_ONLY: comma-separated exact names — run a subset
     * (new-row refresh) without re-measuring the whole table.
