@@ -375,7 +375,14 @@ object PipelineQueries {
       for (_ <- 1 to 5) w = Similarity.round6(w * math.exp(loss))
       (src, n, loss, w)
     }.sortBy(_._1).toSeq
-    val totalW = weighted.map(t => BigDecimal(t._4)).sum.toDouble
+    // mirror the oracle's normalizer EXACTLY: DuckDB sums
+    // CAST(w AS DECIMAL(30,15)) — each 6 dp-grid double rounded to 15
+    // decimal digits first — so round to the same scale here before the
+    // exact sum (an unrounded BigDecimal sum could differ in the last
+    // ulp after toDouble on a pathological corpus)
+    val totalW = weighted
+      .map(t => BigDecimal(t._4).setScale(15, BigDecimal.RoundingMode.HALF_UP))
+      .sum.toDouble
     val out = weighted.map { case (src, n, loss, w) =>
       (src, n, loss, w, Similarity.round6(w / totalW))
     }
