@@ -272,6 +272,65 @@ object PipelineQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** Split-leakage audit (round 12) — the driver-visible number behind
+    * the leakage-safe split's existence: for the exact near-dup pair
+    * graph, how many pairs STRADDLE train/val under (a) the naive
+    * per-document md5 split and (b) the cluster-keyed leak-safe split.
+    * Scheme (b) reads n_cross = 0 BY CONSTRUCTION (near-dups share a
+    * cluster, a cluster maps to one split) — previously that property
+    * lived only in specs; here it is a hash-checked artifact row next
+    * to the naive scheme's leaked-pair count (the eval-contamination a
+    * production run silently eats without cluster-keying).
+    *
+    * Scale shape: the banded pair generation + star CC the dedup family
+    * already runs; the audit itself joins the (long, long) pair relation
+    * to two kilobyte-wide per-doc split projections.
+    */
+  def sampleSplitAudit(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, Tau,
+        ordered = false)
+      .select(col("doc_a"), col("doc_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val clusters = Dedup.clusterIdsStar(docs, "doc_id", pairs)
+    val naive = Sampling.withSplit(docs.select(col("doc_id")), "doc_id", 80)
+    val safe = Sampling.withSplit(clusters, "cluster_id", 80)
+      .select(col("doc_id"), col("split"))
+    def audit(split: DataFrame, scheme: String): DataFrame =
+      pairs
+        .join(split.select(col("doc_id").as("doc_a"), col("split").as("_sa")),
+          Seq("doc_a"))
+        .join(split.select(col("doc_id").as("doc_b"), col("split").as("_sb")),
+          Seq("doc_b"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("_sa") =!= col("_sb"), 1L).otherwise(0L)).as("n_cross"))
+        .select(lit(scheme).as("scheme"), col("n_pairs"), col("n_cross"))
+    val out = audit(naive, "naive_docid")
+      .unionByName(audit(safe, "leaksafe_cluster"))
+      .orderBy(col("scheme"))
+      .localCheckpoint(true) // sever before releasing the pair persist
+    pairs.unpersist(blocking = false)
+    out
+  }
+
+  /** Language-ID confusion matrix (round 12) — the classifier-eval
+    * sheet for the n-gram/stopword language heuristic: per (labeled
+    * lang, predicted lang) doc counts plus the per-cell share of the
+    * label's total. The corpus carries gold labels, so the heuristic's
+    * quality is auditable as data, not just spot specs; at 100 TB this
+    * is one langid scan into a |langs|²-bounded hash agg.
+    */
+  def textLangidConfusion(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+    TextAnalysis.langId(Tables.documents(s, dir), "doc_id", "text")
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("label_share",
+        col("n_docs").cast("double") /
+          sum(col("n_docs")).over(w).cast("double"))
+      .orderBy(col("lang"), col("pred_lang"))
+  }
+
   /** Greedy k-center coreset over the embedding store (round 12;
     * [[Similarity.kCenter]], k = 8): the selection order and max-min
     * radius curve of the 8 maximally-spread exemplars — diverse seed /
@@ -2289,6 +2348,8 @@ object PipelineQueries {
     "emb_centroid_dist" -> (embCentroidDist _),
     "emb_kcenter" -> (embKcenter _),
     "sample_doremi" -> (sampleDoremi _),
+    "sample_split_audit" -> (sampleSplitAudit _),
+    "text_langid_confusion" -> (textLangidConfusion _),
     "text_quality_calibration" -> (textQualityCalibration _),
     "text_quality_sweep" -> (textQualitySweep _),
     "pack_sequences" -> (packSequences _),
@@ -2950,6 +3011,51 @@ object PipelineQueries {
 
   val oracles: Map[String, String] = Map(
     "emb_kcenter" -> embKcenterSql,
+    // the exact near-dup pair graph + recursive components, then the two
+    // md5 split rules: naive per-doc vs cluster-keyed (cross = 0 by
+    // construction for the latter)
+    "sample_split_audit" -> (clustersCte +
+      """,
+        |aud_n AS (SELECT count(*) AS n_pairs,
+        |    CAST(count(*) FILTER (WHERE
+        |      (('0x' || substring(md5(CAST(doc_a AS VARCHAR)), 1, 8))::BIGINT % 100 < 80) !=
+        |      (('0x' || substring(md5(CAST(doc_b AS VARCHAR)), 1, 8))::BIGINT % 100 < 80)) AS BIGINT) AS n_cross
+        |  FROM p),
+        |aud_s AS (SELECT count(*) AS n_pairs,
+        |    CAST(count(*) FILTER (WHERE
+        |      (('0x' || substring(md5(CAST(ca.cluster_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80) !=
+        |      (('0x' || substring(md5(CAST(cb.cluster_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80)) AS BIGINT) AS n_cross
+        |  FROM p JOIN cl ca ON ca.doc_id = p.doc_a JOIN cl cb ON cb.doc_id = p.doc_b)
+        |SELECT 'naive_docid' AS scheme, n_pairs, n_cross FROM aud_n
+        |UNION ALL
+        |SELECT 'leaksafe_cluster' AS scheme, n_pairs, n_cross FROM aud_s
+        |ORDER BY scheme""".stripMargin),
+    // the text_langid decision CTEs grouped into the (label, prediction)
+    // confusion matrix; label_share = one exact-int division per cell
+    "text_langid_confusion" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, text,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS toks
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(toks, t -> list_contains(['the','and','of','to','is'], t))) AS s_en,
+        |    len(list_filter(toks, t -> list_contains(['el','la','de','que','y'], t))) AS s_es,
+        |    len(list_filter(toks, t -> list_contains(['der','die','und','das','ist'], t))) AS s_de,
+        |    len(list_filter(toks, t -> list_contains(['le','les','et','des','un'], t))) AS s_fr,
+        |    regexp_matches(text, '[\x{4e00}-\x{9fff}]') AS has_zh
+        |  FROM t),
+        |pr AS (SELECT lang,
+        |  CASE WHEN has_zh THEN 'zh'
+        |       WHEN s_es > s_en AND s_es >= s_de AND s_es >= s_fr THEN 'es'
+        |       WHEN s_de > s_en AND s_de >= s_fr THEN 'de'
+        |       WHEN s_fr > s_en THEN 'fr'
+        |       ELSE 'en' END AS pred_lang
+        |  FROM sc)
+        |SELECT lang, pred_lang, count(*) AS n_docs,
+        |  CAST(count(*) AS DOUBLE) /
+        |    CAST(sum(count(*)) OVER (PARTITION BY lang) AS DOUBLE) AS label_share
+        |FROM pr GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin,
     // score sweep: same w10 scoring chain fanned across 9 thresholds;
     // empty thresholds drop from BOTH engines (inner filter-then-group)
     "text_quality_sweep" -> (logRegCtes +

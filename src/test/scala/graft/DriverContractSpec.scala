@@ -139,6 +139,27 @@ class DriverContractSpec extends SparkTestBase {
     assert(rows.forall(_ >= 0.0) && rows.max > 0.0)
   }
 
+  test("sample_split_audit: the leak-safe scheme reads zero cross-split pairs, the naive one leaks") {
+    val rows = SparkEntry.queries("sample_split_audit")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val (nP, nX) = rows("naive_docid")
+    val (sP, sX) = rows("leaksafe_cluster")
+    assert(nP == sP && nP > 0, s"pair universes differ or empty: $rows")
+    assert(sX == 0L, s"leak-safe split leaked pairs: $rows")
+    assert(nX > 0L, s"naive split shows no leakage to audit: $rows")
+  }
+
+  test("text_langid_confusion: per-label shares sum to 1 and counts cover the corpus") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("text_langid_confusion")(spark, dir).collect()
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(total == Tables.documents(spark, dir).count())
+    rows.groupBy(_.getString(0)).foreach { case (lang, rs) =>
+      val share = rs.map(_.getAs[Double]("label_share")).sum
+      assert(math.abs(share - 1.0) < 1e-9, s"$lang shares sum to $share")
+    }
+  }
+
   test("text_quality_sweep: kept counts are monotone non-increasing in the threshold") {
     val rows = SparkEntry.queries("text_quality_sweep")(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getAs[Double]("thr"), r.getAs[Long]("n_kept"),
