@@ -123,7 +123,9 @@ object ScaleCurve {
     "sample_doremi",            // one corpus pass + group-scale driver loop
     "emb_centroid_dist",        // centroid broadcast + one corpus scan
     "text_quality_calibration", // trained scores into a 10-bin agg
-    "pipeline_train_manifest")  // cached prefix + waterfill + LPT rank (marginal)
+    "pipeline_train_manifest",  // cached prefix + waterfill + LPT rank (marginal)
+    "sample_split_audit",       // banded pairs + star CC + two split-rule joins
+    "text_langid_confusion")    // one langid scan into a |langs|^2 agg
 
   /** SPARK_GRAFT_SCALE_ONLY: comma-separated exact names — run a subset
     * (new-row refresh) without re-measuring the whole table.
