@@ -973,25 +973,43 @@ object Similarity {
     * TakeOrdered(1) — no join, no shuffle beyond the top-1 reduction.
     * Greedy k-center is inherently k sequential passes; k is a small
     * constant (exemplar counts, not corpus fractions).
+    *
+    * PRACTICAL k BOUND (enforced): the per-row min-distance expression
+    * is a `least()` chain over every previously selected center, so the
+    * codegen term count grows O(k²) across the run on top of the k−1
+    * inherently sequential scans — fine for seed/probe sets, wrong for
+    * coreset-scale k (a 10⁴-point coreset wants k-means++ style
+    * sampling or a batched farthest-point variant instead). `k ≤ 64`
+    * is required so the selector cannot be silently pointed at that
+    * regime. Input contract: `idCol` must be LONG and `vecCol`
+    * `array<float>` (the embeddings-table schema); the input must have
+    * at least k rows with distinct ids.
     */
   def kCenter(emb: DataFrame, idCol: String, vecCol: String,
       k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
+    require(k <= 64, s"k must be <= 64 (O(k^2) codegen-term growth and " +
+      s"k-1 sequential scans make larger k a coreset problem, not a " +
+      s"seed-selection one): $k")
     val spark = emb.sparkSession
-    val seed = emb.orderBy(col(idCol)).limit(1)
-      .select(col(idCol), col(vecCol)).collect()(0)
+    val seedRows = emb.orderBy(col(idCol)).limit(1)
+      .select(col(idCol), col(vecCol)).collect()
+    require(seedRows.nonEmpty, "kCenter on an empty input")
     def vecOf(r: org.apache.spark.sql.Row): Array[Double] =
       r.getSeq[Float](1).map(_.toDouble).toArray
-    var selected = Vector((seed.getLong(0), vecOf(seed), 0.0))
-    for (_ <- 2 to k) {
+    var selected = Vector((seedRows(0).getLong(0), vecOf(seedRows(0)), 0.0))
+    for (selRound <- 2 to k) {
       val minDist = selected.map { case (_, c, _) =>
         val cLit = array(c.map(lit): _*)
         val diff = zip_with(col(vecCol), cLit, (x, cc) => x.cast("double") - cc)
         round(sqrt(VectorOps.dot(diff, diff)), 6)
       }.reduce(least(_, _))
-      val next = emb.filter(!col(idCol).isin(selected.map(_._1): _*))
+      val nextRows = emb.filter(!col(idCol).isin(selected.map(_._1): _*))
         .select(col(idCol), col(vecCol), minDist.as("_d"))
-        .orderBy(col("_d").desc, col(idCol)).limit(1).collect()(0)
+        .orderBy(col("_d").desc, col(idCol)).limit(1).collect()
+      require(nextRows.nonEmpty, s"kCenter: input exhausted after " +
+        s"${selRound - 1} distinct ids; k=$k needs at least k rows")
+      val next = nextRows(0)
       selected = selected :+ ((next.getLong(0), vecOf(next), next.getDouble(2)))
     }
     spark.createDataFrame(selected.zipWithIndex.map { case ((id, _, d), i) =>

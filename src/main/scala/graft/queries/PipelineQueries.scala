@@ -201,6 +201,15 @@ object PipelineQueries {
         "vec_id", "embedding", 4 * AnnK),
       AnnK, CosTau)
 
+  /** The triplet positive/negative band: 0.3 rather than the near-dup
+    * CosTau 0.4 — this corpus's true-pair cosines sit at 0.3–0.6
+    * (see [[dedupEmbedCosine]]'s regime note), and contrastive positives
+    * are "semantically near", a strictly wider band than "near-dup";
+    * at 0.4 the sf0.001 anchor set has zero positives and the miner
+    * would be registered empty.
+    */
+  private val TripletTau = 0.3
+
   /** Contrastive TRIPLET mining (round 12): the (anchor, positive,
     * negative) supervision a contrastive-embedding trainer consumes,
     * assembled from ONE brute candidate list per anchor — positives =
@@ -219,15 +228,6 @@ object PipelineQueries {
     * would be served by any indexed ANN leg instead, same downstream
     * shape). The rank-align join is |queries|×k rows on both sides.
     */
-  /** The triplet positive/negative band: 0.3 rather than the near-dup
-    * CosTau 0.4 — this corpus's true-pair cosines sit at 0.3–0.6
-    * (see [[dedupEmbedCosine]]'s regime note), and contrastive positives
-    * are "semantically near", a strictly wider band than "near-dup";
-    * at 0.4 the sf0.001 anchor set has zero positives and the miner
-    * would be registered empty.
-    */
-  private val TripletTau = 0.3
-
   def mineTriplets(s: SparkSession, dir: String): DataFrame = {
     val cand = Similarity.bruteTopK(annQueries(s, dir),
       Tables.embeddings(s, dir), "vec_id", "embedding", 4 * AnnK)
@@ -347,13 +347,17 @@ object PipelineQueries {
     * 0.1…0.9, how many documents survive, the surviving fraction, and
     * the DECIMAL-exact mean score of the survivors. Scores come from
     * the session-shared training run; one feature scan fanned ×9 by an
-    * exploded threshold array into a 9-group hash agg.
+    * exploded threshold array into a 9-group hash agg. The `frac_kept`
+    * denominator is a lazy 1-row corpus-count aggregate broadcast into
+    * the 9-row agg result (the `text_bm25` corpus-stats pattern) — NOT
+    * an eager `count()` action at construction time, which cost an
+    * extra corpus job per invocation (round-12 advice).
     */
   def textQualitySweep(s: SparkSession, dir: String): DataFrame = {
     val score = LogReg.probability(col("x"),
       qualityTrajectoryOnce(s, dir).last)
     val scored = qualityTrainingFrame(s, dir).select(score.as("score"))
-    val total = lit(Tables.documents(s, dir).count())
+    val total = Tables.documents(s, dir).agg(count(lit(1)).as("_total"))
     scored
       .select(col("score"), explode(array((1 to 9).map(i =>
         (lit(i).cast("double") / lit(10.0)).as(s"_t$i")): _*)).as("thr"))
@@ -362,7 +366,9 @@ object PipelineQueries {
       .agg(count(lit(1)).as("n_kept"),
         (sum(col("score").cast("decimal(30,15)")).cast("double") /
           count(lit(1))).as("mean_kept_score"))
-      .withColumn("frac_kept", col("n_kept").cast("double") / total.cast("double"))
+      .crossJoin(broadcast(total))
+      .withColumn("frac_kept",
+        col("n_kept").cast("double") / col("_total").cast("double"))
       .select(col("thr"), col("n_kept"), col("frac_kept"), col("mean_kept_score"))
       .orderBy(col("thr"))
   }

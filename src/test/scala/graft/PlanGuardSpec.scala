@@ -50,6 +50,7 @@ class PlanGuardSpec extends SparkTestBase {
     "sketch_error_report" -> "composes sketch_overlap's pair-sized blob join plus the rollup legs' 1-row global sketch merges; every BNLJ side is sketch-count-sized",
     "sketch_rollup" -> "1-row × 1-row global HLL/KLL sketch merges (documented crossJoin)",
     "text_bm25" -> "1-row corpus-stats (N, avgdl) broadcast into the scoring scan",
+    "text_quality_sweep" -> "1-row corpus-total broadcast into the 9-row threshold agg for the frac_kept denominator",
     "text_lang_drift" -> "1-row window-total broadcast for share-of-corpus rates",
     "q_dq_checks" -> "1-row n_checked × 1-row n_violations crossJoin per RI check (DataQuality.checkReferential:111-112); the anti join itself is keyed")
 
