@@ -42,24 +42,41 @@ object PlanShapeDump {
     *    AQE wrapper would hide the tree behind AdaptiveSparkPlanExec.
     *    Non-AQE executedPlan is the deterministic static plan with every
     *    exchange materialized.
-    *
-    * Known limitation, deliberate: operators that run eager supersteps
-    * during CONSTRUCTION (the graph family's persisted loops, clusterIds
-    * inside the leak-safe split) surface here as their severed serving
-    * plan — their internal shuffle story is pinned by SCALE.md's plan
-    * audits and their own specs, not this artifact.
+    *  - The `eager_leaves` column SELF-DESCRIBES severed plans
+    *    (round-12 verdict #2): operators that run eager supersteps or
+    *    driver math during CONSTRUCTION register a frame whose scan
+    *    leaves are checkpoint-severed RDDs (`rdd` — the graph family's
+    *    persisted loops, the leak-safe split's clusterIds, the split
+    *    audit) and/or driver-collected LocalRelations (`local` — the
+    *    bounded-driver results: trained weights, argmaxes, annLegOnce
+    *    recall rows). For those rows the count columns describe the
+    *    SERVING plan only; the construction-time shuffle story is
+    *    pinned by SCALE.md's plan audits and the operators' own specs.
+    *    `-` marks a fully declarative plan whose counts are the whole
+    *    story.
     */
   def render(spark: SparkSession, dir: String): String = {
     spark.catalog.clearCache()
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      val sb = new StringBuilder("query\tcartesian\tbnlj\tshuffle\tbroadcast\n")
+      val sb = new StringBuilder(
+        "query\tcartesian\tbnlj\tshuffle\tbroadcast\teager_leaves\n")
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, mk) =>
+        val df = mk(spark, dir)
         val (c, b, s, br) =
-          PlanAudit.shapeCounts(mk(spark, dir).queryExecution.executedPlan)
+          PlanAudit.shapeCounts(df.queryExecution.executedPlan)
+        val leaves = df.queryExecution.analyzed.collectLeaves()
+        val kinds = Seq(
+          if (leaves.exists(_.isInstanceOf[
+              org.apache.spark.sql.execution.LogicalRDD])) Some("rdd") else None,
+          if (leaves.exists(_.isInstanceOf[
+              org.apache.spark.sql.catalyst.plans.logical.LocalRelation]))
+            Some("local") else None).flatten
+        val eager = if (kinds.isEmpty) "-" else kinds.mkString("+")
         sb.append(name).append('\t').append(c).append('\t').append(b)
-          .append('\t').append(s).append('\t').append(br).append('\n')
+          .append('\t').append(s).append('\t').append(br)
+          .append('\t').append(eager).append('\n')
       }
       sb.toString
     } finally {
