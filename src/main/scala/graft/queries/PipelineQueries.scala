@@ -407,31 +407,43 @@ object PipelineQueries {
   /** DoReMi-style domain reweighting (round 12; Xie et al. 2023,
     * "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
     * Pretraining" — the multiplicative-weights skeleton, with the
-    * heuristic quality score standing in for the proxy-model excess
-    * loss, since no reference LM exists in-engine): per source,
-    * loss = round(1 − mean quality, 6), then 5 rounds of
+    * TRAINED quality classifier's probability standing in for the
+    * proxy-model excess loss, since no reference LM exists in-engine;
+    * round 13 — previously the heuristic quality score): per source,
+    * loss = round(1 − mean score, 6) where the score is the
+    * session-shared `text_quality_model` run's final checkpoint
+    * ([[qualityTrajectoryOnce]] — the same model registry every other
+    * learned flagship serves from), then 5 rounds of
     * w ← round6(w · exp(loss)) from w = 1, and the final mixture rate
     * = round6(w / Σw). Σw is an exact BigDecimal sum of 6 dp values
     * (order-independent), mirrored by the oracle's DECIMAL sum; the
     * exp inputs/outputs pass through the same 6 dp rounding discipline
-    * as the [[LogReg]] sigmoid chain, so DuckDB replays every weight.
+    * as the [[LogReg]] sigmoid chain, and the oracle re-derives the
+    * weights by unrolling the 10 GD steps (the
+    * `text_quality_calibration` replay chain), so DuckDB replays the
+    * classifier AND every multiplicative weight.
     *
-    * Scale shape: ONE corpus scan into a map-side-combined per-source
-    * aggregation; the multiplicative-weights loop runs on the collected
-    * GROUP-scale relation (one row per source — the bounded-driver
-    * contract of [[graft.operators.LogReg]]/[[graft.operators.Bpe]]),
-    * and the result ships back as a LocalRelation. At 100 TB this
-    * operator costs exactly one pass.
+    * Scale shape: ONE feature scan with a codegen sigmoid projection,
+    * joined to the (doc_id, source) projection into a map-side-combined
+    * per-source aggregation; the multiplicative-weights loop runs on
+    * the collected GROUP-scale relation (one row per source — the
+    * bounded-driver contract of [[graft.operators.LogReg]]/
+    * [[graft.operators.Bpe]]), and the result ships back as a
+    * LocalRelation. At 100 TB this operator costs one pass (the
+    * trained weights are session driver state, amortized across the
+    * model family).
     */
   def sampleDoremi(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val st = TextAnalysis.stats(docs, "doc_id", "text")
-      .select(col("doc_id"), col("quality"))
+    val score = LogReg.probability(col("x"),
+      qualityTrajectoryOnce(s, dir).last)
+    val st = qualityTrainingFrame(s, dir)
+      .select(col("doc_id"), score.as("_score"))
     val bySource = docs.select(col("doc_id"), col("source"))
       .join(st, Seq("doc_id"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n"),
-        sum(col("quality").cast("decimal(30,15)")).cast("double").as("qs"))
+        sum(col("_score").cast("decimal(30,15)")).cast("double").as("qs"))
       .collect() // one row per SOURCE — domain inventories are bounded
     val weighted = bySource.map { r =>
       val (src, n, qs) = (r.getString(0), r.getLong(1), r.getDouble(2))
@@ -4015,36 +4027,27 @@ object PipelineQueries {
         |SELECT vec_id, grp,
         |  round(sqrt(list_dot_product(diff, diff)), 6) AS dist
         |FROM df ORDER BY vec_id""".stripMargin,
-    // multiplicative weights unrolled: loss and every weight round to
-    // 6 dp (the LogReg exp discipline), the normalizer is an exact
-    // DECIMAL sum of 6 dp values
-    "sample_doremi" ->
-      """WITH t AS (
-        |  SELECT doc_id, text,
-        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS toks
-        |  FROM documents),
-        |s AS (
-        |  SELECT doc_id,
-        |    CAST(len(toks) AS BIGINT) AS n_tokens,
-        |    round(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 1.0 / greatest(length(text), 1), 6) AS punct_ratio,
-        |    round(len(list_filter(toks, t -> list_contains(['the','a','and','of','to','in','is','on','for','with'], t))) * 1.0 / greatest(len(toks), 1), 6) AS stop_ratio
-        |  FROM t),
-        |qual AS (
-        |  SELECT doc_id,
-        |    round(least(n_tokens / 100.0, 1.0) * 0.4 + (1.0 - punct_ratio) * 0.3 +
-        |      (1.0 - stop_ratio) * 0.3, 6) AS q
-        |  FROM s),
+    // classifier replay (the calibration w10 chain) + multiplicative
+    // weights unrolled: loss and every weight round to 6 dp (the LogReg
+    // exp discipline), the normalizer is an exact DECIMAL sum of 6 dp
+    // values
+    "sample_doremi" -> (logRegCtes +
+      """
+        |sc AS (SELECT f.doc_id,
+        |    round(1.0 / (1.0 + exp(-round(list_sum(list_transform(range(1, 6),
+        |      j -> f.x[j] * w.w[j])), 6))), 6) AS score
+        |  FROM f CROSS JOIN w10 w),
         |m AS (SELECT d.source, count(*) AS n_docs,
-        |    round(1.0 - CAST(sum(CAST(qual.q AS DECIMAL(30,15))) AS DOUBLE) / count(*), 6) AS loss
-        |  FROM documents d JOIN qual USING (doc_id) GROUP BY d.source),
-        |w5 AS (SELECT source, n_docs, loss,
+        |    round(1.0 - CAST(sum(CAST(sc.score AS DECIMAL(30,15))) AS DOUBLE) / count(*), 6) AS loss
+        |  FROM documents d JOIN sc USING (doc_id) GROUP BY d.source),
+        |mw AS (SELECT source, n_docs, loss,
         |    round(round(round(round(round(1.0 * exp(loss), 6) * exp(loss), 6)
         |      * exp(loss), 6) * exp(loss), 6) * exp(loss), 6) AS weight
         |  FROM m),
-        |tot AS (SELECT CAST(sum(CAST(weight AS DECIMAL(30,15))) AS DOUBLE) AS tw FROM w5)
-        |SELECT w5.source, w5.n_docs, w5.loss, w5.weight,
-        |  round(w5.weight / tot.tw, 6) AS rate
-        |FROM w5, tot ORDER BY w5.source""".stripMargin,
+        |tot AS (SELECT CAST(sum(CAST(weight AS DECIMAL(30,15))) AS DOUBLE) AS tw FROM mw)
+        |SELECT mw.source, mw.n_docs, mw.loss, mw.weight,
+        |  round(mw.weight / tot.tw, 6) AS rate
+        |FROM mw, tot ORDER BY mw.source""".stripMargin),
     // the trained classifier's reliability diagram: same w10 scoring
     // chain, decile bins, DECIMAL-exact mean score per bin
     "text_quality_calibration" -> (logRegCtes +
