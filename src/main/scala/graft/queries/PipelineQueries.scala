@@ -1603,31 +1603,69 @@ object PipelineQueries {
     * Semi joins keep each stage's survivor set as ids-only (no text
     * bodies re-shuffle between stages); the oracle recomputes all five
     * stages in one SQL statement.
+    *
+    * Since round 13 the five-stage chain runs AT MOST ONCE per (JVM,
+    * sfDir) via [[heuristicCuratedOnce]] — the [[curatedSplitOnce]]
+    * parquet-stage-boundary discipline applied to the v1 pipeline
+    * (round-12 verdict #5: as registered queries multiplied, v1's
+    * per-invocation dedup + star-CC re-run was the largest remaining
+    * redundant prefix, ~3.5 s/invocation at sf0.1). The v1 pipeline
+    * stays REGISTERED (not demoted to a spec twin) deliberately: its
+    * heuristic gate is the curation path a run without a trained
+    * classifier executes, and its oracle replays all five stages from
+    * scratch, so the composed-chain check survives the cache.
     */
-  def pipelineCurate(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val quality = TextAnalysis.stats(docs, "doc_id", "text")
-      .filter(col("quality") >= 0.75).select(col("doc_id"))
-    val kept0 = docs.join(quality, Seq("doc_id"), "left_semi")
-    // the exact-dedup survivor set feeds three consumers (pair generation,
-    // cluster-label init, the final semi join) — persist it once instead
-    // of re-running the quality+dedup chain per consumer; in a real run
-    // this is the stage boundary a pipeline would checkpoint to storage
-    val kept1 = Dedup.exactByHash(kept0, "text", "doc_id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = Dedup.minhashLshPairs(kept1, "doc_id", "text", 3, Tau, ordered = false)
-    // star contraction: measured ~2.8x faster than min-label propagation
-    // at sf0.1 with oracle-identical components (dedup_clusters_star)
-    val reps = Dedup.clusterIdsStar(kept1, "doc_id", pairs)
-      .filter(col("doc_id") === col("cluster_id")).select(col("doc_id"))
-    val kept2 = kept1.join(reps, Seq("doc_id"), "left_semi")
-    val sampled = Sampling.stratifiedSampled(kept2, "doc_id", "lang",
-      Map("en" -> 50), defaultPct = 90)
-    sampled.groupBy(col("lang"))
+  def pipelineCurate(s: SparkSession, dir: String): DataFrame =
+    heuristicCuratedOnce(s, dir)
+      .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         min(col("doc_id")).as("first_doc"),
         sum(col("n_chars")).as("total_chars"))
       .orderBy(col("lang"))
+
+  /** Session-lifetime cache of the v1 HEURISTIC curation chain's
+    * surviving doc relation — stages 1–4 of [[pipelineCurate]] narrowed
+    * to (doc_id, lang, n_chars) and written once per (JVM, sfDir) to
+    * registry parquet. Parquet rather than `localCheckpoint` for the
+    * same plan-determinism reason as [[curatedSplitOnce]] (a
+    * checkpointed LogicalRDD blocks ReuseExchange canonicalization and
+    * makes serving plans depend on which session populated the cache);
+    * results are byte-identical to the uncached chain and the oracle
+    * still replays every stage.
+    */
+  private val heuristicCuratedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def heuristicCuratedOnce(s: SparkSession, dir: String): DataFrame = {
+    val path = heuristicCuratedCache.computeIfAbsent(dir, _ => {
+      val docs = Tables.documents(s, dir)
+      val quality = TextAnalysis.stats(docs, "doc_id", "text")
+        .filter(col("quality") >= 0.75).select(col("doc_id"))
+      val kept0 = docs.join(quality, Seq("doc_id"), "left_semi")
+      // the exact-dedup survivor set feeds three consumers (pair
+      // generation, cluster-label init, the final semi join) — persist
+      // it once instead of re-running the quality+dedup chain per
+      // consumer; in a real run this is the stage boundary a pipeline
+      // would checkpoint to storage
+      val kept1 = Dedup.exactByHash(kept0, "text", "doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pairs = Dedup.minhashLshPairs(kept1, "doc_id", "text", 3, Tau,
+        ordered = false)
+      // star contraction: measured ~2.8x faster than min-label
+      // propagation at sf0.1 with oracle-identical components
+      // (dedup_clusters_star)
+      val reps = Dedup.clusterIdsStar(kept1, "doc_id", pairs)
+        .filter(col("doc_id") === col("cluster_id")).select(col("doc_id"))
+      val kept2 = kept1.join(reps, Seq("doc_id"), "left_semi")
+      val sampled = Sampling.stratifiedSampled(kept2, "doc_id", "lang",
+        Map("en" -> 50), defaultPct = 90)
+      val out = registryPath(dir, "heuristic_curated")
+      sampled.select(col("doc_id"), col("lang"), col("n_chars"))
+        .write.mode("overwrite").parquet(out)
+      kept1.unpersist(blocking = false)
+      out
+    })
+    s.read.parquet(path)
   }
 
   /** The flagship pipeline, round-9 LEARNED edition — every stage is the
