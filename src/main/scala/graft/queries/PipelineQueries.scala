@@ -1880,6 +1880,57 @@ object PipelineQueries {
       .orderBy(col("lang"))
   }
 
+  /** The INGEST-TIME curation composition (round 13) — the registered
+    * BATCH TWIN of the composed streaming pipeline
+    * ([[graft.streaming.StreamingCuration]]): the two stages a stream
+    * applies at the ingest boundary, composed over the documents table,
+    *
+    *  1. trained quality gate — literally
+    *     [[graft.streaming.StreamingQuality.gate]], the SAME code the
+    *     stream runs (it is batch/stream-agnostic by construction),
+    *     with the session-shared `text_quality_model` weights;
+    *  2. SimHash first-wins near-dup keep over the GATED survivors
+    *     (Hamming ≤ 3, exact via 4×16 banding — exact duplicates are
+    *     the distance-0 case, so a separate exact-dedup stage is
+    *     subsumed); pairs are generated among gated docs only — a
+    *     gate-rejected doc must not suppress a kept one, matching the
+    *     stream where rejected docs never reach the dedup state.
+    *
+    * Emits the per-language curated-ingest accounting. With event time
+    * = doc_id, `StreamingCurationSpec` pins the composed STREAM's
+    * kept-set equal to this query's survivor set on out-of-order input
+    * — the ingest-time/batch agreement the reorder operator's
+    * watermarking story is ultimately about, extended to the whole
+    * curation prefix. One composed oracle replays the classifier (10
+    * unrolled GD steps) AND the fingerprint/pair/anti-join chain.
+    *
+    * Scale shape: the gate is a shuffle-free codegen projection; the
+    * pair stage shuffles (band, chunk, id, fingerprint) longs only
+    * (never text); the anti join is ids-only. Unlike the v1/learned
+    * flagships there is no multi-consumer stage boundary to cache —
+    * the chain is two stages and one pass each.
+    */
+  def pipelineCurateIngest(s: SparkSession, dir: String): DataFrame =
+    ingestKeptDocs(s, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("first_doc"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("lang"))
+
+  /** Doc-granularity survivor set of [[pipelineCurateIngest]] — shared
+    * with `StreamingCurationSpec`, which pins the composed stream's
+    * kept-set equal to exactly this relation.
+    */
+  private[graft] def ingestKeptDocs(s: SparkSession, dir: String): DataFrame = {
+    val w = qualityTrajectoryOnce(s, dir).last
+    val gated = graft.streaming.StreamingQuality.gate(
+      Tables.documents(s, dir), "text", w)
+    val dupIds = Dedup.simhashPairs(gated, "doc_id", "text")
+      .select(col("doc_b").as("doc_id")).distinct()
+    gated.join(dupIds, Seq("doc_id"), "left_anti")
+  }
+
   /** Span-level duplication fraction per document (word 3-grams occurring
     * in ≥ 2 documents — [[TextAnalysis.dupSpans]]).
     */
@@ -2399,6 +2450,7 @@ object PipelineQueries {
     "pipeline_curate_rebalanced" -> (pipelineCurateRebalanced _),
     "pipeline_curate_unimax" -> (pipelineCurateUnimax _),
     "pipeline_curate_shuffled" -> (pipelineCurateShuffled _),
+    "pipeline_curate_ingest" -> (pipelineCurateIngest _),
     "pipeline_train_manifest" -> (pipelineTrainManifest _),
     "mine_triplets" -> (mineTriplets _),
     "emb_centroid_dist" -> (embCentroidDist _),
@@ -4001,6 +4053,43 @@ object PipelineQueries {
          |SELECT lang, count(*) AS n_docs, min(doc_id) AS first_doc,
          |  CAST(sum(n_chars) AS BIGINT) AS total_chars
          |FROM samp GROUP BY lang ORDER BY lang""".stripMargin,
+    // the ingest-twin composition: classifier replay (10 unrolled GD
+    // steps) gates the corpus, then the dedup_simhash fingerprint chain
+    // runs over the GATED survivors and the first-wins anti join keeps
+    // docs with no lower-id gated doc within hamming 3
+    "pipeline_curate_ingest" -> (logRegCtes +
+      """
+        |sc AS (SELECT f.doc_id,
+        |    round(1.0 / (1.0 + exp(-round(list_sum(list_transform(range(1, 6),
+        |      j -> f.x[j] * w.w[j])), 6))), 6) AS score
+        |  FROM f CROSS JOIN w10 w),
+        |g AS (SELECT d.* FROM documents d JOIN sc USING (doc_id)
+        |      WHERE sc.score >= 0.5e0),
+        |gtok AS (SELECT doc_id,
+        |    unnest(list_distinct(list_filter(
+        |      string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != ''))) AS tk
+        |  FROM g),
+        |gh AS (SELECT doc_id,
+        |    ('0x' || substring(md5(tk), 1, 8))::BIGINT AS hi,
+        |    ('0x' || substring(md5(tk), 9, 8))::BIGINT AS lo
+        |  FROM gtok),
+        |gv AS (SELECT doc_id, r.i,
+        |    sum((CASE WHEN r.i < 32 THEN (lo >> r.i) & 1
+        |              ELSE (hi >> (r.i - 32)) & 1 END) * 2 - 1) AS vote
+        |  FROM gh CROSS JOIN (SELECT unnest(range(64)) AS i) r
+        |  GROUP BY doc_id, r.i),
+        |gfp AS (SELECT doc_id,
+        |    CAST(sum(CASE WHEN vote > 0 THEN
+        |      CASE WHEN i = 63 THEN -9223372036854775808 ELSE (1::BIGINT << i) END
+        |      ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM gv GROUP BY doc_id),
+        |gdup AS (SELECT DISTINCT b.doc_id FROM gfp a, gfp b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND bit_count(xor(a.simhash, b.simhash)) <= 3)
+        |SELECT g.lang, count(*) AS n_docs, min(g.doc_id) AS first_doc,
+        |  CAST(sum(g.n_chars) AS BIGINT) AS total_chars
+        |FROM g ANTI JOIN gdup USING (doc_id)
+        |GROUP BY g.lang ORDER BY g.lang""".stripMargin),
     "pipeline_curate_learned" -> pipelineCurateLearnedSql,
     "pipeline_curate_packed" -> pipelineCuratePackedSql,
     "pipeline_curate_rebalanced" -> pipelineCurateRebalancedSql,

@@ -268,6 +268,80 @@ object StreamBench {
       f""""state_ops":$opTimes}""")
   }
 
+  /** Composed INGEST pipeline throughput
+    * ([[graft.streaming.StreamingCuration]]: trained quality gate →
+    * SimHash near-dup dedup in ONE streaming query): the sf corpus
+    * replayed `SPARK_GRAFT_DEDUP_COPIES` times (the nearDedup bench's
+    * dup-heavy construction), gate weights trained once in batch before
+    * the clock starts (the production shape — the model comes from the
+    * registry, not the stream). Reports end-to-end docs/s and, next to
+    * it, the gate's survival fraction — the volume the gate saves the
+    * stateful stages is the composition's scale argument.
+    *
+    * Run: SPARK_GRAFT_INGEST=1 runMain graft.tools.StreamBench
+    * (honors SPARK_GRAFT_NEARDEDUP_TUNED=1 for the single-maximal-batch
+    * shape; batch-size arg as usual.)
+    */
+  private def ingestBench(spark: SparkSession, sfDir: String,
+      batchSizeArg: Int): Unit = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.LogReg
+    val copies = sys.env.getOrElse("SPARK_GRAFT_DEDUP_COPIES", "20").toInt
+    val docs = graft.Tables.documents(spark, sfDir)
+    val st = graft.operators.TextAnalysis.stats(docs, "doc_id", "text")
+    val feats = st.select(
+      org.apache.spark.sql.functions.array(
+        org.apache.spark.sql.functions.lit(1.0),
+        org.apache.spark.sql.functions.col("punct_ratio"),
+        org.apache.spark.sql.functions.col("stop_ratio"),
+        org.apache.spark.sql.functions.least(
+          org.apache.spark.sql.functions.col("n_tokens") / 100.0,
+          org.apache.spark.sql.functions.lit(1.0)),
+        org.apache.spark.sql.functions.col("mean_tok_len") / 10.0).as("x"),
+      org.apache.spark.sql.functions.when(
+        org.apache.spark.sql.functions.col("quality") >= 0.8, 1.0)
+        .otherwise(0.0).as("y"))
+    val w = LogReg.train(feats, "x", "y", dim = 5, iters = 10, lr = 5.0)
+    val texts = docs.select($"doc_id", $"text").as[(Long, String)].collect()
+    val base = 1700000000000L
+    val rows = (0 until copies).flatMap { c =>
+      texts.map { case (id, t) =>
+        (c.toLong * 1000000L + id, s"$t gen$c", base + c * 60000L + id)
+      }
+    }
+    val tuned = sys.env.get("SPARK_GRAFT_NEARDEDUP_TUNED").contains("1")
+    val batchSize = if (tuned) rows.length else batchSizeArg
+    val graceMs = 10L * 60 * 1000
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[(Long, String, Long)]
+    val q = graft.streaming.StreamingCuration.curate(
+        input.toDF().toDF("doc_id", "text", "ts"), w, graceMs,
+        retainMs = 86400000L)
+      .writeStream.format("memory").queryName("sb_ingest")
+      .outputMode(OutputMode.Append).start()
+    val t0 = System.nanoTime()
+    rows.grouped(batchSize).foreach { b => input.addData(b); q.processAllAvailable() }
+    // gate-passing far-future sentinels (120 unique gibberish tokens —
+    // heuristic-quality-1 text the trained gate keeps) to flush buffers
+    Seq(1, 2).foreach { i =>
+      input.addData(Seq((-i.toLong,
+        (1 to 120).map(j => s"zqxv${i}w$j").mkString(" "),
+        rows.map(_._3).max + i * (graceMs + 60000L))))
+      q.processAllAvailable()
+    }
+    val secs = (System.nanoTime() - t0) / 1e9
+    val out = spark.table("sb_ingest")
+    val verdicts = out.count()
+    val kept = out.filter(org.apache.spark.sql.functions.col("keep")).count()
+    q.stop()
+    println(f"""{"metric":"stream_ingest_throughput","tuned":$tuned,"batch":$batchSize,""" +
+      f""""docs_in":${rows.length},"gated_verdicts":$verdicts,"kept":$kept,""" +
+      f""""gate_survival":${verdicts.toDouble / rows.length}%.3f,""" +
+      f""""sec":$secs%.2f,"docs_per_sec":${(rows.length / secs).toLong}}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -301,6 +375,11 @@ object StreamBench {
     }
     if (sys.env.get("SPARK_GRAFT_NEARDEDUP").contains("1")) {
       nearDedupBench(spark, sfDir, args.headOption.map(_.toInt).getOrElse(20000))
+      spark.stop()
+      return
+    }
+    if (sys.env.get("SPARK_GRAFT_INGEST").contains("1")) {
+      ingestBench(spark, sfDir, args.headOption.map(_.toInt).getOrElse(20000))
       spark.stop()
       return
     }
