@@ -49,9 +49,12 @@ object SparkEntry {
     "ann_topk_pca" -> ("PCA projection requires an eigen solve (Jacobi " +
       "rotations) inexpressible in SQL; gated by SimilaritySpec recall " +
       "floors + PcaSpec eigenbasis checks"),
-    "ann_recall_report" -> ("meta-report over the six ANN legs; its " +
+    "ann_recall_report" -> ("meta-report over the seven ANN legs; its " +
       "evidence lives in the legs' own hash oracles (brute/lsh/ivf/pq/" +
-      "pq_refined/ivfpq) + SimilaritySpec recall floors"),
+      "pq_refined/ivfpq) + SimilaritySpec recall floors (the pq_opq leg " +
+      "shares ann_topk_pca's inherent Jacobi-eigen-solve cause and is " +
+      "gated by the SimilaritySpec orthogonality/dot-invariance pins " +
+      "plus the imbalanced-corpus uplift inequality)"),
     "q_approx_distinct" -> ("HyperLogLog++ estimator internals are " +
       "engine-specific (DuckDB's approx_count_distinct differs by " +
       "construction); error band hash-enforced via sketch_error_report"),

@@ -911,6 +911,93 @@ object Similarity {
     queryIvfPq(buildIvfPq(corpus, idCol, vecCol, dim, nlist, m, ksub),
       queries, idCol, vecCol, k, nprobe)
 
+  /** OPQ-parametric rotation (Ge et al. 2014, "Optimized Product
+    * Quantization" §4 — the closed-form parametric solution under the
+    * Gaussian assumption): rotate into the FULL PCA eigenbasis
+    * ([[Pca.fit]] with k = d — one Gram-matrix pass + a d×d driver
+    * Jacobi solve, the bounded-driver contract), then EIGENVALUE
+    * ALLOCATION — deal the d principal axes to the m subspaces
+    * greedily by descending eigenvalue so each subspace's variance
+    * PRODUCT stays balanced (assign each axis to the capacity-free
+    * subspace with the smallest log-variance sum; the paper's
+    * balanced-partition criterion). Raw PQ quantizes whatever axes the
+    * ambient basis happens to have: correlated dims waste codebook
+    * entropy and unbalanced subspace variance makes some codebooks do
+    * all the work — the measured recall gap of the `ann_topk_pq` leg.
+    * The rotation decorrelates (PCA) and re-balances (allocation)
+    * BEFORE the subspace split, at zero serving cost beyond one d-term
+    * dot product per dimension at encode/query time.
+    *
+    * Returned rows are the rotation matrix R in ALLOCATION order (rows
+    * j·d0 … (j+1)·d0 − 1 are subspace j's axes). R is orthogonal (a
+    * permutation of orthonormal eigenvectors), and it is applied
+    * WITHOUT mean-centering — a centered projection would shift dot
+    * products, while a pure rotation preserves them exactly:
+    * (Rq)·(Rx) = q·x and ‖Rx‖ = ‖x‖, so cosines in rotated space equal
+    * raw cosines and a rotated-space neighbor list is directly
+    * comparable to [[bruteTopK]].
+    */
+  private[graft] def opqRotation(corpus: DataFrame, vecCol: String,
+      dim: Int, m: Int): Seq[Seq[Double]] = {
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val d0 = dim / m
+    val model = Pca.fit(corpus, vecCol, dim, dim)
+    // log-product balance via LPT greedy: weights must be NON-NEGATIVE
+    // for assign-to-smallest-bin to balance (a negative-weight item
+    // makes its bin MORE attractive and the greedy piles up), so shift
+    // all log-eigenvalues by the minimum — every subspace receives
+    // exactly d0 items, so a constant per-item shift moves every bin
+    // total equally and the balance objective is unchanged. Tiny/
+    // nonpositive eigenvalues (Jacobi noise floor) clamp at 1e-12.
+    val logs = model.eigenvalues.map(v => math.log(math.max(v, 1e-12)))
+    val shift = logs.min
+    val sums = Array.fill(m)(0.0)
+    val counts = Array.fill(m)(0)
+    val assign = Array.fill(m)(Vector.empty[Int])
+    // components arrive in descending-eigenvalue order from Pca.fit
+    for (i <- 0 until dim) {
+      val j = (0 until m).filter(counts(_) < d0)
+        .minBy(j => (sums(j), j))
+      assign(j) = assign(j) :+ i
+      counts(j) += 1
+      sums(j) += logs(i) - shift
+    }
+    assign.toSeq.flatMap(_.map(i => model.components(i).toSeq))
+  }
+
+  /** Approximate top-k over OPQ-rotated product-quantized vectors — the
+    * [[pqTopK]] leg with the [[opqRotation]] applied to BOTH sides
+    * before the subspace split. Everything downstream is literally the
+    * PQ machinery on the rotated column (same md5-ordered training
+    * sample, same codebook trainer, same ADC serving), so the leg
+    * inherits PQ's scale shape: one rotation+encode projection pass
+    * against broadcast literals (the rotation adds d dot products per
+    * row, once, at build time), broadcast query LUTs, bounded top-k
+    * heap. Rotated coordinates round-trip through float to keep the
+    * encoded corpus byte-compatible with the raw leg's `array<float>`
+    * contract.
+    *
+    * When it pays (measured, `SimilaritySpec`): on a near-isotropic
+    * corpus every rotation is distribution-equivalent, so OPQ measures
+    * at PARITY with raw PQ (the registry corpus's case — the spec
+    * gates the same 0.25 floor, not a flaky ≥-pq inequality); on a
+    * variance-imbalanced corpus (one subspace's dims carrying most of
+    * the energy — the common shape of real learned embeddings) raw
+    * PQ's ADC error is dominated by that subspace and collapses, while
+    * the rotation re-deals the energy one principal axis per subspace:
+    * measured 0.09 → 0.69 recall on the 8×-scaled corpus, pinned as a
+    * wide-margin spec inequality.
+    */
+  def opqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, dim: Int, m: Int = 16, ksub: Int = 32): DataFrame = {
+    val rot = opqRotation(corpus, vecCol, dim, m)
+    def rotate(df: DataFrame): DataFrame =
+      df.select(col(idCol),
+        array(rot.map(r => VectorOps.dot(typedlit(r), col(vecCol))): _*)
+          .cast("array<float>").as("_rv"))
+    pqTopK(rotate(queries), rotate(corpus), idCol, "_rv", k, dim, m, ksub)
+  }
+
   /** Two-stage ANN serving — PQ candidates, EXACT re-rank (FAISS's
     * standard refine step): the compressed ADC scan proposes `kCand`
     * candidates per query, then only those kCand rows are re-scored

@@ -148,6 +148,26 @@ object PipelineQueries {
     Similarity.pqTopK(annQueries(s, dir), Tables.embeddings(s, dir),
       "vec_id", "embedding", AnnK, AnnDim)
 
+  /** The OPQ-rotated PQ leg ([[Similarity.opqTopK]] — full-rank PCA
+    * eigenbasis + eigenvalue allocation before the subspace split, Ge
+    * et al. 2014's parametric solution). NOT a standalone registered
+    * query: the rotation comes from the Jacobi eigen solve, which is
+    * inherently outside SQL replay (the documented `ann_topk_pca`
+    * cause), so a registration would only add a sixth rows-only entry
+    * — instead the leg is measured every round inside
+    * `ann_recall_report` and spec-gated in `SimilaritySpec`, where the
+    * decisive evidence lives: on THIS corpus (near-isotropic synthetic
+    * Gaussians, where every rotation is distribution-equivalent and
+    * the honest expected uplift is zero) OPQ measures at parity with
+    * raw PQ, while on a variance-imbalanced corpus (dims 0–3 scaled
+    * 8×) raw PQ collapses to ~0.09 recall and OPQ holds ~0.69 — the
+    * regime the rotation exists for, pinned as a wide-margin spec
+    * inequality rather than a flaky parity assertion.
+    */
+  def annTopkPqOpq(s: SparkSession, dir: String): DataFrame =
+    Similarity.opqTopK(annQueries(s, dir), Tables.embeddings(s, dir),
+      "vec_id", "embedding", AnnK, AnnDim)
+
   /** Two-stage serving shape ([[Similarity.pqRefineTopK]]): the PQ ADC
     * scan proposes 20 candidates per query, an exact cosine pass
     * re-ranks ONLY those and cuts to k — the FAISS refine step that
@@ -549,6 +569,7 @@ object PipelineQueries {
       ("ivf", 0.30, annLegOnce(s, dir, "ivf")(annTopkIvf(s, dir))),
       ("pca", 0.40, annLegOnce(s, dir, "pca")(annTopkPca(s, dir))),
       ("pq", 0.25, annLegOnce(s, dir, "pq")(annTopkPq(s, dir))),
+      ("pq_opq", 0.25, annLegOnce(s, dir, "pq_opq")(annTopkPqOpq(s, dir))),
       ("pq_refined", 0.40,
         annLegOnce(s, dir, "pq_refined")(annTopkPqRefined(s, dir))),
       ("ivfpq", 0.30, annLegOnce(s, dir, "ivfpq")(annTopkIvfPq(s, dir))))

@@ -38,7 +38,7 @@ class PlanGuardSpec extends SparkTestBase {
     "mine_hard_negatives" -> "ann_topk_brute's BNLJ (corpus × broadcast bounded query set); the mining itself is a projection + bounded re-rank over |queries|×kCand rows",
     "mine_triplets" -> "ann_topk_brute's BNLJ (both triplet legs re-rank the same corpus × broadcast bounded-query-set candidate list — the second leg's copy dedupes via exchange reuse); the rank-align join is |queries|×k keyed rows",
     "emb_decontaminate" -> "corpus streams against broadcast(eval set); eval sets are benchmark-sized constants regardless of corpus scale",
-    "ann_recall_report" -> "composes the ANN legs above plus six 1-row × 1-row recall scalars",
+    "ann_recall_report" -> "composes the ANN legs above plus seven 1-row × 1-row recall scalars",
     "sample_weighted" -> "1-row global weight-total broadcast for prefix-sum normalization",
     "sample_temperature" -> "1-row global min-group-count broadcast into the group-cardinality rate relation; the rate join into the corpus scan itself is keyed",
     "pipeline_curate_rebalanced" -> "sample_temperature's 1-row min-group-count broadcast, applied over the curated train split (the curation prefix itself is BNLJ-free)",

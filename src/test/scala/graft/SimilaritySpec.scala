@@ -143,13 +143,13 @@ class SimilaritySpec extends SparkTestBase {
       "nprobe/nlist = 4/16 probes a quarter of the corpus)")
   }
 
-  test("ann_recall_report covers all six legs and self-satisfies its emitted floors at sf0.01") {
+  test("ann_recall_report covers all seven legs and self-satisfies its emitted floors at sf0.01") {
     val rep = graft.queries.PipelineQueries
       .annRecallReport(spark, "/root/testdata/sf0.01")
       .select("leg", "k", "recall_floor", "recall_pct")
       .as[(String, Long, Double, Double)].collect().toSeq
     assert(rep.map(_._1).sorted ==
-      Seq("ivf", "ivfpq", "lsh", "pca", "pq", "pq_refined"),
+      Seq("ivf", "ivfpq", "lsh", "pca", "pq", "pq_opq", "pq_refined"),
       s"report legs: ${rep.map(_._1)}")
     // the refine stage can only promote true neighbors: its measured
     // recall must dominate the PQ leg it candidates from
@@ -290,6 +290,63 @@ class SimilaritySpec extends SparkTestBase {
     // (hash-ordered sample, argmin-with-index tiebreak), so this is a
     // stable number, not a distribution.
     assert(recall >= 0.4, s"recall@5 = $recall below floor")
+  }
+
+  test("opqRotation is an orthogonal, dot-preserving rotation with exactly d0 axes per subspace") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val rot = Similarity.opqRotation(emb, "embedding", 64, 16)
+    assert(rot.size == 64 && rot.forall(_.size == 64),
+      "full-rank 64x64 rotation (16 subspaces x 4 axes each)")
+    // R R^T = I: the rows are a PERMUTATION of the orthonormal Jacobi
+    // eigenbasis (PcaSpec pins orthonormality at 1e-9), so the
+    // allocation cannot have dropped or duplicated an axis
+    for (i <- 0 until 64; j <- i until 64) {
+      val d = rot(i).zip(rot(j)).map { case (a, b) => a * b }.sum
+      val expect = if (i == j) 1.0 else 0.0
+      assert(math.abs(d - expect) < 1e-9, s"R R^T deviates at ($i,$j): $d")
+    }
+    // pure rotation, no centering: dot products (hence cosines and the
+    // brute-force neighbor order) are preserved exactly up to FP noise
+    val vs = emb.orderBy($"vec_id").limit(3)
+      .select($"embedding").as[Array[Float]].collect()
+      .map(_.map(_.toDouble))
+    def apply(v: Array[Double]): Array[Double] =
+      rot.map(r => r.zip(v).map { case (a, b) => a * b }.sum).toArray
+    for (a <- vs; b <- vs) {
+      val raw = a.zip(b).map { case (x, y) => x * y }.sum
+      val rotd = apply(a).zip(apply(b)).map { case (x, y) => x * y }.sum
+      assert(math.abs(raw - rotd) < 1e-6, s"dot drifted: $raw vs $rotd")
+    }
+  }
+
+  test("opqTopK: parity floor on the isotropic corpus; decisive uplift where variance is imbalanced") {
+    // isotropic registry corpus: every rotation is distribution-
+    // equivalent, so the honest gate is the SAME 0.25 floor as raw PQ
+    // (a >= pq assertion here would gate on noise)
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val queries = emb.filter($"vec_id" < 10)
+    val brute = annPairs(Similarity.bruteTopK(queries, emb, "vec_id", "embedding", 5))
+    val opq = annPairs(Similarity.opqTopK(queries, emb, "vec_id", "embedding", 5, 64))
+    val recall = (brute & opq).size.toDouble / brute.size
+    assert(recall >= 0.25, s"opq recall@5 = $recall below floor")
+
+    // variance-imbalanced corpus (dims 0-3 scaled 8x — the shape of
+    // real learned embeddings): raw PQ's ADC error is dominated by the
+    // hot subspace and collapses (~0.09 measured); the rotation re-deals
+    // one principal axis per subspace and holds (~0.69 measured). The
+    // margin is wide, so the inequality is a stable gate.
+    val skewed = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id", org.apache.spark.sql.functions.expr(
+        "transform(embedding, (x, i) -> CAST(x * (CASE WHEN i < 4 THEN 8.0 ELSE 1.0 END) AS FLOAT))")
+        .as("embedding"))
+    val sq = skewed.filter($"vec_id" < 50)
+    val sBrute = annPairs(Similarity.bruteTopK(sq, skewed, "vec_id", "embedding", 5))
+    val sPq = annPairs(Similarity.pqTopK(sq, skewed, "vec_id", "embedding", 5, 64))
+    val sOpq = annPairs(Similarity.opqTopK(sq, skewed, "vec_id", "embedding", 5, 64))
+    val rPq = (sBrute & sPq).size.toDouble / sBrute.size
+    val rOpq = (sBrute & sOpq).size.toDouble / sBrute.size
+    assert(rOpq >= rPq + 0.3,
+      s"OPQ must decisively beat raw PQ on the imbalanced corpus: pq=$rPq opq=$rOpq")
   }
 
   test("pqRefineTopK recall beats PQ alone; full-width candidates reproduce brute exactly") {
