@@ -1901,6 +1901,52 @@ object PipelineQueries {
       .orderBy(col("lang"))
   }
 
+  /** Curation → EVAL DECONTAMINATION, composed (round 13) — the one
+    * universal pipeline stage that sat between the curated split and
+    * the packing/mixing compositions without being composed: before a
+    * train split may feed a run, benchmark members AND their n-gram
+    * near-matches must leave it (Brown et al. 2020 appendix-C style
+    * 3-gram decontamination; the standalone operator is
+    * `text_decontaminate`). The learned pipeline's leakage-safe TRAIN
+    * split is audited against the benchmark stand-in (doc_id % 97 = 0,
+    * the `text_decontaminate` convention): per language the sheet a
+    * run reviews before launch — curated train count, benchmark
+    * members that survived curation into train (direct leaks), docs
+    * sharing a word 3-gram with the benchmark (contaminated), the
+    * CLEAN remainder with its token mass and first clean doc. One
+    * composed oracle replays classifier + dedup + recursive CC + split
+    * + the shingle-overlap flags in one statement.
+    *
+    * Scale shape: the shared [[curatedSplitOnce]] prefix + the
+    * contamination join ([[TextAnalysis.contaminationFlags]]: benchmark
+    * sets are constant-sized, their distinct shingles broadcast; the
+    * corpus side is one shingle scan) + a lang-scale sheet agg. The
+    * flags relation is ids-only into the train join.
+    */
+  def pipelineCurateDecontaminated(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val train = curatedSplitOnce(s, dir).filter(col("split") === "train")
+      .select(col("doc_id"), col("lang"), col("tokens"))
+    val flagged = TextAnalysis.contaminationFlags(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", 3)
+      .select(col("doc_id"), lit(1L).as("_flag"))
+    train
+      .withColumn("_bench", (col("doc_id") % 97 === 0).cast("long"))
+      .join(flagged, Seq("doc_id"), "left")
+      .withColumn("_dirty",
+        greatest(col("_bench"), coalesce(col("_flag"), lit(0L))))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_train"),
+        sum(col("_bench")).as("n_bench"),
+        sum(coalesce(col("_flag"), lit(0L))).as("n_contaminated"),
+        sum(lit(1L) - col("_dirty")).as("n_clean"),
+        sum(when(col("_dirty") === 0, col("tokens"))).as("tok_clean"),
+        min(when(col("_dirty") === 0, col("doc_id"))).as("first_clean"))
+      .orderBy(col("lang"))
+  }
+
   /** The INGEST-TIME curation composition (round 13) — the registered
     * BATCH TWIN of the composed streaming pipeline
     * ([[graft.streaming.StreamingCuration]]): the two stages a stream
@@ -2472,6 +2518,7 @@ object PipelineQueries {
     "pipeline_curate_unimax" -> (pipelineCurateUnimax _),
     "pipeline_curate_shuffled" -> (pipelineCurateShuffled _),
     "pipeline_curate_ingest" -> (pipelineCurateIngest _),
+    "pipeline_curate_decontaminated" -> (pipelineCurateDecontaminated _),
     "pipeline_train_manifest" -> (pipelineTrainManifest _),
     "mine_triplets" -> (mineTriplets _),
     "emb_centroid_dist" -> (embCentroidDist _),
@@ -4074,6 +4121,34 @@ object PipelineQueries {
          |SELECT lang, count(*) AS n_docs, min(doc_id) AS first_doc,
          |  CAST(sum(n_chars) AS BIGINT) AS total_chars
          |FROM samp GROUP BY lang ORDER BY lang""".stripMargin,
+    // curation -> decontamination: the curated-split prefix, its TRAIN
+    // half LEFT-joined against the benchmark 3-gram overlap flags (the
+    // text_decontaminate CTE chain over the full corpus), rolled up to
+    // the per-lang launch-review sheet
+    "pipeline_curate_decontaminated" -> (curatedSplitCtes +
+      """,
+        |dtr AS (SELECT spl.doc_id, spl.lang FROM spl
+        |        WHERE ('0x' || substring(md5(CAST(cluster_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80),
+        |dsh AS (SELECT doc_id,
+        |    list_distinct(CASE WHEN len(toks) >= 3
+        |      THEN list_transform(range(1, len(toks) - 1),
+        |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |      ELSE [array_to_string(toks, ' ')] END) AS sh
+        |  FROM t),
+        |dbg AS (SELECT DISTINCT unnest(sh) AS g FROM dsh WHERE doc_id % 97 = 0),
+        |dfl AS (SELECT DISTINCT c.doc_id
+        |  FROM (SELECT doc_id, unnest(sh) AS g FROM dsh WHERE doc_id % 97 <> 0) c
+        |  JOIN dbg ON c.g = dbg.g),
+        |dtk AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS tokens FROM t)
+        |SELECT dtr.lang,
+        |  count(*) AS n_train,
+        |  CAST(sum(CASE WHEN dtr.doc_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bench,
+        |  CAST(sum(CASE WHEN dfl.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+        |  CAST(sum(CASE WHEN dtr.doc_id % 97 <> 0 AND dfl.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+        |  CAST(sum(CASE WHEN dtr.doc_id % 97 <> 0 AND dfl.doc_id IS NULL THEN dtk.tokens END) AS BIGINT) AS tok_clean,
+        |  min(CASE WHEN dtr.doc_id % 97 <> 0 AND dfl.doc_id IS NULL THEN dtr.doc_id END) AS first_clean
+        |FROM dtr JOIN dtk USING (doc_id) LEFT JOIN dfl USING (doc_id)
+        |GROUP BY dtr.lang ORDER BY dtr.lang""".stripMargin),
     // the ingest-twin composition: classifier replay (10 unrolled GD
     // steps) gates the corpus, then the dedup_simhash fingerprint chain
     // runs over the GATED survivors and the first-wins anti join keeps
