@@ -402,7 +402,9 @@ object PipelineQueries {
     * doc count, realized-token sum, and first doc. One oracle statement
     * replays all seven stage families (classifier, dedup, components,
     * split, waterfill, Bernoulli realization, global rank) hash-exactly
-    * — the deepest composition in the registry.
+    * — the registry's deepest composition until round 13's
+    * decontaminated sibling ([[pipelineTrainManifestClean]]) added an
+    * eighth stage family.
     *
     * Scale shape: shared [[curatedSplitOnce]] prefix + one group-scale
     * waterfill + one keyed broadcast back into the checkpointed scan +
@@ -1901,6 +1903,47 @@ object PipelineQueries {
       .orderBy(col("lang"))
   }
 
+  /** The training manifest with DECONTAMINATION composed in (round 13)
+    * — [[pipelineTrainManifest]] with the one stage a careful launch
+    * adds between the curated split and the repetition plan: benchmark
+    * members (doc_id % 97 = 0) and their 3-gram overlap matches leave
+    * the inventory BEFORE the UniMax waterfill, so the epochs-per-
+    * language allocation is computed over the CLEAN corpus — the order
+    * a real run applies (allocating on a dirty inventory and then
+    * dropping flagged docs would under-realize every contaminated
+    * language). Eight stage families in one oracle statement
+    * (classifier, dedup, recursive CC, split, decontamination,
+    * waterfill, md5-Bernoulli realization, global rank) — now the
+    * deepest composition in the registry.
+    *
+    * Scale shape: the shared [[curatedSplitOnce]] prefix + the
+    * broadcast-bench contamination join (ids-only into the train scan)
+    * + the group-scale waterfill + the two-level bucketed rank — the
+    * manifest's own shape plus one keyed ids-only anti join.
+    */
+  def pipelineTrainManifestClean(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val flagged = TextAnalysis.contaminationFlags(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", 3)
+      .select(col("doc_id"))
+    val train = curatedSplitOnce(s, dir).filter(col("split") === "train")
+      .filter(col("doc_id") % 97 =!= 0)
+      .join(flagged, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("tokens"))
+    val realized = Sampling.unimaxRealize(train, "doc_id", "lang", "tokens",
+        maxEpochs = 4, budgetPerTotal = 3)
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), (col("tokens") * col("n_copies")).as("w_tokens"))
+    Packing.shardByTokenBalance(realized, "doc_id", "w_tokens", nShards = 8)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("w_tokens")).as("tok_realized"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy(col("shard"))
+  }
+
   /** Curation → EVAL DECONTAMINATION, composed (round 13) — the one
     * universal pipeline stage that sat between the curated split and
     * the packing/mixing compositions without being composed: before a
@@ -2520,6 +2563,7 @@ object PipelineQueries {
     "pipeline_curate_ingest" -> (pipelineCurateIngest _),
     "pipeline_curate_decontaminated" -> (pipelineCurateDecontaminated _),
     "pipeline_train_manifest" -> (pipelineTrainManifest _),
+    "pipeline_train_manifest_clean" -> (pipelineTrainManifestClean _),
     "mine_triplets" -> (mineTriplets _),
     "emb_centroid_dist" -> (embCentroidDist _),
     "emb_kcenter" -> (embKcenter _),
@@ -3094,20 +3138,19 @@ object PipelineQueries {
       |FROM k2 JOIN r2 ON k2.lang = r2.lang
       |GROUP BY k2.lang ORDER BY k2.lang""".stripMargin
 
-  /** The curated-split prefix extended through the UniMax waterfill +
-    * realization, ending at `umrz` (doc_id, lang, tokens, n_copies per
-    * curated TRAIN doc) — shared by the `pipeline_curate_unimax` oracle
-    * and the end-to-end training-manifest oracle. The capped decision
-    * is all-integer and the two doubles (alloc, epochs) are single
-    * correctly-rounded IEEE divisions, so the realized copy counts
-    * replay bit-exactly.
+  /** The waterfill + realization chain over a CTE named `umtk`
+    * (doc_id, lang, tokens), ending at `umrz` (doc_id, lang, tokens,
+    * n_copies) — shared VERBATIM by the curated-train input
+    * ([[curatedUnimaxCtes]], feeding the `pipeline_curate_unimax` and
+    * training-manifest oracles) and the DECONTAMINATED input
+    * ([[curatedCleanUnimaxCtes]]): allocation is a function of the
+    * inventory it is given, so the two compositions differ only in how
+    * `umtk` is built. The capped decision is all-integer and the two
+    * doubles (alloc, epochs) are single correctly-rounded IEEE
+    * divisions, so the realized copy counts replay bit-exactly.
     */
-  private lazy val curatedUnimaxCtes: String = curatedSplitCtes +
+  private lazy val unimaxChainSql: String =
     """,
-      |umtr AS (SELECT doc_id, lang FROM spl
-      |        WHERE ('0x' || substring(md5(CAST(cluster_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80),
-      |umtk AS (SELECT t.doc_id, umtr.lang, CAST(len(t.toks) AS BIGINT) AS tokens
-      |        FROM t JOIN umtr USING (doc_id)),
       |umg AS (SELECT lang, CAST(sum(tokens) AS BIGINT) AS n_tokens FROM umtk GROUP BY lang),
       |ums AS (SELECT CAST(3 * sum(n_tokens) AS BIGINT) AS budget, count(*) AS nl FROM umg),
       |umw AS (SELECT lang, n_tokens, n_tokens * 4 AS cap,
@@ -3131,6 +3174,41 @@ object PipelineQueries {
       |          THEN 1 ELSE 0 END AS BIGINT) AS n_copies
       |      FROM umtk JOIN uma ON umtk.lang = uma.lang)""".stripMargin
 
+  private lazy val curatedUnimaxCtes: String = curatedSplitCtes +
+    """,
+      |umtr AS (SELECT doc_id, lang FROM spl
+      |        WHERE ('0x' || substring(md5(CAST(cluster_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80),
+      |umtk AS (SELECT t.doc_id, umtr.lang, CAST(len(t.toks) AS BIGINT) AS tokens
+      |        FROM t JOIN umtr USING (doc_id))""".stripMargin +
+    unimaxChainSql
+
+  /** The curated-split prefix with the DECONTAMINATION stage between the
+    * train split and the waterfill: benchmark members (doc_id % 97 = 0)
+    * and their 3-gram overlap matches leave the inventory BEFORE
+    * allocation, so the epochs-per-language plan is computed over the
+    * clean corpus — the order a real run applies (allocating on a dirty
+    * inventory and then removing flagged docs would under-realize every
+    * contaminated language).
+    */
+  private lazy val curatedCleanUnimaxCtes: String = curatedSplitCtes +
+    """,
+      |umtr AS (SELECT doc_id, lang FROM spl
+      |        WHERE ('0x' || substring(md5(CAST(cluster_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80),
+      |dsh AS (SELECT doc_id,
+      |    list_distinct(CASE WHEN len(toks) >= 3
+      |      THEN list_transform(range(1, len(toks) - 1),
+      |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      |      ELSE [array_to_string(toks, ' ')] END) AS sh
+      |  FROM t),
+      |dbg AS (SELECT DISTINCT unnest(sh) AS g FROM dsh WHERE doc_id % 97 = 0),
+      |dfl AS (SELECT DISTINCT c.doc_id
+      |  FROM (SELECT doc_id, unnest(sh) AS g FROM dsh WHERE doc_id % 97 <> 0) c
+      |  JOIN dbg ON c.g = dbg.g),
+      |umtk AS (SELECT t.doc_id, umtr.lang, CAST(len(t.toks) AS BIGINT) AS tokens
+      |        FROM t JOIN umtr USING (doc_id) LEFT JOIN dfl USING (doc_id)
+      |        WHERE t.doc_id % 97 <> 0 AND dfl.doc_id IS NULL)""".stripMargin +
+    unimaxChainSql
+
   private lazy val pipelineCurateUnimaxSql: String = curatedUnimaxCtes +
     """
       |SELECT lang, count(*) AS n_docs, CAST(sum(tokens) AS BIGINT) AS tok_unique,
@@ -3140,13 +3218,16 @@ object PipelineQueries {
       |FROM umrz GROUP BY lang ORDER BY lang""".stripMargin
 
   /** The END-TO-END training-manifest oracle: curated split → UniMax
-    * realization → realized-token-balanced LPT packing, one statement —
-    * the deepest composition in the registry (quality gate, exact
-    * dedup, recursive-CTE components, cluster-keyed split, all-integer
-    * waterfill, md5-Bernoulli realization, and the global rank deal,
-    * all hash-agreeing end to end).
+    * realization → realized-token-balanced LPT packing, one statement
+    * (quality gate, exact dedup, recursive-CTE components,
+    * cluster-keyed split, all-integer waterfill, md5-Bernoulli
+    * realization, and the global rank deal, all hash-agreeing end to
+    * end).
     */
-  private lazy val pipelineTrainManifestSql: String = curatedUnimaxCtes +
+  /** Realized-weight LPT deal + per-shard sheet over `umrz` — shared by
+    * the train-manifest oracle and its decontaminated sibling.
+    */
+  private lazy val manifestTailSql: String =
     """,
       |mfw AS (SELECT doc_id, tokens * n_copies AS w_tokens
       |        FROM umrz WHERE n_copies > 0),
@@ -3155,6 +3236,18 @@ object PipelineQueries {
       |SELECT CAST((rnk - 1) % 8 AS BIGINT) AS shard, count(*) AS n_docs,
       |  CAST(sum(w_tokens) AS BIGINT) AS tok_realized, min(doc_id) AS first_doc
       |FROM mfr GROUP BY 1 ORDER BY shard""".stripMargin
+
+  private lazy val pipelineTrainManifestSql: String =
+    curatedUnimaxCtes + manifestTailSql
+
+  /** The manifest with the decontamination stage composed in — EIGHT
+    * stage families in one oracle statement (classifier, dedup,
+    * recursive CC, split, 3-gram decontamination, waterfill,
+    * realization, global rank), now the deepest composition in the
+    * registry.
+    */
+  private lazy val pipelineTrainManifestCleanSql: String =
+    curatedCleanUnimaxCtes + manifestTailSql
 
   /** The k-center oracle: 7 unrolled argmax rounds, each the min of the
     * 6 dp Euclidean distances to every prior 1-row selection CTE,
@@ -4191,6 +4284,7 @@ object PipelineQueries {
     "pipeline_curate_rebalanced" -> pipelineCurateRebalancedSql,
     "pipeline_curate_unimax" -> pipelineCurateUnimaxSql,
     "pipeline_train_manifest" -> pipelineTrainManifestSql,
+    "pipeline_train_manifest_clean" -> pipelineTrainManifestCleanSql,
     // the curated train split dealt by the sample_shuffle md5-rank CTEs;
     // the head_doc column pins the within-shard rank, not just buckets
     "pipeline_curate_shuffled" -> (curatedSplitCtes +
