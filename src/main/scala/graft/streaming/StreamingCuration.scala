@@ -60,4 +60,55 @@ object StreamingCuration {
       .as[NearDupDoc]
     StreamingNearDedup.nearDedup(gated, graceMs, retainMs, maxDist)
   }
+
+  /** [[curate]] with the DECONTAMINATION stage between the gate and the
+    * dedup — the full ingest-time trio (gate → decontaminate →
+    * near-dedup) in one streaming query: documents sharing any word
+    * `n`-gram with the benchmark shingle set are dropped BEFORE they
+    * cost dedup state, exactly where a production stream rejects
+    * eval-contaminated crawl data. The stage is STATELESS like the
+    * gate: `benchShingles` rides the plan as a broadcast literal
+    * (benchmark sets are constant-sized — the
+    * [[graft.operators.TextAnalysis.contaminationFlags]] scale
+    * contract) and the check is one codegen `arrays_overlap` against
+    * the same [[graft.functions.Text.shinglesOfTokens]] expression the
+    * batch operator shingles with, so streamed and batch drop
+    * decisions agree exactly ([[StreamingCurationSpec]] pins the
+    * composed trio equal to the batch composition on out-of-order
+    * input). Collect the set once per model/bench release via
+    * [[benchShingleSet]] — never per batch.
+    */
+  def curateDecontaminated(docs: DataFrame, w: Array[Double],
+      benchShingles: Seq[String], graceMs: Long, retainMs: Long,
+      n: Int = 3, maxDist: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val gated = StreamingQuality.gate(docs, "text", w)
+      .filter(!arrays_overlap(
+        graft.functions.Text.shingles(col("text"), n),
+        typedlit(benchShingles)))
+      .select(col("doc_id").cast("long"), col("text"), col("ts").cast("long"))
+      .as[NearDupDoc]
+    StreamingNearDedup.nearDedup(gated, graceMs, retainMs, maxDist)
+  }
+
+  /** The benchmark's distinct shingle set, collected to driver state for
+    * [[curateDecontaminated]]'s broadcast-literal filter. Eval suites
+    * are tiny constants next to the stream, but guard the contract
+    * anyway: the collect is capped so a mis-pointed "benchmark" (e.g.
+    * the corpus itself) fails loudly instead of OOMing the driver.
+    */
+  def benchShingleSet(benchmark: DataFrame, textCol: String, n: Int = 3,
+      maxShingles: Int = 1000000): Seq[String] = {
+    val spark = benchmark.sparkSession
+    import spark.implicits._
+    val sh = benchmark
+      .select(explode(graft.functions.Text.shingles(col(textCol), n)).as("_sh"))
+      .distinct().limit(maxShingles + 1)
+      .as[String].collect()
+    require(sh.length <= maxShingles,
+      s"benchmark shingle set exceeds $maxShingles — this is not an eval " +
+        "suite; decontaminate in batch instead")
+    sh.toSeq
+  }
 }

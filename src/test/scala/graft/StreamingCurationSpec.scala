@@ -112,4 +112,83 @@ class StreamingCurationSpec extends SparkTestBase {
       case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("full ingest trio (gate -> decontaminate -> near-dedup) equals the batch composition", Slow) {
+    import graft.operators.{Dedup, TextAnalysis}
+    val docs = Tables.documents(spark, Dir)
+    val st = TextAnalysis.stats(docs, "doc_id", "text")
+    val feats = st.select(col("doc_id"),
+      array(lit(1.0), col("punct_ratio"), col("stop_ratio"),
+        least(col("n_tokens") / 100.0, lit(1.0)),
+        col("mean_tok_len") / 10.0).as("x"),
+      when(col("quality") >= 0.8, 1.0).otherwise(0.0).as("y"))
+    val w = LogReg.train(feats, "x", "y", dim = 5, iters = 10, lr = 5.0)
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val shingleSet = StreamingCuration.benchShingleSet(bench, "text")
+    assert(shingleSet.nonEmpty)
+
+    // batch composition: gate -> drop docs sharing a 3-gram with the
+    // benchmark (bench members flag themselves: every doc overlaps its
+    // own shingles) -> SimHash first-wins keep among the survivors
+    val gated = StreamingQuality.gate(docs, "text", w)
+    val flaggedIds = TextAnalysis.contaminationFlags(gated, bench,
+      "doc_id", "text", 3).select(col("doc_id"))
+    val clean = gated.join(flaggedIds, Seq("doc_id"), "left_anti")
+    val dupIds = Dedup.simhashPairs(clean, "doc_id", "text")
+      .select(col("doc_b").as("doc_id")).distinct()
+    val batchKept = clean.join(dupIds, Seq("doc_id"), "left_anti")
+      .select(col("doc_id")).as[Long].collect().toSet
+    val cleanIds = clean.select(col("doc_id")).as[Long].collect().toSet
+    assert(batchKept.nonEmpty && cleanIds.size <
+      gated.count(), "decontamination must actually drop docs")
+
+    val rows = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+      .map { case (id, t) => (id, t, Base + id) }
+    val shuffled = new scala.util.Random(29).shuffle(rows.toSeq)
+    val maxTs = rows.map(_._3).max
+    val sentinels = Seq.tabulate(3) { i =>
+      val text = (1 to 120).map(j => s"wvqk${i}z$j").mkString(" ")
+      (900000L + i, text, maxTs + (i + 1) * (Grace + 60000L))
+    }
+    // sentinels must survive BOTH stateless stages to march the watermark
+    val sdf = sentinels.toDF("doc_id", "text", "ts")
+    val sentinelSurvive = StreamingQuality.gate(sdf, "text", w)
+      .filter(!arrays_overlap(graft.functions.Text.shingles(col("text"), 3),
+        typedlit(shingleSet)))
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(sentinelSurvive == sentinels.map(_._1).toSet,
+      "sentinels must pass the gate AND the decontamination filter")
+
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[(Long, String, Long)]
+      val q = StreamingCuration.curateDecontaminated(
+          input.toDF().toDF("doc_id", "text", "ts"), w, shingleSet, Grace,
+          retainMs = 86400000L)
+        .writeStream.format("memory").queryName("stream_curation_trio")
+        .outputMode(OutputMode.Append).start()
+      try {
+        (Seq(shuffled) ++ sentinels.map(Seq(_))).foreach { b =>
+          input.addData(b); q.processAllAvailable()
+        }
+        q.processAllAvailable()
+        val verdicts = spark.table("stream_curation_trio")
+          .select(col("doc_id"), col("keep"))
+          .as[(Long, Boolean)].collect().filter(_._1 < 900000L)
+        assert(verdicts.map(_._1).toSet == cleanIds,
+          "verdict set must be exactly the gate+decontamination survivors")
+        val streamedKept = verdicts.filter(_._2).map(_._1).toSet
+        assert(streamedKept == batchKept,
+          s"stream-only: ${(streamedKept -- batchKept).take(5)}, " +
+            s"batch-only: ${(batchKept -- streamedKept).take(5)}")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
