@@ -261,6 +261,56 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Preference-PAIR mining for reward-model / DPO-style training
+    * (round 13): a near-dup cluster is a family of variants of the same
+    * underlying content, and the trained quality classifier ranks the
+    * variants — so every multi-doc cluster yields one (chosen, rejected)
+    * pair: the highest-scoring member vs the lowest-scoring one, kept
+    * only when the 6 dp score margin is strictly positive (an
+    * equal-score family carries no preference signal). Ties break on
+    * doc_id in BOTH extremes, so the pair set is deterministic and the
+    * oracle replays it exactly (classifier 10-step GD unroll + the
+    * recursive-CTE components + the same two ranking windows).
+    *
+    * Scale shape: cluster membership is served from the
+    * [[fullClustersOnce]] stage boundary (banded LSH candidates → star
+    * contraction, paid once per session — never all-pairs); scores are
+    * one lazy codegen projection over the shared feature frame (the
+    * session model registry); the chooser is a pair of
+    * cluster-partitioned `row_number` windows over the (doc_id,
+    * cluster_id, score) relation — cluster-scale partitions,
+    * corpus-wide hash-distributed, text bodies never move.
+    */
+  def minePreferencePairs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = qualityTrajectoryOnce(s, dir).last
+    val scored = qualityTrainingFrame(s, dir)
+      .select(col("doc_id"), LogReg.probability(col("x"), w).as("score"))
+    val members = fullClustersOnce(s, dir).join(scored, "doc_id")
+    val hi = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val lo = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("score").asc, col("doc_id"))
+    members
+      .withColumn("rhi", row_number().over(hi))
+      .withColumn("rlo", row_number().over(lo))
+      .groupBy(col("cluster_id"))
+      .agg(
+        max(when(col("rhi") === 1, col("doc_id"))).as("chosen"),
+        max(when(col("rhi") === 1, col("score"))).as("chosen_score"),
+        max(when(col("rlo") === 1, col("doc_id"))).as("rejected"),
+        max(when(col("rlo") === 1, col("score"))).as("rejected_score"),
+        count(lit(1)).as("n_variants"))
+      .filter(col("n_variants") >= 2)
+      .withColumn("margin",
+        round(col("chosen_score") - col("rejected_score"), 6))
+      .filter(col("margin") > 0)
+      .select(col("cluster_id"), col("chosen"), col("chosen_score"),
+        col("rejected"), col("rejected_score"), col("n_variants"),
+        col("margin"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** Per-vector distance to its group centroid (round 12) — the
     * embedding-space data-quality audit: a vector far from its group's
     * centroid is a mislabeling / noise candidate (the embedding analog
@@ -391,6 +441,50 @@ object PipelineQueries {
         col("n_kept").cast("double") / col("_total").cast("double"))
       .select(col("thr"), col("n_kept"), col("frac_kept"), col("mean_kept_score"))
       .orderBy(col("thr"))
+  }
+
+  /** Curriculum schedule over the curated TRAIN split (round 13) — the
+    * easy-to-hard phase plan a curriculum-training launch consumes
+    * (Bengio et al. 2009, "Curriculum Learning"): TRAIN docs banded
+    * into four fixed difficulty phases by the trained classifier's 6 dp
+    * score. Every curated doc passed the gate (score ≥ 0.5), so the
+    * bands tile the PASSING range: phase 0 = [0.5, 0.6), …, phase 3 =
+    * [0.8, 1] — least(floor((score − 0.5)·10), 3) — trained
+    * easiest-first, `train_order` = 3 − phase. Fixed score BANDS rather
+    * than rank quantiles keep the assignment scale-free (no corpus-wide
+    * rank or ntile window to pay at 100 TB; both engines evaluate the
+    * same IEEE band expression, so boundary docs land identically and
+    * the sheet stays hash-exact); per phase the
+    * sheet reports doc count, token mass, DECIMAL-exact mean score, and
+    * the md5-shuffle head doc — the dataloader's within-phase order is
+    * the `pipeline_curate_shuffled` md5 convention, and pinning each
+    * phase's head into the oracle proves the order key without
+    * materializing the full permutation.
+    *
+    * Scale shape: shared [[curatedSplitOnce]] prefix + one lazy score
+    * projection into a 4-group hash agg (`min_by`, no window);
+    * everything after the scan is group-scale.
+    */
+  def pipelineCurateCurriculum(s: SparkSession, dir: String): DataFrame = {
+    val train = curatedSplitOnce(s, dir).filter(col("split") === "train")
+    val score = LogReg.probability(col("x"), qualityTrajectoryOnce(s, dir).last)
+    val scored = qualityTrainingFrame(s, dir)
+      .select(col("doc_id"), score.as("score"))
+    train.join(scored, "doc_id")
+      .withColumn("phase",
+        least(floor((col("score") - 0.5) * 10), lit(3L)).cast("long"))
+      .withColumn("_mk", md5(col("doc_id").cast("string")))
+      .groupBy(col("phase"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("tokens")).as("tok_sum"),
+        (sum(col("score").cast("decimal(30,15)")).cast("double") /
+          count(lit(1))).as("mean_score"),
+        min_by(col("doc_id"), col("_mk")).as("head_doc"))
+      .withColumn("train_order", (lit(3L) - col("phase")).cast("long"))
+      .select(col("phase"), col("train_order"), col("n_docs"),
+        col("tok_sum"), col("mean_score"), col("head_doc"))
+      .orderBy(col("phase"))
   }
 
   /** The END-TO-END TRAINING MANIFEST (round 12) — the single artifact
@@ -1456,13 +1550,9 @@ object PipelineQueries {
     * cluster id, so the work is one parallel per-cluster sort over the
     * (long, long) membership relation; the text bodies never move.
     */
-  def minePositivePairs(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, Tau, ordered = false)
-    Dedup.positivePairs(
-        Dedup.clusterIdsStar(docs, "doc_id", pairs), "doc_id", "cluster_id")
+  def minePositivePairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.positivePairs(fullClustersOnce(s, dir), "doc_id", "cluster_id")
       .orderBy(col("anchor"))
-  }
 
   /** Same component structure via the O(log n) star-contraction variant
     * ([[Dedup.clusterIdsStar]]) — registered as its own query so the
@@ -1474,6 +1564,36 @@ object PipelineQueries {
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, Tau, ordered = false)
     Dedup.clusterIdsStar(docs, "doc_id", pairs)
       .orderBy(col("doc_id"))
+  }
+
+  private val fullClustersCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** FULL-corpus near-dup components (the `dedup_clusters_star`
+    * relation, doc_id → cluster_id) computed ONCE per (JVM, sfDir) and
+    * persisted to the model registry as a parquet stage boundary — the
+    * [[curatedSplitOnce]] discipline applied to the ungated cluster
+    * graph. The operator queries (`dedup_clusters`,
+    * `dedup_clusters_star`) stay honest — they re-run the contraction
+    * every invocation, the `annLegOnce`/`text_bpe_train` rule — while
+    * CONSUMERS of the membership relation (`mine_positive_pairs`,
+    * `mine_preference_pairs`) serve from this boundary instead of
+    * re-paying LSH banding + star contraction per call. Parquet rather
+    * than `localCheckpoint` keeps serving plans session-independent
+    * (the LogicalRDD/ReuseExchange determinism trap documented at
+    * [[curatedSplitOnce]]).
+    */
+  private def fullClustersOnce(s: SparkSession, dir: String): DataFrame = {
+    val path = fullClustersCache.computeIfAbsent(dir, _ => {
+      val docs = Tables.documents(s, dir)
+      val pairs =
+        Dedup.minhashLshPairs(docs, "doc_id", "text", 3, Tau, ordered = false)
+      val out = registryPath(dir, "full_clusters")
+      Dedup.clusterIdsStar(docs, "doc_id", pairs)
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+    s.read.parquet(path)
   }
 
   /** Top-3 salient terms per document (tf × N / df, exact-arithmetic
@@ -2041,6 +2161,87 @@ object PipelineQueries {
     gated.join(dupIds, Seq("doc_id"), "left_anti")
   }
 
+  private val incrBaseCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The CURATED BASE corpus the daily increment is admitted against —
+    * base docs (`doc_id % 10 != 0`, the `dedup_incremental` increment
+    * convention) through the trained gate, then exact first-wins dedup,
+    * then near first-wins dedup (banded LSH candidates, exact verify).
+    * Computed ONCE per (JVM, sfDir) and persisted to the registry as a
+    * parquet stage boundary, because that IS the operational object: in
+    * production yesterday's curated corpus is persisted state that
+    * today's increment run READS, never recomputes (at 100 TB the
+    * boundary would persist minhash/shingle fingerprints next to the
+    * ids rather than raw text — the admission joins below only need
+    * fingerprints; text is kept here because the corpus is test-sized
+    * and the DuckDB oracle replays from text).
+    */
+  private def incrementBaseOnce(s: SparkSession, dir: String): DataFrame = {
+    val path = incrBaseCache.computeIfAbsent(dir, _ => {
+      val w = qualityTrajectoryOnce(s, dir).last
+      val passIds = qualityTrainingFrame(s, dir)
+        .filter(LogReg.probability(col("x"), w) >= 0.5)
+        .select(col("doc_id"))
+      val gatedBase = Tables.documents(s, dir)
+        .filter(col("doc_id") % 10 =!= 0)
+        .join(passIds, Seq("doc_id"), "left_semi")
+      val kept = Dedup.nearDedupKeepFirst(
+        Dedup.exactByHash(gatedBase, "text", "doc_id"),
+        "doc_id", "text", 3, Tau)
+      val out = registryPath(dir, "incr_base")
+      kept.select(col("doc_id"), col("text")).write.mode("overwrite").parquet(out)
+      out
+    })
+    s.read.parquet(path)
+  }
+
+  /** INCREMENTAL curation (round 13) — the daily-ops admission run: the
+    * increment (`doc_id % 10 == 0`, the `dedup_incremental` convention)
+    * is curated AGAINST the persisted curated base
+    * ([[incrementBaseOnce]]) without reprocessing the base. An
+    * increment doc is admitted iff it (a) passes the trained quality
+    * gate, (b) has no exact twin in the kept base, and (c) has no near
+    * twin (word-3-gram Jaccard ≥ [[Tau]]) in the kept base —
+    * increment-internal duplicates are deliberately kept, the
+    * increment semantics `dedup_incremental` established (they dedup
+    * against each other when they become base). Output is the
+    * per-language admission sheet a crawl-ops review reads: arrivals,
+    * gate survivors, admitted count + char mass, first admitted id.
+    *
+    * Scale shape: the base is READ, not recomputed (the stage-boundary
+    * contract above — this query's marginal cost is the increment-sized
+    * work, which is the whole point of incremental curation at 100 TB);
+    * admission is [[Dedup.nearDedupIncremental]]'s banded-LSH candidate
+    * join with the increment side broadcast and an ids-only loser list
+    * broadcast back (never shuffles increment text); the gate is one
+    * codegen projection; the accounting is two ids-only left joins into
+    * a lang-scale agg.
+    */
+  def pipelineCurateIncremental(s: SparkSession, dir: String): DataFrame = {
+    val w = qualityTrajectoryOnce(s, dir).last
+    val passIds = qualityTrainingFrame(s, dir)
+      .filter(LogReg.probability(col("x"), w) >= 0.5)
+      .select(col("doc_id"))
+    val incr = Tables.documents(s, dir).filter(col("doc_id") % 10 === 0)
+    val gatedIncr = incr.join(passIds, Seq("doc_id"), "left_semi")
+    val admitted = Dedup.nearDedupIncremental(
+      incrementBaseOnce(s, dir), gatedIncr, "doc_id", "text", 3, Tau)
+    incr
+      .join(passIds.withColumn("_gate", lit(1L)), Seq("doc_id"), "left")
+      .join(admitted.select(col("doc_id")).withColumn("_adm", lit(1L)),
+        Seq("doc_id"), "left")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_new"),
+        sum(coalesce(col("_gate"), lit(0L))).as("n_gated"),
+        sum(coalesce(col("_adm"), lit(0L))).as("n_admitted"),
+        sum(when(col("_adm") === 1, col("n_chars")).otherwise(lit(0L)))
+          .cast("long").as("chars_admitted"),
+        min(when(col("_adm") === 1, col("doc_id"))).as("first_admitted"))
+      .orderBy(col("lang"))
+  }
+
   /** Span-level duplication fraction per document (word 3-grams occurring
     * in ≥ 2 documents — [[TextAnalysis.dupSpans]]).
     */
@@ -2561,10 +2762,13 @@ object PipelineQueries {
     "pipeline_curate_unimax" -> (pipelineCurateUnimax _),
     "pipeline_curate_shuffled" -> (pipelineCurateShuffled _),
     "pipeline_curate_ingest" -> (pipelineCurateIngest _),
+    "pipeline_curate_incremental" -> (pipelineCurateIncremental _),
+    "pipeline_curate_curriculum" -> (pipelineCurateCurriculum _),
     "pipeline_curate_decontaminated" -> (pipelineCurateDecontaminated _),
     "pipeline_train_manifest" -> (pipelineTrainManifest _),
     "pipeline_train_manifest_clean" -> (pipelineTrainManifestClean _),
     "mine_triplets" -> (mineTriplets _),
+    "mine_preference_pairs" -> (minePreferencePairs _),
     "emb_centroid_dist" -> (embCentroidDist _),
     "emb_kcenter" -> (embKcenter _),
     "sample_doremi" -> (sampleDoremi _),
@@ -4279,6 +4483,84 @@ object PipelineQueries {
         |  CAST(sum(g.n_chars) AS BIGINT) AS total_chars
         |FROM g ANTI JOIN gdup USING (doc_id)
         |GROUP BY g.lang ORDER BY g.lang""".stripMargin),
+    // classifier replay gates BOTH sides; base chain = exact first-wins
+    // then near first-wins (the dedup_near_keep shape) over base docs;
+    // increment admission = no exact AND no near twin in the kept base
+    // (increment-internal dups kept — the dedup_incremental convention)
+    "pipeline_curate_incremental" -> (logRegCtes +
+      s"""
+         |sc AS (SELECT f.doc_id,
+         |    round(1.0 / (1.0 + exp(-round(list_sum(list_transform(range(1, 6),
+         |      j -> f.x[j] * w.w[j])), 6))), 6) AS score
+         |  FROM f CROSS JOIN w10 w),
+         |gid AS (SELECT doc_id FROM sc WHERE score >= 0.5e0),
+         |gb AS (SELECT d.* FROM documents d JOIN gid USING (doc_id)
+         |       WHERE d.doc_id % 10 != 0),
+         |kx AS MATERIALIZED (SELECT * FROM (
+         |  SELECT gb.*, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |  FROM gb) WHERE rn = 1),
+         |shx AS MATERIALIZED (
+         |  SELECT t.doc_id,
+         |    list_distinct(CASE WHEN len(toks) >= 3
+         |      THEN list_transform(range(1, len(toks) - 1),
+         |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         |      ELSE [array_to_string(toks, ' ')] END) AS sh
+         |  FROM t JOIN kx USING (doc_id)),
+         |bl AS (SELECT DISTINCT b.doc_id FROM shx a, shx b
+         |  WHERE a.doc_id < b.doc_id AND
+         |    round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+         |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) >= $Tau),
+         |kb AS MATERIALIZED (SELECT kx.doc_id, kx.text FROM kx
+         |  WHERE kx.doc_id NOT IN (SELECT doc_id FROM bl)),
+         |gi AS MATERIALIZED (SELECT d.* FROM documents d JOIN gid USING (doc_id)
+         |  WHERE d.doc_id % 10 = 0),
+         |iex AS (SELECT DISTINCT gi.doc_id FROM gi
+         |  JOIN kb ON md5(gi.text) = md5(kb.text)),
+         |shkb AS (SELECT shx.* FROM shx JOIN kb USING (doc_id)),
+         |shi AS MATERIALIZED (
+         |  SELECT t.doc_id,
+         |    list_distinct(CASE WHEN len(toks) >= 3
+         |      THEN list_transform(range(1, len(toks) - 1),
+         |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         |      ELSE [array_to_string(toks, ' ')] END) AS sh
+         |  FROM t JOIN gi USING (doc_id)),
+         |inear AS (SELECT DISTINCT b.doc_id FROM shkb a, shi b
+         |  WHERE round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+         |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) >= $Tau),
+         |adm AS (SELECT doc_id FROM gi
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM iex)
+         |    AND doc_id NOT IN (SELECT doc_id FROM inear))
+         |SELECT d.lang,
+         |  CAST(count(*) AS BIGINT) AS n_new,
+         |  CAST(count(g2.doc_id) AS BIGINT) AS n_gated,
+         |  CAST(count(a2.doc_id) AS BIGINT) AS n_admitted,
+         |  CAST(coalesce(sum(CASE WHEN a2.doc_id IS NOT NULL THEN d.n_chars END), 0)
+         |    AS BIGINT) AS chars_admitted,
+         |  min(CASE WHEN a2.doc_id IS NOT NULL THEN d.doc_id END) AS first_admitted
+         |FROM documents d
+         |LEFT JOIN gid g2 ON g2.doc_id = d.doc_id
+         |LEFT JOIN adm a2 ON a2.doc_id = d.doc_id
+         |WHERE d.doc_id % 10 = 0
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin),
+    // curated-split prefix + fixed score bands over the gate-passing
+    // range (least(floor((score-0.5)*10),3)); per-phase DECIMAL-exact
+    // mean + md5-order head doc via min_by
+    "pipeline_curate_curriculum" -> (curatedSplitCtes +
+      """,
+        |ctr AS (SELECT doc_id FROM spl
+        |  WHERE ('0x' || substring(md5(CAST(cluster_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80),
+        |ctk AS (SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS tokens
+        |  FROM t JOIN ctr USING (doc_id)),
+        |csc AS (SELECT ctk.doc_id, ctk.tokens, sc.score,
+        |    CAST(least(floor((sc.score - 0.5e0) * 10), 3) AS BIGINT) AS phase,
+        |    md5(CAST(ctk.doc_id AS VARCHAR)) AS mk
+        |  FROM ctk JOIN sc USING (doc_id))
+        |SELECT phase, CAST(3 - phase AS BIGINT) AS train_order,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(tokens) AS BIGINT) AS tok_sum,
+        |  CAST(sum(CAST(score AS DECIMAL(30,15))) AS DOUBLE) / count(*) AS mean_score,
+        |  min_by(doc_id, mk) AS head_doc
+        |FROM csc GROUP BY phase ORDER BY phase""".stripMargin),
     "pipeline_curate_learned" -> pipelineCurateLearnedSql,
     "pipeline_curate_packed" -> pipelineCuratePackedSql,
     "pipeline_curate_rebalanced" -> pipelineCurateRebalancedSql,
@@ -4329,6 +4611,56 @@ object PipelineQueries {
          |FROM pos p JOIN neg n ON p.query_id = n.query_id AND p.rnk = n.rnk
          |WHERE p.rnk <= $AnnK
          |ORDER BY p.query_id, rank""".stripMargin,
+    // classifier replay (w10) scores every doc; full-corpus recursive-CTE
+    // components (the dedup_clusters labels); per-cluster argmax/argmin
+    // via the same two deterministic windows the engine runs
+    "mine_preference_pairs" ->
+      (logRegCtes.replace("WITH t AS", "WITH RECURSIVE t AS") +
+        s"""
+           |sc AS (SELECT f.doc_id,
+           |    round(1.0 / (1.0 + exp(-round(list_sum(list_transform(range(1, 6),
+           |      j -> f.x[j] * w.w[j])), 6))), 6) AS score
+           |  FROM f CROSS JOIN w10 w),
+           |shp AS MATERIALIZED (
+           |  SELECT doc_id,
+           |    list_distinct(CASE WHEN len(toks) >= 3
+           |      THEN list_transform(range(1, len(toks) - 1),
+           |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+           |      ELSE [array_to_string(toks, ' ')] END) AS sh
+           |  FROM t),
+           |pp AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM shp a, shp b WHERE a.doc_id < b.doc_id AND
+           |    round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+           |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) >= $Tau),
+           |ee AS (SELECT doc_a AS src, doc_b AS dst FROM pp
+           |      UNION ALL SELECT doc_b, doc_a FROM pp),
+           |reach(src, dst) AS (
+           |  SELECT src, dst FROM ee
+           |  UNION
+           |  SELECT r.src, e2.dst FROM reach r JOIN ee e2 ON r.dst = e2.src),
+           |lab AS (
+           |  SELECT d.doc_id,
+           |    least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS cluster_id
+           |  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+           |  GROUP BY d.doc_id),
+           |rk AS (SELECT lab.cluster_id, lab.doc_id, sc.score,
+           |    row_number() OVER (PARTITION BY lab.cluster_id
+           |      ORDER BY sc.score DESC, lab.doc_id) AS rhi,
+           |    row_number() OVER (PARTITION BY lab.cluster_id
+           |      ORDER BY sc.score ASC, lab.doc_id) AS rlo
+           |  FROM lab JOIN sc USING (doc_id)),
+           |ag AS (SELECT cluster_id,
+           |    max(doc_id) FILTER (WHERE rhi = 1) AS chosen,
+           |    max(score) FILTER (WHERE rhi = 1) AS chosen_score,
+           |    max(doc_id) FILTER (WHERE rlo = 1) AS rejected,
+           |    max(score) FILTER (WHERE rlo = 1) AS rejected_score,
+           |    CAST(count(*) AS BIGINT) AS n_variants
+           |  FROM rk GROUP BY cluster_id HAVING count(*) >= 2)
+           |SELECT cluster_id, chosen, chosen_score, rejected, rejected_score,
+           |  n_variants, round(chosen_score - rejected_score, 6) AS margin
+           |FROM ag WHERE round(chosen_score - rejected_score, 6) > 0
+           |ORDER BY cluster_id""".stripMargin),
     // centroids are the emb_centroids relation (4 dp absorbs summation
     // order); the distance fold is the index-order dot contract
     "emb_centroid_dist" ->

@@ -125,7 +125,22 @@ object ScaleCurve {
     "text_quality_calibration", // trained scores into a 10-bin agg
     "pipeline_train_manifest",  // cached prefix + waterfill + LPT rank (marginal)
     "sample_split_audit",       // banded pairs + star CC + two split-rule joins
-    "text_langid_confusion")    // one langid scan into a |langs|^2 agg
+    "text_langid_confusion",    // one langid scan into a |langs|^2 agg
+    // round-13 additions. The composed flagships (ingest twin, eval
+    // decontamination, clean manifest) each re-run their honest full
+    // chain or serve from the r12-documented marginal caches. The
+    // mangled ×2 copy's id offset (1,000,000 ≡ 0 mod 10) preserves the
+    // %10 increment convention exactly; the %97 benchmark class rotates
+    // under the offset (10^6 ≡ 27 mod 97) but its FRACTION is preserved
+    // and copy shingles are disjoint from originals, so benchmark size
+    // grows ∝ n — an upper bound on the constant-benchmark production
+    // shape (the emb_decontaminate caveat).
+    "pipeline_curate_ingest",        // gate + full SimHash pair stage per call
+    "pipeline_curate_decontaminated",// cached prefix + broadcast bench join
+    "pipeline_train_manifest_clean", // cached prefix + decon + waterfill + rank
+    "pipeline_curate_incremental",   // cached base boundary + increment-sized admission
+    "pipeline_curate_curriculum",    // cached prefix + 4-group banded agg
+    "mine_preference_pairs")         // fullClustersOnce boundary + 2 cluster windows
 
   /** SPARK_GRAFT_SCALE_ONLY: comma-separated exact names — run a subset
     * (new-row refresh) without re-measuring the whole table.

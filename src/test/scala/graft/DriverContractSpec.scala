@@ -99,6 +99,53 @@ class DriverContractSpec extends SparkTestBase {
     }
   }
 
+  test("mine_preference_pairs: distinct docs, positive margin, same cluster") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("mine_preference_pairs")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val chosen = r.getAs[Long]("chosen")
+      val rejected = r.getAs[Long]("rejected")
+      val margin = r.getAs[Double]("margin")
+      assert(chosen != rejected, s"self-pair: $r")
+      assert(margin > 0 &&
+        math.abs(margin - (r.getAs[Double]("chosen_score") -
+          r.getAs[Double]("rejected_score"))) < 1e-6, s"bad margin: $r")
+      assert(r.getAs[Long]("n_variants") >= 2, s"singleton cluster: $r")
+    }
+    // both members really belong to the emitting cluster
+    val membership = SparkEntry.queries("dedup_clusters_star")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val cid = r.getAs[Long]("cluster_id")
+      assert(membership(r.getAs[Long]("chosen")) == cid &&
+        membership(r.getAs[Long]("rejected")) == cid, s"cluster mismatch: $r")
+    }
+  }
+
+  test("pipeline_curate_incremental: admission funnel is monotone and consistent") {
+    val rows = SparkEntry.queries("pipeline_curate_incremental")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    var admittedTotal = 0L
+    rows.foreach { r =>
+      val (nNew, nGated, nAdm) = (r.getAs[Long]("n_new"),
+        r.getAs[Long]("n_gated"), r.getAs[Long]("n_admitted"))
+      assert(nNew >= nGated && nGated >= nAdm && nNew > 0, s"funnel broken: $r")
+      admittedTotal += nAdm
+      if (nAdm == 0) {
+        assert(r.isNullAt(r.fieldIndex("first_admitted")) &&
+          r.getAs[Long]("chars_admitted") == 0L, s"empty-lang sentinel: $r")
+      } else {
+        // first_admitted is an increment doc (the % 10 == 0 convention)
+        assert(r.getAs[Long]("first_admitted") % 10 == 0, s"not increment: $r")
+        assert(r.getAs[Long]("chars_admitted") > 0, s"no char mass: $r")
+      }
+    }
+    assert(admittedTotal > 0, "nothing admitted at sf0.001")
+  }
+
   test("sample_doremi: rates form a mixture and are monotone in loss") {
     val rows = SparkEntry.queries("sample_doremi")(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getAs[Double]("loss"), r.getAs[Double]("rate")))

@@ -191,4 +191,93 @@ class StreamingCurationSpec extends SparkTestBase {
       case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("composed curation state survives a query stop/restart from the checkpoint", Slow) {
+    // the ingest pipeline's fault-tolerance story (the StreamingReorderSpec
+    // recovery pin, lifted to the COMPOSED query): kill the query
+    // mid-corpus, restart from the checkpoint, stream the rest — the
+    // dedup fingerprint history and the reorder grace buffer must be
+    // RESTORED, so post-restart near-dups of pre-restart docs are still
+    // rejected, every gated doc gets exactly ONE verdict across both
+    // incarnations, and the final kept-set still equals the batch twin.
+    val docs = Tables.documents(spark, Dir)
+    val st = graft.operators.TextAnalysis.stats(docs, "doc_id", "text")
+    val feats = st.select(col("doc_id"),
+      array(lit(1.0), col("punct_ratio"), col("stop_ratio"),
+        least(col("n_tokens") / 100.0, lit(1.0)),
+        col("mean_tok_len") / 10.0).as("x"),
+      when(col("quality") >= 0.8, 1.0).otherwise(0.0).as("y"))
+    val w = LogReg.train(feats, "x", "y", dim = 5, iters = 10, lr = 5.0)
+
+    val batchKept = graft.queries.PipelineQueries.ingestKeptDocs(spark, Dir)
+      .select(col("doc_id")).as[Long].collect().toSet
+    val gatedIds = StreamingQuality.gate(docs, "text", w)
+      .select(col("doc_id")).as[Long].collect().toSet
+
+    // same fixture as the composed-equality test (whose run also verifies
+    // the sentinel construction passes the gate and near-matches nothing)
+    val rows = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+      .map { case (id, t) => (id, t, Base + id) }
+    val shuffled = new scala.util.Random(13).shuffle(rows.toSeq)
+    val (firstHalf, secondHalf) = shuffled.splitAt(shuffled.size / 2)
+    val maxTs = rows.map(_._3).max
+    val sentinels = Seq.tabulate(3) { i =>
+      val text = (1 to 120).map(j => s"zqxv${i}w$j").mkString(" ")
+      (900000L + i, text, maxTs + (i + 1) * (Grace + 60000L))
+    }
+
+    // transformWithState needs column families — RocksDB provider only
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-curate-ckpt").toString
+      val input = MemoryStream[(Long, String, Long)]
+      val verdicts = scala.collection.mutable.ArrayBuffer.empty[(Long, Boolean)]
+      // foreachBatch, not the memory sink: only fault-tolerant sinks may
+      // recover from a checkpoint
+      def start() = StreamingCuration.curate(
+          input.toDF().toDF("doc_id", "text", "ts"), w, Grace,
+          retainMs = 86400000L)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val got = batch.select(col("doc_id"), col("keep"))
+            .as[(Long, Boolean)].collect()
+          verdicts.synchronized { verdicts ++= got }
+          ()
+        }.start()
+
+      val q1 = start()
+      try {
+        input.addData(firstHalf)
+        q1.processAllAvailable()
+      } finally q1.stop()
+
+      val q2 = start()
+      try {
+        input.addData(secondHalf)
+        q2.processAllAvailable()
+        sentinels.foreach { s => input.addData(Seq(s)); q2.processAllAvailable() }
+        q2.processAllAvailable()
+        val corpusVerdicts = verdicts.synchronized {
+          verdicts.filter(_._1 < 900000L).toSeq
+        }
+        assert(corpusVerdicts.map(_._1).toSet == gatedIds,
+          "verdict set must be exactly the gate survivors")
+        assert(corpusVerdicts.length == gatedIds.size,
+          "exactly one verdict per gated doc across the restart")
+        val streamedKept = corpusVerdicts.filter(_._2).map(_._1).toSet
+        assert(streamedKept == batchKept,
+          s"stream-only: ${(streamedKept -- batchKept).take(5)}, " +
+            s"batch-only: ${(batchKept -- streamedKept).take(5)}")
+      } finally q2.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
