@@ -311,6 +311,84 @@ object PipelineQueries {
       .orderBy(col("cluster_id"))
   }
 
+  /** NEAR-DEDUP UNDER A KEEP-BEST POLICY (round 13): `dedup_near_keep`
+    * keeps each near-dup family's FIRST member (lowest id — the
+    * crawl-order convention every first-wins stage here uses); this
+    * variant keeps the family's BEST member under the trained quality
+    * classifier (6 dp score, ties → lowest id) — the policy a
+    * quality-aware curation run actually wants once a scorer exists,
+    * since the lowest-id variant of a boilerplate family is often its
+    * worst-formatted one. Exact duplicates are Jaccard-1 members of the
+    * same component, so exact dedup is subsumed. Singleton docs keep
+    * themselves (argmax of one). `dedup_keep_policy_audit` measures how
+    * often the two policies disagree and what score mass the switch
+    * buys.
+    *
+    * Scale shape: membership from the [[fullClustersOnce]] boundary;
+    * one lazy score projection; one cluster-partitioned `row_number`
+    * window over the (id, cluster, score) relation; kept ids semi-join
+    * back into the corpus scan — text never enters the window shuffle.
+    */
+  def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = qualityTrajectoryOnce(s, dir).last
+    val scored = qualityTrainingFrame(s, dir)
+      .select(col("doc_id"), LogReg.probability(col("x"), w).as("score"))
+    val hi = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val keepIds = fullClustersOnce(s, dir).join(scored, "doc_id")
+      .withColumn("_rhi", row_number().over(hi))
+      .filter(col("_rhi") === 1)
+      .select(col("doc_id"))
+    Tables.documents(s, dir).join(keepIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** KEEP-POLICY AUDIT (round 13): across all multi-doc near-dup
+    * families, how often does the first-wins keep (lowest id — what
+    * every crawl-ordered dedup stage here does) already pick the
+    * classifier-best variant, and how much 6 dp score mass would the
+    * [[dedupKeepBest]] policy add per family on average? One-row sheet:
+    * (n_clusters, n_first_best, frac_first_best, mean_uplift) — the
+    * number a curation review reads before deciding whether re-keying
+    * dedup on quality is worth a re-run.
+    *
+    * Scale shape: the same scored-membership relation as
+    * [[dedupKeepBest]] through two cluster-partitioned windows (score
+    * desc / id asc) into a cluster-scale agg, then a 1-row rollup;
+    * mean uplift is the DECIMAL-exact mean discipline.
+    */
+  def dedupKeepPolicyAudit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = qualityTrajectoryOnce(s, dir).last
+    val scored = qualityTrainingFrame(s, dir)
+      .select(col("doc_id"), LogReg.probability(col("x"), w).as("score"))
+    val hi = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val byId = Window.partitionBy(col("cluster_id")).orderBy(col("doc_id"))
+    fullClustersOnce(s, dir).join(scored, "doc_id")
+      .withColumn("_rhi", row_number().over(hi))
+      .withColumn("_rid", row_number().over(byId))
+      .groupBy(col("cluster_id"))
+      .agg(
+        max(when(col("_rhi") === 1, col("doc_id"))).as("_best_doc"),
+        max(when(col("_rhi") === 1, col("score"))).as("_best_score"),
+        max(when(col("_rid") === 1, col("doc_id"))).as("_first_doc"),
+        max(when(col("_rid") === 1, col("score"))).as("_first_score"),
+        count(lit(1)).as("_n"))
+      .filter(col("_n") >= 2)
+      .agg(
+        count(lit(1)).as("n_clusters"),
+        sum((col("_best_doc") === col("_first_doc")).cast("long"))
+          .as("n_first_best"),
+        round(sum((col("_best_doc") === col("_first_doc")).cast("long")) *
+          lit(1.0) / count(lit(1)), 6).as("frac_first_best"),
+        (sum((col("_best_score") - col("_first_score"))
+          .cast("decimal(30,15)")).cast("double") / count(lit(1)))
+          .as("mean_uplift"))
+  }
+
   /** Per-vector distance to its group centroid (round 12) — the
     * embedding-space data-quality audit: a vector far from its group's
     * centroid is a mislabeling / noise candidate (the embedding analog
@@ -2769,6 +2847,8 @@ object PipelineQueries {
     "pipeline_train_manifest_clean" -> (pipelineTrainManifestClean _),
     "mine_triplets" -> (mineTriplets _),
     "mine_preference_pairs" -> (minePreferencePairs _),
+    "dedup_keep_best" -> (dedupKeepBest _),
+    "dedup_keep_policy_audit" -> (dedupKeepPolicyAudit _),
     "emb_centroid_dist" -> (embCentroidDist _),
     "emb_kcenter" -> (embKcenter _),
     "sample_doremi" -> (sampleDoremi _),
@@ -2955,6 +3035,53 @@ object PipelineQueries {
        |w0 AS (SELECT [0.0, 0.0, 0.0, 0.0, 0.0] AS w),
        |$iterBlocks""".stripMargin
   }
+
+  /** Full-corpus SCORED-CLUSTER prefix ending at `rk` (cluster_id,
+    * doc_id, score, rhi, rlo, rid) — the classifier replay (w10), the
+    * recursive-CTE near-dup components over ALL documents, and the
+    * three deterministic ranking windows (score desc / score asc /
+    * doc_id asc, each tie-broken on doc_id). Shared by the keep-policy
+    * family: `mine_preference_pairs`, `dedup_keep_best`,
+    * `dedup_keep_policy_audit`.
+    */
+  private lazy val scoredClustersCtes: String =
+    logRegCtes.replace("WITH t AS", "WITH RECURSIVE t AS") +
+      s"""
+         |sc AS (SELECT f.doc_id,
+         |    round(1.0 / (1.0 + exp(-round(list_sum(list_transform(range(1, 6),
+         |      j -> f.x[j] * w.w[j])), 6))), 6) AS score
+         |  FROM f CROSS JOIN w10 w),
+         |shp AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    list_distinct(CASE WHEN len(toks) >= 3
+         |      THEN list_transform(range(1, len(toks) - 1),
+         |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         |      ELSE [array_to_string(toks, ' ')] END) AS sh
+         |  FROM t),
+         |pp AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM shp a, shp b WHERE a.doc_id < b.doc_id AND
+         |    round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+         |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) >= $Tau),
+         |ee AS (SELECT doc_a AS src, doc_b AS dst FROM pp
+         |      UNION ALL SELECT doc_b, doc_a FROM pp),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM ee
+         |  UNION
+         |  SELECT r.src, e2.dst FROM reach r JOIN ee e2 ON r.dst = e2.src),
+         |lab AS (
+         |  SELECT d.doc_id,
+         |    least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS cluster_id
+         |  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+         |  GROUP BY d.doc_id),
+         |rk AS (SELECT lab.cluster_id, lab.doc_id, sc.score,
+         |    row_number() OVER (PARTITION BY lab.cluster_id
+         |      ORDER BY sc.score DESC, lab.doc_id) AS rhi,
+         |    row_number() OVER (PARTITION BY lab.cluster_id
+         |      ORDER BY sc.score ASC, lab.doc_id) AS rlo,
+         |    row_number() OVER (PARTITION BY lab.cluster_id
+         |      ORDER BY lab.doc_id) AS rid
+         |  FROM lab JOIN sc USING (doc_id))""".stripMargin
 
   /** One unrolled spherical-k-means iteration for the IVF-training
     * oracle: assign each sample vector to its max-rounded-dot cell (ties
@@ -4615,41 +4742,8 @@ object PipelineQueries {
     // components (the dedup_clusters labels); per-cluster argmax/argmin
     // via the same two deterministic windows the engine runs
     "mine_preference_pairs" ->
-      (logRegCtes.replace("WITH t AS", "WITH RECURSIVE t AS") +
-        s"""
-           |sc AS (SELECT f.doc_id,
-           |    round(1.0 / (1.0 + exp(-round(list_sum(list_transform(range(1, 6),
-           |      j -> f.x[j] * w.w[j])), 6))), 6) AS score
-           |  FROM f CROSS JOIN w10 w),
-           |shp AS MATERIALIZED (
-           |  SELECT doc_id,
-           |    list_distinct(CASE WHEN len(toks) >= 3
-           |      THEN list_transform(range(1, len(toks) - 1),
-           |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-           |      ELSE [array_to_string(toks, ' ')] END) AS sh
-           |  FROM t),
-           |pp AS (
-           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |  FROM shp a, shp b WHERE a.doc_id < b.doc_id AND
-           |    round(len(list_intersect(a.sh, b.sh)) * 1.0 /
-           |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) >= $Tau),
-           |ee AS (SELECT doc_a AS src, doc_b AS dst FROM pp
-           |      UNION ALL SELECT doc_b, doc_a FROM pp),
-           |reach(src, dst) AS (
-           |  SELECT src, dst FROM ee
-           |  UNION
-           |  SELECT r.src, e2.dst FROM reach r JOIN ee e2 ON r.dst = e2.src),
-           |lab AS (
-           |  SELECT d.doc_id,
-           |    least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS cluster_id
-           |  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
-           |  GROUP BY d.doc_id),
-           |rk AS (SELECT lab.cluster_id, lab.doc_id, sc.score,
-           |    row_number() OVER (PARTITION BY lab.cluster_id
-           |      ORDER BY sc.score DESC, lab.doc_id) AS rhi,
-           |    row_number() OVER (PARTITION BY lab.cluster_id
-           |      ORDER BY sc.score ASC, lab.doc_id) AS rlo
-           |  FROM lab JOIN sc USING (doc_id)),
+      (scoredClustersCtes +
+        s""",
            |ag AS (SELECT cluster_id,
            |    max(doc_id) FILTER (WHERE rhi = 1) AS chosen,
            |    max(score) FILTER (WHERE rhi = 1) AS chosen_score,
@@ -4661,6 +4755,33 @@ object PipelineQueries {
            |  n_variants, round(chosen_score - rejected_score, 6) AS margin
            |FROM ag WHERE round(chosen_score - rejected_score, 6) > 0
            |ORDER BY cluster_id""".stripMargin),
+    // keep the classifier-best member of every component (rhi = 1)
+    "dedup_keep_best" ->
+      (scoredClustersCtes +
+        """
+          |SELECT d.doc_id, d.lang, d.source, d.n_chars
+          |FROM documents d JOIN (SELECT doc_id FROM rk WHERE rhi = 1) k
+          |  USING (doc_id)
+          |ORDER BY d.doc_id""".stripMargin),
+    // first-wins (rid = 1) vs best-wins (rhi = 1) per multi-doc family,
+    // rolled into the one-row policy sheet
+    "dedup_keep_policy_audit" ->
+      (scoredClustersCtes +
+        """,
+          |pag AS (SELECT cluster_id,
+          |    max(doc_id) FILTER (WHERE rhi = 1) AS best_doc,
+          |    max(score) FILTER (WHERE rhi = 1) AS best_score,
+          |    max(doc_id) FILTER (WHERE rid = 1) AS first_doc,
+          |    max(score) FILTER (WHERE rid = 1) AS first_score
+          |  FROM rk GROUP BY cluster_id HAVING count(*) >= 2)
+          |SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+          |  CAST(sum(CASE WHEN best_doc = first_doc THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_first_best,
+          |  round(sum(CASE WHEN best_doc = first_doc THEN 1 ELSE 0 END) * 1.0 /
+          |    count(*), 6) AS frac_first_best,
+          |  CAST(sum(CAST(best_score - first_score AS DECIMAL(30,15))) AS DOUBLE)
+          |    / count(*) AS mean_uplift
+          |FROM pag""".stripMargin),
     // centroids are the emb_centroids relation (4 dp absorbs summation
     // order); the distance fold is the index-order dot contract
     "emb_centroid_dist" ->

@@ -140,7 +140,9 @@ object ScaleCurve {
     "pipeline_train_manifest_clean", // cached prefix + decon + waterfill + rank
     "pipeline_curate_incremental",   // cached base boundary + increment-sized admission
     "pipeline_curate_curriculum",    // cached prefix + 4-group banded agg
-    "mine_preference_pairs")         // fullClustersOnce boundary + 2 cluster windows
+    "mine_preference_pairs",         // fullClustersOnce boundary + 2 cluster windows
+    "dedup_keep_best",               // boundary + 1 window + ids-only semi join
+    "dedup_keep_policy_audit")       // boundary + 2 windows + 1-row rollup
 
   /** SPARK_GRAFT_SCALE_ONLY: comma-separated exact names — run a subset
     * (new-row refresh) without re-measuring the whole table.

@@ -124,6 +124,29 @@ class DriverContractSpec extends SparkTestBase {
     }
   }
 
+  test("dedup_keep_best keeps one doc per family; the audit counts the policy gap") {
+    val dir = "/root/testdata/sf0.001"
+    val membership = SparkEntry.queries("dedup_clusters_star")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val byCluster = membership.groupBy(_._2)
+    val kept = SparkEntry.queries("dedup_keep_best")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    // exactly one survivor per component (incl. singletons keeping themselves)
+    assert(kept.size == byCluster.size)
+    assert(kept.map(id => membership.toMap.apply(id)).size == byCluster.size,
+      "two survivors share a cluster")
+    val audit = SparkEntry.queries("dedup_keep_policy_audit")(spark, dir)
+      .collect().head
+    val multi = byCluster.count(_._2.length >= 2)
+    assert(audit.getAs[Long]("n_clusters") == multi.toLong)
+    val nFirstBest = audit.getAs[Long]("n_first_best")
+    assert(nFirstBest >= 0 && nFirstBest <= multi)
+    assert(math.abs(audit.getAs[Double]("frac_first_best") -
+      nFirstBest.toDouble / multi) < 1e-6)
+    // switching to best-wins can only gain score mass
+    assert(audit.getAs[Double]("mean_uplift") >= 0.0)
+  }
+
   test("pipeline_curate_incremental: admission funnel is monotone and consistent") {
     val rows = SparkEntry.queries("pipeline_curate_incremental")(
       spark, "/root/testdata/sf0.001").collect()
