@@ -1366,6 +1366,41 @@ object PipelineQueries {
   def chunkDocuments(s: SparkSession, dir: String): DataFrame =
     Packing.chunkTokens(Tables.documents(s, dir), "doc_id", "text", 32, 8)
 
+  /** IMAGE exact-dedup by DECODED content fingerprint (round 13): render
+    * the corpus's synthetic PNGs, decode them for REAL (`javax.imageio`,
+    * the [[Multimodal.probePixels]] pixel-fidelity path), fingerprint
+    * each image by its decoded content — (width, height, r, g, b): for a
+    * solid PNG the top-left pixel IS the content — and roll
+    * duplicate-content groups up with a first-wins kept id. On a real
+    * corpus the fingerprint column is a 64-bit aHash over the decoded
+    * luma grid (mean-threshold bits) with the identical group-and-keep
+    * shape downstream; what this query exercises and times is the real
+    * per-doc PNG parse the aHash would ride.
+    *
+    * Hash-green because the generative rule is SQL-recomputable (the
+    * oracle re-derives (w, h, r, g, b) from md5(text)) while the
+    * engine's bytes in between are a genuine encode → decode round trip.
+    *
+    * Scale shape: codec work is repartitioned across the cluster before
+    * the first encode (the `mm_image_decode` discipline); the dedup is
+    * one hash agg over typed probe rows — payload bytes are dropped at
+    * the probe, so nothing image-sized ever shuffles.
+    */
+  def mmImageDedup(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.fromText(
+        Tables.documents(s, dir), "doc_id", "text", "image")
+      .repartition(col("media_id"))
+    Multimodal.probePixels(Multimodal.renderImages(media)).toDF()
+      .filter(col("decoded"))
+      .groupBy(col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("r").cast("long").as("r"),
+        col("g").cast("long").as("g"),
+        col("b").cast("long").as("b"))
+      .agg(count(lit(1)).as("n_images"), min(col("media_id")).as("kept_id"))
+      .orderBy(col("width"), col("height"), col("r"), col("g"), col("b"))
+  }
+
   def mmBinaryStats(s: SparkSession, dir: String): DataFrame =
     Multimodal.binaryStats(Tables.documents(s, dir), "doc_id", "text")
 
@@ -2867,6 +2902,7 @@ object PipelineQueries {
     "q_range_join" -> (qRangeJoin _),
     "mm_binary_stats" -> (mmBinaryStats _),
     "mm_image_decode" -> (mmImageDecode _),
+    "mm_image_dedup" -> (mmImageDedup _),
     "mm_audio_decode" -> (mmAudioDecode _),
     "mm_video_decode" -> (mmVideoDecode _),
     "mm_image_resize" -> (mmImageResize _),
@@ -5197,6 +5233,22 @@ object PipelineQueries {
         |  CAST(h AS BIGINT) AS height, CAST(3 AS BIGINT) AS channels,
         |  CAST(w * h * 3 AS BIGINT) AS n_pixels, true AS decoded
         |FROM d ORDER BY media_id""".stripMargin,
+    // solid-PNG content = (dims, top-left rgb), all md5(text)-derived;
+    // the engine's path in between is a real encode -> imageio decode
+    "mm_image_dedup" ->
+      """WITH d AS (SELECT doc_id,
+        |  1 + (('0x' || substring(md5(text), 1, 2))::INT % 64) AS w,
+        |  1 + (('0x' || substring(md5(text), 3, 2))::INT % 64) AS h,
+        |  ('0x' || substring(md5(text), 5, 2))::INT AS r,
+        |  ('0x' || substring(md5(text), 7, 2))::INT AS g,
+        |  ('0x' || substring(md5(text), 9, 2))::INT AS b
+        |  FROM documents)
+        |SELECT CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(r AS BIGINT) AS r, CAST(g AS BIGINT) AS g,
+        |  CAST(b AS BIGINT) AS b,
+        |  CAST(count(*) AS BIGINT) AS n_images, min(doc_id) AS kept_id
+        |FROM d GROUP BY w, h, r, g, b
+        |ORDER BY width, height, r, g, b""".stripMargin,
     "chunk_documents" ->
       """WITH t AS (
         |  SELECT doc_id,

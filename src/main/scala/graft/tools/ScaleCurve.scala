@@ -142,7 +142,8 @@ object ScaleCurve {
     "pipeline_curate_curriculum",    // cached prefix + 4-group banded agg
     "mine_preference_pairs",         // fullClustersOnce boundary + 2 cluster windows
     "dedup_keep_best",               // boundary + 1 window + ids-only semi join
-    "dedup_keep_policy_audit")       // boundary + 2 windows + 1-row rollup
+    "dedup_keep_policy_audit",       // boundary + 2 windows + 1-row rollup
+    "mm_image_dedup")                // real PNG encode+decode per doc + one hash agg
 
   /** SPARK_GRAFT_SCALE_ONLY: comma-separated exact names — run a subset
     * (new-row refresh) without re-measuring the whole table.

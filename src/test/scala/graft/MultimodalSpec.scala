@@ -31,6 +31,27 @@ class MultimodalSpec extends SparkTestBase {
     out.toByteArray
   }
 
+  test("image content-dedup collapses byte-identical payloads into one kept group") {
+    // the registered mm_image_dedup sheet is all-singletons on the test
+    // corpus (no byte-identical texts exist there), so the collapse
+    // semantics are pinned here on planted duplicates: same text -> same
+    // PNG -> same decoded fingerprint -> ONE group keeping the lowest id
+    val planted = Seq(
+      (10L, "identical payload"), (11L, "identical payload"),
+      (12L, "identical payload"), (20L, "a different one"))
+      .toDF("doc_id", "text")
+    val probed = Multimodal.probePixels(Multimodal.renderImages(
+      Multimodal.fromText(planted, "doc_id", "text", "image"))).toDF()
+    val groups = probed.filter(col("decoded"))
+      .groupBy(col("width"), col("height"), col("r"), col("g"), col("b"))
+      .agg(count(lit(1)).as("n_images"), min(col("media_id")).as("kept_id"))
+      .collect()
+    assert(groups.length == 2)
+    val byN = groups.map(r => r.getAs[Long]("n_images") -> r.getAs[Long]("kept_id")).toMap
+    assert(byN(3L) == 10L, "duplicate family keeps the lowest id")
+    assert(byN(1L) == 20L)
+  }
+
   test("decodeImages reads a real PNG's true dimensions via javax.imageio") {
     val media = Seq(
       Multimodal.MediaRecord(1L, "image/png", png(17, 9), Map.empty),
