@@ -2331,15 +2331,29 @@ object PipelineQueries {
     * codegen projection; the accounting is two ids-only left joins into
     * a lang-scale agg.
     */
+  /** The increment docs [[pipelineCurateIncremental]] ADMITS — gate-pass
+    * and no exact/near twin in the kept base — at doc granularity,
+    * shared by the admission sheet and the incremental manifest.
+    */
+  private def incrementAdmittedDocs(s: SparkSession, dir: String): DataFrame = {
+    val w = qualityTrajectoryOnce(s, dir).last
+    val passIds = qualityTrainingFrame(s, dir)
+      .filter(LogReg.probability(col("x"), w) >= 0.5)
+      .select(col("doc_id"))
+    val gatedIncr = Tables.documents(s, dir)
+      .filter(col("doc_id") % 10 === 0)
+      .join(passIds, Seq("doc_id"), "left_semi")
+    Dedup.nearDedupIncremental(
+      incrementBaseOnce(s, dir), gatedIncr, "doc_id", "text", 3, Tau)
+  }
+
   def pipelineCurateIncremental(s: SparkSession, dir: String): DataFrame = {
     val w = qualityTrajectoryOnce(s, dir).last
     val passIds = qualityTrainingFrame(s, dir)
       .filter(LogReg.probability(col("x"), w) >= 0.5)
       .select(col("doc_id"))
     val incr = Tables.documents(s, dir).filter(col("doc_id") % 10 === 0)
-    val gatedIncr = incr.join(passIds, Seq("doc_id"), "left_semi")
-    val admitted = Dedup.nearDedupIncremental(
-      incrementBaseOnce(s, dir), gatedIncr, "doc_id", "text", 3, Tau)
+    val admitted = incrementAdmittedDocs(s, dir)
     incr
       .join(passIds.withColumn("_gate", lit(1L)), Seq("doc_id"), "left")
       .join(admitted.select(col("doc_id")).withColumn("_adm", lit(1L)),
@@ -2352,6 +2366,50 @@ object PipelineQueries {
         sum(when(col("_adm") === 1, col("n_chars")).otherwise(lit(0L)))
           .cast("long").as("chars_admitted"),
         min(when(col("_adm") === 1, col("doc_id"))).as("first_admitted"))
+      .orderBy(col("lang"))
+  }
+
+  /** MIXTURE DRIFT FROM THE DAILY INCREMENT (round 13) — the sheet the
+    * mixing owner reads after each increment run, BEFORE regenerating
+    * shards: per language, the curated-base token inventory vs the
+    * base + admitted-increment inventory, the UniMax epoch allocation
+    * over each (same maxEpochs 4 / budget 3× conventions as
+    * `sample_unimax`), and the epoch delta the increment causes. A
+    * language whose epochs drop got diluted (its cap now covers less of
+    * the budget); one whose epochs rise gained leverage — exactly the
+    * re-balancing decision an incremental corpus forces.
+    *
+    * Every number replays bit-exactly: token masses are integer sums,
+    * each epochs value is the waterfill's single correctly-rounded IEEE
+    * division (the `sample_unimax` contract), and the delta is one IEEE
+    * subtract of two such doubles.
+    *
+    * Scale shape: the base is the [[incrementBaseOnce]] boundary (read,
+    * not recomputed), the admitted set is [[incrementAdmittedDocs]]'s
+    * increment-sized relation, and both waterfills are group-scale —
+    * the whole sheet adds two lang-scale allocations to the admission
+    * run's cost.
+    */
+  def pipelineIncrementalManifest(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val tokensOf = (df: DataFrame) => df
+      .select(col("doc_id"))
+      .join(docs.select(col("doc_id"), col("lang"),
+        size(Text.tokens(col("text"))).cast("long").as("tokens")), "doc_id")
+    val base = tokensOf(incrementBaseOnce(s, dir))
+    val both = base.unionByName(tokensOf(incrementAdmittedDocs(s, dir)))
+    val before = Sampling.unimaxAllocation(base, "lang", "tokens", 4, 3)
+      .select(col("lang"), col("n_tokens").as("tok_base"),
+        col("epochs").as("epochs_before"))
+    val after = Sampling.unimaxAllocation(both, "lang", "tokens", 4, 3)
+      .select(col("lang"), col("n_tokens").as("tok_total"),
+        col("epochs").as("epochs_after"))
+    after.join(before, Seq("lang"), "left")
+      .select(col("lang"), col("tok_base"), col("tok_total"),
+        (col("tok_total") - coalesce(col("tok_base"), lit(0L)))
+          .as("tok_incr"),
+        col("epochs_before"), col("epochs_after"),
+        (col("epochs_after") - col("epochs_before")).as("epochs_delta"))
       .orderBy(col("lang"))
   }
 
@@ -2876,6 +2934,7 @@ object PipelineQueries {
     "pipeline_curate_shuffled" -> (pipelineCurateShuffled _),
     "pipeline_curate_ingest" -> (pipelineCurateIngest _),
     "pipeline_curate_incremental" -> (pipelineCurateIncremental _),
+    "pipeline_incremental_manifest" -> (pipelineIncrementalManifest _),
     "pipeline_curate_curriculum" -> (pipelineCurateCurriculum _),
     "pipeline_curate_decontaminated" -> (pipelineCurateDecontaminated _),
     "pipeline_train_manifest" -> (pipelineTrainManifest _),
@@ -3118,6 +3177,57 @@ object PipelineQueries {
          |    row_number() OVER (PARTITION BY lab.cluster_id
          |      ORDER BY lab.doc_id) AS rid
          |  FROM lab JOIN sc USING (doc_id))""".stripMargin
+
+  /** The INCREMENTAL-curation chain as shared CTEs — classifier replay
+    * (`gid`), base curation (`kb`: gate → md5 first-wins → near
+    * first-wins over `doc_id % 10 != 0`), gated increment (`gi`), and
+    * the admitted set (`adm`: no exact and no near twin in `kb`) —
+    * composed into the `pipeline_curate_incremental` admission sheet
+    * and the `pipeline_incremental_manifest` before/after waterfills.
+    */
+  private lazy val incrementalCtes: String = logRegCtes +
+    s"""
+       |sc AS (SELECT f.doc_id,
+       |    round(1.0 / (1.0 + exp(-round(list_sum(list_transform(range(1, 6),
+       |      j -> f.x[j] * w.w[j])), 6))), 6) AS score
+       |  FROM f CROSS JOIN w10 w),
+       |gid AS (SELECT doc_id FROM sc WHERE score >= 0.5e0),
+       |gb AS (SELECT d.* FROM documents d JOIN gid USING (doc_id)
+       |       WHERE d.doc_id % 10 != 0),
+       |kx AS MATERIALIZED (SELECT * FROM (
+       |  SELECT gb.*, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+       |  FROM gb) WHERE rn = 1),
+       |shx AS MATERIALIZED (
+       |  SELECT t.doc_id,
+       |    list_distinct(CASE WHEN len(toks) >= 3
+       |      THEN list_transform(range(1, len(toks) - 1),
+       |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+       |      ELSE [array_to_string(toks, ' ')] END) AS sh
+       |  FROM t JOIN kx USING (doc_id)),
+       |bl AS (SELECT DISTINCT b.doc_id FROM shx a, shx b
+       |  WHERE a.doc_id < b.doc_id AND
+       |    round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+       |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) >= $Tau),
+       |kb AS MATERIALIZED (SELECT kx.doc_id, kx.text FROM kx
+       |  WHERE kx.doc_id NOT IN (SELECT doc_id FROM bl)),
+       |gi AS MATERIALIZED (SELECT d.* FROM documents d JOIN gid USING (doc_id)
+       |  WHERE d.doc_id % 10 = 0),
+       |iex AS (SELECT DISTINCT gi.doc_id FROM gi
+       |  JOIN kb ON md5(gi.text) = md5(kb.text)),
+       |shkb AS (SELECT shx.* FROM shx JOIN kb USING (doc_id)),
+       |shi AS MATERIALIZED (
+       |  SELECT t.doc_id,
+       |    list_distinct(CASE WHEN len(toks) >= 3
+       |      THEN list_transform(range(1, len(toks) - 1),
+       |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+       |      ELSE [array_to_string(toks, ' ')] END) AS sh
+       |  FROM t JOIN gi USING (doc_id)),
+       |inear AS (SELECT DISTINCT b.doc_id FROM shkb a, shi b
+       |  WHERE round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+       |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) >= $Tau),
+       |adm AS (SELECT doc_id FROM gi
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM iex)
+       |    AND doc_id NOT IN (SELECT doc_id FROM inear))""".stripMargin
 
   /** One unrolled spherical-k-means iteration for the IVF-training
     * oracle: assign each sample vector to its max-rounded-dot cell (ties
@@ -3516,30 +3626,37 @@ object PipelineQueries {
     * doubles (alloc, epochs) are single correctly-rounded IEEE
     * divisions, so the realized copy counts replay bit-exactly.
     */
-  private lazy val unimaxChainSql: String =
-    """,
-      |umg AS (SELECT lang, CAST(sum(tokens) AS BIGINT) AS n_tokens FROM umtk GROUP BY lang),
-      |ums AS (SELECT CAST(3 * sum(n_tokens) AS BIGINT) AS budget, count(*) AS nl FROM umg),
-      |umw AS (SELECT lang, n_tokens, n_tokens * 4 AS cap,
+  private lazy val unimaxChainSql: String = unimaxChainSqlFor("um")
+
+  /** [[unimaxChainSql]] with every CTE name under a caller-chosen
+    * prefix (`{p}tk` in, `{p}a`/`{p}rz` out) — so one oracle statement
+    * can waterfill TWO inventories (the incremental-manifest
+    * before/after pair) without name collisions.
+    */
+  private def unimaxChainSqlFor(p: String): String =
+    s""",
+      |${p}g AS (SELECT lang, CAST(sum(tokens) AS BIGINT) AS n_tokens FROM ${p}tk GROUP BY lang),
+      |${p}s AS (SELECT CAST(3 * sum(n_tokens) AS BIGINT) AS budget, count(*) AS nl FROM ${p}g),
+      |${p}w AS (SELECT lang, n_tokens, n_tokens * 4 AS cap,
       |        sum(n_tokens * 4) OVER (ORDER BY n_tokens * 4, lang
       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS csum,
       |        row_number() OVER (ORDER BY n_tokens * 4, lang) AS i
-      |      FROM umg),
-      |umf AS (SELECT umw.*, ums.budget, ums.nl,
-      |        (cap * (ums.nl - i) <= ums.budget - csum) AS capped FROM umw, ums),
-      |umc AS (SELECT coalesce(sum(cap) FILTER (WHERE capped), 0) AS capsum,
-      |        count(*) FILTER (WHERE capped) AS k FROM umf),
-      |uma AS (SELECT umf.lang,
-      |        (CASE WHEN umf.capped THEN CAST(umf.cap AS DOUBLE)
-      |              ELSE CAST(umf.budget - umc.capsum AS DOUBLE) / CAST(umf.nl - umc.k AS DOUBLE)
-      |         END) / CAST(umf.n_tokens AS DOUBLE) AS epochs
-      |      FROM umf, umc),
-      |umrz AS (SELECT umtk.doc_id, umtk.lang, umtk.tokens,
-      |        CAST(floor(uma.epochs) + CASE WHEN
-      |            CAST(('0x' || substring(md5(CAST(umtk.doc_id AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE)
-      |              / 4294967296.0 < uma.epochs - floor(uma.epochs)
+      |      FROM ${p}g),
+      |${p}f AS (SELECT ${p}w.*, ${p}s.budget, ${p}s.nl,
+      |        (cap * (${p}s.nl - i) <= ${p}s.budget - csum) AS capped FROM ${p}w, ${p}s),
+      |${p}c AS (SELECT coalesce(sum(cap) FILTER (WHERE capped), 0) AS capsum,
+      |        count(*) FILTER (WHERE capped) AS k FROM ${p}f),
+      |${p}a AS (SELECT ${p}f.lang, ${p}f.n_tokens,
+      |        (CASE WHEN ${p}f.capped THEN CAST(${p}f.cap AS DOUBLE)
+      |              ELSE CAST(${p}f.budget - ${p}c.capsum AS DOUBLE) / CAST(${p}f.nl - ${p}c.k AS DOUBLE)
+      |         END) / CAST(${p}f.n_tokens AS DOUBLE) AS epochs
+      |      FROM ${p}f, ${p}c),
+      |${p}rz AS (SELECT ${p}tk.doc_id, ${p}tk.lang, ${p}tk.tokens,
+      |        CAST(floor(${p}a.epochs) + CASE WHEN
+      |            CAST(('0x' || substring(md5(CAST(${p}tk.doc_id AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE)
+      |              / 4294967296.0 < ${p}a.epochs - floor(${p}a.epochs)
       |          THEN 1 ELSE 0 END AS BIGINT) AS n_copies
-      |      FROM umtk JOIN uma ON umtk.lang = uma.lang)""".stripMargin
+      |      FROM ${p}tk JOIN ${p}a ON ${p}tk.lang = ${p}a.lang)""".stripMargin
 
   private lazy val curatedUnimaxCtes: String = curatedSplitCtes +
     """,
@@ -4650,49 +4767,8 @@ object PipelineQueries {
     // then near first-wins (the dedup_near_keep shape) over base docs;
     // increment admission = no exact AND no near twin in the kept base
     // (increment-internal dups kept — the dedup_incremental convention)
-    "pipeline_curate_incremental" -> (logRegCtes +
+    "pipeline_curate_incremental" -> (incrementalCtes +
       s"""
-         |sc AS (SELECT f.doc_id,
-         |    round(1.0 / (1.0 + exp(-round(list_sum(list_transform(range(1, 6),
-         |      j -> f.x[j] * w.w[j])), 6))), 6) AS score
-         |  FROM f CROSS JOIN w10 w),
-         |gid AS (SELECT doc_id FROM sc WHERE score >= 0.5e0),
-         |gb AS (SELECT d.* FROM documents d JOIN gid USING (doc_id)
-         |       WHERE d.doc_id % 10 != 0),
-         |kx AS MATERIALIZED (SELECT * FROM (
-         |  SELECT gb.*, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
-         |  FROM gb) WHERE rn = 1),
-         |shx AS MATERIALIZED (
-         |  SELECT t.doc_id,
-         |    list_distinct(CASE WHEN len(toks) >= 3
-         |      THEN list_transform(range(1, len(toks) - 1),
-         |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-         |      ELSE [array_to_string(toks, ' ')] END) AS sh
-         |  FROM t JOIN kx USING (doc_id)),
-         |bl AS (SELECT DISTINCT b.doc_id FROM shx a, shx b
-         |  WHERE a.doc_id < b.doc_id AND
-         |    round(len(list_intersect(a.sh, b.sh)) * 1.0 /
-         |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) >= $Tau),
-         |kb AS MATERIALIZED (SELECT kx.doc_id, kx.text FROM kx
-         |  WHERE kx.doc_id NOT IN (SELECT doc_id FROM bl)),
-         |gi AS MATERIALIZED (SELECT d.* FROM documents d JOIN gid USING (doc_id)
-         |  WHERE d.doc_id % 10 = 0),
-         |iex AS (SELECT DISTINCT gi.doc_id FROM gi
-         |  JOIN kb ON md5(gi.text) = md5(kb.text)),
-         |shkb AS (SELECT shx.* FROM shx JOIN kb USING (doc_id)),
-         |shi AS MATERIALIZED (
-         |  SELECT t.doc_id,
-         |    list_distinct(CASE WHEN len(toks) >= 3
-         |      THEN list_transform(range(1, len(toks) - 1),
-         |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-         |      ELSE [array_to_string(toks, ' ')] END) AS sh
-         |  FROM t JOIN gi USING (doc_id)),
-         |inear AS (SELECT DISTINCT b.doc_id FROM shkb a, shi b
-         |  WHERE round(len(list_intersect(a.sh, b.sh)) * 1.0 /
-         |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) >= $Tau),
-         |adm AS (SELECT doc_id FROM gi
-         |  WHERE doc_id NOT IN (SELECT doc_id FROM iex)
-         |    AND doc_id NOT IN (SELECT doc_id FROM inear))
          |SELECT d.lang,
          |  CAST(count(*) AS BIGINT) AS n_new,
          |  CAST(count(g2.doc_id) AS BIGINT) AS n_gated,
@@ -4705,6 +4781,27 @@ object PipelineQueries {
          |LEFT JOIN adm a2 ON a2.doc_id = d.doc_id
          |WHERE d.doc_id % 10 = 0
          |GROUP BY d.lang ORDER BY d.lang""".stripMargin),
+    // the incremental chain's kept base (kb) and admitted increment (adm)
+    // feed TWO prefix-renamed waterfills: epochs over base vs
+    // base+admitted, one IEEE subtract apart
+    "pipeline_incremental_manifest" -> (incrementalCtes +
+      s""",
+         |umtk AS (SELECT kb.doc_id, d.lang, CAST(len(t.toks) AS BIGINT) AS tokens
+         |  FROM kb JOIN documents d USING (doc_id) JOIN t USING (doc_id))""".stripMargin +
+      unimaxChainSqlFor("um") +
+      s""",
+         |vmtk AS (SELECT * FROM umtk
+         |  UNION ALL
+         |  SELECT a.doc_id, d.lang, CAST(len(t.toks) AS BIGINT) AS tokens
+         |  FROM adm a JOIN documents d USING (doc_id) JOIN t USING (doc_id))""".stripMargin +
+      unimaxChainSqlFor("vm") +
+      s"""
+         |SELECT va.lang, ua.n_tokens AS tok_base, va.n_tokens AS tok_total,
+         |  va.n_tokens - coalesce(ua.n_tokens, 0) AS tok_incr,
+         |  ua.epochs AS epochs_before, va.epochs AS epochs_after,
+         |  va.epochs - ua.epochs AS epochs_delta
+         |FROM vma va LEFT JOIN uma ua ON va.lang = ua.lang
+         |ORDER BY va.lang""".stripMargin),
     // curated-split prefix + fixed score bands over the gate-passing
     // range (least(floor((score-0.5)*10),3)); per-phase DECIMAL-exact
     // mean + md5-order head doc via min_by

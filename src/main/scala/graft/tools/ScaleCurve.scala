@@ -143,7 +143,8 @@ object ScaleCurve {
     "mine_preference_pairs",         // fullClustersOnce boundary + 2 cluster windows
     "dedup_keep_best",               // boundary + 1 window + ids-only semi join
     "dedup_keep_policy_audit",       // boundary + 2 windows + 1-row rollup
-    "mm_image_dedup")                // real PNG encode+decode per doc + one hash agg
+    "mm_image_dedup",                // real PNG encode+decode per doc + one hash agg
+    "pipeline_incremental_manifest") // admission chain + two lang-scale waterfills
 
   /** SPARK_GRAFT_SCALE_ONLY: comma-separated exact names — run a subset
     * (new-row refresh) without re-measuring the whole table.

@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
+import org.apache.spark.sql.Row
+
 /** Guards the driver-facing contract (SparkEntry/Verify/Bench): the
   * correctness gate silently weakens if query and oracle keys drift, and
   * an oracle key with no query would break the driver's compare loop.
@@ -167,6 +169,29 @@ class DriverContractSpec extends SparkTestBase {
       }
     }
     assert(admittedTotal > 0, "nothing admitted at sf0.001")
+  }
+
+  test("pipeline_incremental_manifest: inventories reconcile and both waterfills conserve budget") {
+    val rows = SparkEntry.queries("pipeline_incremental_manifest")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("tok_total") ==
+        r.getAs[Long]("tok_base") + r.getAs[Long]("tok_incr"), s"mass: $r")
+      val (eb, ea) = (r.getAs[Double]("epochs_before"), r.getAs[Double]("epochs_after"))
+      assert(eb > 0 && eb <= 4.0 && ea > 0 && ea <= 4.0, s"epoch range: $r")
+      assert(math.abs((ea - eb) - r.getAs[Double]("epochs_delta")) < 1e-12)
+    }
+    // the waterfill invariant on BOTH allocations: realized token mass
+    // equals the 3x-budget exactly (up to IEEE division round-off)
+    def conserved(mass: Row => Long, e: Row => Double): Unit = {
+      val total = rows.map(mass).sum.toDouble
+      val realized = rows.map(r => e(r) * mass(r)).sum
+      assert(math.abs(realized - 3 * total) / (3 * total) < 1e-9,
+        s"budget not conserved: $realized vs ${3 * total}")
+    }
+    conserved(_.getAs[Long]("tok_base"), _.getAs[Double]("epochs_before"))
+    conserved(_.getAs[Long]("tok_total"), _.getAs[Double]("epochs_after"))
   }
 
   test("sample_doremi: rates form a mixture and are monotone in loss") {

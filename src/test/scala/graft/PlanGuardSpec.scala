@@ -47,6 +47,7 @@ class PlanGuardSpec extends SparkTestBase {
     "pipeline_curate_unimax" -> "sample_unimax_apply's two 1-row group-scale broadcasts, applied over the curated train split (the cached curation prefix itself is BNLJ-free)",
     "pipeline_train_manifest" -> "pipeline_curate_unimax's group-scale waterfill broadcasts feeding the packing stage; every BNLJ side is a 1-row global or the language-scale allocation",
     "pipeline_train_manifest_clean" -> "pipeline_train_manifest's group-scale waterfill broadcasts over the decontaminated inventory; the added contamination stage is keyed joins only (broadcast bench shingles + ids-only anti join)",
+    "pipeline_incremental_manifest" -> "TWO sample_unimax waterfills (base inventory vs base+admitted), each contributing the same 1-row/group-scale budget + capped-mass broadcasts; the admission chain feeding them is keyed and banded joins only",
     "sketch_overlap" -> "event-type-pair-sized (6×6) sketch blob join; blobs are kilobytes",
     "sketch_error_report" -> "composes sketch_overlap's pair-sized blob join plus the rollup legs' 1-row global sketch merges; every BNLJ side is sketch-count-sized",
     "sketch_rollup" -> "1-row × 1-row global HLL/KLL sketch merges (documented crossJoin)",
