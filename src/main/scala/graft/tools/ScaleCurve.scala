@@ -144,7 +144,8 @@ object ScaleCurve {
     "dedup_keep_best",               // boundary + 1 window + ids-only semi join
     "dedup_keep_policy_audit",       // boundary + 2 windows + 1-row rollup
     "mm_image_dedup",                // real PNG encode+decode per doc + one hash agg
-    "pipeline_incremental_manifest") // admission chain + two lang-scale waterfills
+    "pipeline_incremental_manifest", // admission chain + two lang-scale waterfills
+    "text_gate_agreement")           // one stats scan, both gates, 4-cell agg
 
   /** SPARK_GRAFT_SCALE_ONLY: comma-separated exact names — run a subset
     * (new-row refresh) without re-measuring the whole table.
