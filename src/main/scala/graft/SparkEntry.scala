@@ -49,6 +49,9 @@ object SparkEntry {
     "ann_topk_pca" -> ("PCA projection requires an eigen solve (Jacobi " +
       "rotations) inexpressible in SQL; gated by SimilaritySpec recall " +
       "floors + PcaSpec eigenbasis checks"),
+    "ann_topk_opq" -> ("the OPQ rotation shares ann_topk_pca's inherent " +
+      "Jacobi-eigen-solve cause; gated by SimilaritySpec orthogonality/" +
+      "dot-invariance pins + the imbalanced-corpus uplift inequality"),
     "ann_recall_report" -> ("meta-report over the seven ANN legs; its " +
       "evidence lives in the legs' own hash oracles (brute/lsh/ivf/pq/" +
       "pq_refined/ivfpq) + SimilaritySpec recall floors (the pq_opq leg " +

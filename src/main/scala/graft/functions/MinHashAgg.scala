@@ -30,12 +30,9 @@ case class MinHashAgg(
   extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
 
   /** 31-bit Carter–Wegman prime; see Dedup.minhashLshPairs. */
-  private val P = 2147483647L
+  private val P = MinHashAgg.P
 
-  @transient private lazy val (permA, permB) = {
-    val rnd = new scala.util.Random(seed)
-    (Array.fill(k)(1L + rnd.nextLong(P - 1)), Array.fill(k)(rnd.nextLong(P)))
-  }
+  @transient private lazy val (permA, permB) = MinHashAgg.coefficients(k, seed)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false
@@ -96,6 +93,22 @@ case class MinHashAgg(
 }
 
 object MinHashAgg {
+  /** 31-bit Carter–Wegman prime shared by the aggregate and its
+    * per-row expression twin (Dedup.rowBandCols).
+    */
+  private[graft] val P = 2147483647L
+
+  /** Permutation coefficient derivation, EXTRACTED so the aggregate and
+    * the streaming-side per-row twin provably draw the identical
+    * (a_i, b_i) sequence from one `seed`: `permA` consumes the first
+    * `k` draws of `nextLong(P-1)`, `permB` the next `k` of
+    * `nextLong(P)` — evaluation order is part of the contract.
+    */
+  private[graft] def coefficients(k: Int, seed: Long): (Array[Long], Array[Long]) = {
+    val rnd = new scala.util.Random(seed)
+    (Array.fill(k)(1L + rnd.nextLong(P - 1)), Array.fill(k)(rnd.nextLong(P)))
+  }
+
   def minhash(hashCol: Column, k: Int, seed: Long): Column =
     ColumnBridge.column(
       MinHashAgg(ColumnBridge.expression(hashCol), k, seed).toAggregateExpression())

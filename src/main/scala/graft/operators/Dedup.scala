@@ -41,7 +41,7 @@ object Dedup {
     * Shingles are hashed to 64-bit (xxhash64) immediately so all
     * downstream shuffles carry longs, not strings.
     */
-  private def shingleHashes(docs: DataFrame, idCol: String, textCol: String,
+  private[graft] def shingleHashes(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
     docs.select(col(idCol).as("_id"), Text.tokens(col(textCol)).as("_toks"))
       .select(col("_id"), explode(Text.shinglesOfTokens(col("_toks"), n)).as("_sh"))
@@ -131,9 +131,9 @@ object Dedup {
 
   // ------------------------------------------------------- MinHash + LSH
 
-  private val NumPerm = 128
-  private val Bands = 32 // rows per band = 128/32 = 4
-  private val MinHashSeed = 42L
+  private[graft] val NumPerm = 128
+  private[graft] val Bands = 32 // rows per band = 128/32 = 4
+  private[graft] val MinHashSeed = 42L
 
   /** Near-dup pairs via MinHash banding (128 perms, 32 bands × 4 rows)
     * with exact-Jaccard verification of the candidates.
@@ -155,7 +155,7 @@ object Dedup {
     * single-buffer 128-perm MinHash signature (one array column instead
     * of 128 wide agg columns — see [[graft.functions.MinHashAgg]]).
     */
-  private def bandRows(sh: DataFrame): DataFrame = {
+  private[graft] def bandRows(sh: DataFrame): DataFrame = {
     val sigs = sh.groupBy(col("_id"))
       .agg(graft.functions.MinHashAgg.minhash(col("_h"), NumPerm, MinHashSeed).as("_sig"))
     val rowsPerBand = NumPerm / Bands
@@ -164,6 +164,49 @@ object Dedup {
         (0 until rowsPerBand).map(r => element_at(col("_sig"), j * rowsPerBand + r + 1)): _*))
     }
     sigs.select(col("_id"), posexplode(array(bandCols: _*)).as(Seq("_band", "_bh")))
+  }
+
+  /** Per-ROW (aggregation-free) twin of [[shingleHashes]] +
+    * [[bandRows]]: appends `_set` (the doc's distinct shingle-hash
+    * array — exactly the [[verifyPairs]] `collect_set` membership) and
+    * `_bands` (the 32 LSH band hashes, `element_at(_bands, band+1)` ==
+    * [[bandRows]]' `_bh` at `_band = band`) as array columns computed
+    * entirely inside one projection — usable on a STREAMING frame,
+    * where the groupBy signature aggregation is unavailable without a
+    * second stateful stage. Twin fidelity is by construction, not
+    * reimplementation: the same `Text.shingles`/`xxhash64` expressions,
+    * the same [[graft.functions.MinHashAgg]] coefficient sequence
+    * (shared derivation, `MinHashAgg.coefficients`), the same
+    * `concat_ws` band hash — and spec-pinned equal to the agg path on
+    * real corpus text (`StreamingAdmissionSpec`).
+    *
+    * The signature is computed with higher-order array functions
+    * (`transform`/`array_min` — interpreted, not whole-stage-codegen),
+    * so per-row cost is the agg's same k·|set| multiply-mod loop at
+    * interpreter speed: right for increment/stream-sized relations; the
+    * 100 TB corpus side should keep using the aggregate path. `_set`
+    * and `_sig` are materialized as separate projection layers so
+    * CollapseProject cannot inline the k-wide transform into each of
+    * the 32 band expressions.
+    */
+  private[graft] def withRowBandCols(df: DataFrame, textCol: String,
+      n: Int): DataFrame = {
+    val (pa, pb) = graft.functions.MinHashAgg.coefficients(NumPerm, MinHashSeed)
+    val p = graft.functions.MinHashAgg.P
+    val coeffs = typedlit(pa.zip(pb).toSeq)
+    val rowsPerBand = NumPerm / Bands
+    val bandCols = (0 until Bands).map { j =>
+      xxhash64(concat_ws(",",
+        (0 until rowsPerBand).map(r => element_at(col("_sig"), j * rowsPerBand + r + 1)): _*))
+    }
+    df.withColumn("_set",
+        array_distinct(transform(Text.shingles(col(textCol), n), s => xxhash64(s))))
+      .withColumn("_hps", transform(col("_set"), h => pmod(h, lit(p))))
+      .withColumn("_sig", transform(coeffs, c =>
+        array_min(transform(col("_hps"),
+          h => (c.getField("_1") * h + c.getField("_2")) % p))))
+      .withColumn("_bands", array(bandCols: _*))
+      .drop("_hps", "_sig")
   }
 
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
@@ -265,22 +308,37 @@ object Dedup {
     * Output: (doc_a, doc_b, hamming).
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3): DataFrame =
+    hammingPairs(simhash(docs, idCol, textCol), "_id", "simhash", maxDist)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
+
+  /** Pairs within Hamming distance ≤ `maxDist` over an EXISTING 64-bit
+    * fingerprint column — the [[simhashPairs]] banding machinery
+    * (4 × 16-bit chunks, bucket join, `bit_count` verify) factored out
+    * so ANY 64-bit per-item fingerprint can use it: text SimHash,
+    * perceptual image aHash (`mm_image_neardup`), audio fingerprints.
+    * By pigeonhole a pair within distance 3 agrees on at least one full
+    * chunk, so recall is exactly 1 — this is exact, not approximate.
+    * Scale shape: only (id, 16-bit chunk, fingerprint) rows shuffle;
+    * payloads were reduced to fingerprints before the wide stage.
+    * Output: (id_a, id_b, hamming), id_a < id_b, ordered.
+    */
+  def hammingPairs(fps: DataFrame, idCol: String, fpCol: String,
       maxDist: Int = 3): DataFrame = {
     require(maxDist <= 3, "4x16-bit banding guarantees recall only for distance <= 3")
-    val fps = simhash(docs, idCol, textCol)
     val chunks = (0 until 4).map { j =>
-      shiftrightunsigned(col("simhash"), 16 * j).bitwiseAND(0xFFFFL)
+      shiftrightunsigned(col(fpCol), 16 * j).bitwiseAND(0xFFFFL)
     }
-    val banded = fps.select(col("_id"), col("simhash"),
+    val banded = fps.select(col(idCol).as("_hpid"), col(fpCol).as("_hpfp"),
       posexplode(array(chunks: _*)).as(Seq("_band", "_chunk")))
     banded.alias("x").join(banded.alias("y"), Seq("_band", "_chunk"))
-      .filter(col("x._id") < col("y._id"))
-      .select(col("x._id").as("doc_a"), col("y._id").as("doc_b"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long")
+      .filter(col("x._hpid") < col("y._hpid"))
+      .select(col("x._hpid").as("id_a"), col("y._hpid").as("id_b"),
+        bit_count(col("x._hpfp").bitwiseXOR(col("y._hpfp"))).cast("long")
           .as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
-      .orderBy(col("doc_a"), col("doc_b"))
+      .orderBy(col("id_a"), col("id_b"))
   }
 
   /** Asymmetric CONTAINMENT pairs: (inner, outer) with

@@ -19,20 +19,42 @@ import org.apache.spark.sql.functions._
 object Graph {
 
   /** Eagerly materialize a node-sized result and sever its plan lineage
-    * (same recipe as Similarity.materializeSevered) so the edge-sized
-    * persisted intermediates can be released before returning. Without
-    * this, every call leaked its persisted edge frames into the block
-    * store for the session lifetime (round-6 ADVICE), and repeated
-    * calls — benchmark reps, long-lived services — accumulated
-    * edge-sized cache entries whose eviction storms showed up as 1.7×
-    * run-to-run swings on the graph family. The results here are
-    * node-sized (ranks, per-node counts), so materializing them costs
-    * one small cached RDD that the context cleaner reclaims when the
-    * caller drops the frame.
+    * so the edge-sized persisted intermediates can be released before
+    * returning. Severing is via a SESSION TEMP PARQUET round trip — the
+    * registry-stage-boundary discipline used everywhere else in this
+    * repo — NOT `localCheckpoint`: a checkpointed RDD stays pinned in
+    * the block store until the context cleaner happens to collect the
+    * frame, so every call leaked one node-sized cache entry (and its
+    * superstep shuffle files) for an unbounded grace period. Round-14
+    * isolated 9-rep evidence: with checkpoint severing the triangle
+    * reps CLIMB 6.9 → 10.1 s across one bench invocation's own reps —
+    * accumulated block/GC pressure from the query's own history — while
+    * the parquet boundary leaves the block manager empty after every
+    * call. The written result is node-sized (ranks, per-node counts),
+    * so the round trip costs one small local write; at cluster scale
+    * the same boundary is a shared-storage artifact, which is what a
+    * production rank/community table is anyway. Files live under one
+    * JVM-temp root removed by a shutdown hook; a long-lived service
+    * calling graph ops unboundedly many times should persist results to
+    * its own registry instead (the written frame is returned, so the
+    * caller can `.write` it onward without recompute).
     */
+  private lazy val severRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft_graph_sever")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(p.toFile)
+    }))
+    p
+  }
+  private val severSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def materialized(df: DataFrame): DataFrame = {
-    val ck = df.localCheckpoint() // eager: runs the job now
-    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+    val out = severRoot.resolve("m" + severSeq.getAndIncrement()).toString
+    df.write.mode("overwrite").parquet(out)
+    df.sparkSession.read.parquet(out)
   }
 
   /** PageRank with a FIXED iteration count and per-iteration rounding.
@@ -78,8 +100,11 @@ object Graph {
     }
     val out = materialized(
       pr.select(col("id").as("node_id"), col("pr").as("pagerank")))
-    e.unpersist(blocking = false)
-    deg.unpersist(blocking = false)
+    // blocking: the edge-sized frames must be GONE when the call
+    // returns — async release let back-to-back calls (bench reps,
+    // sweep services) stack edge-sized blocks and climb 1.5× per rep
+    e.unpersist(blocking = true)
+    deg.unpersist(blocking = true)
     out
   }
 
@@ -136,18 +161,20 @@ object Graph {
         val e = orientByDegree(canon, deg)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         e.count() // materialize before dropping canon
-        canon.unpersist(blocking = false)
-        deg.unpersist(blocking = false)
+        canon.unpersist(blocking = true)
+        deg.unpersist(blocking = true)
         val r = materialized(trianglesPlan(e, eCnt))
-        e.unpersist(blocking = false)
+        e.unpersist(blocking = true)
         r
       } else {
-        deg.unpersist(blocking = false)
+        deg.unpersist(blocking = true)
         val r = materialized(trianglesPlan(canon, eCnt))
-        canon.unpersist(blocking = false)
+        canon.unpersist(blocking = true)
         r
       }
-    out
+    // the parquet sever does not preserve the pre-write sort across
+    // files; re-impose the output contract on the node-sized scan
+    out.orderBy(col("node_id"))
   }
 
   /** Canonical undirected edge set: (a < b), direction- and
@@ -190,8 +217,8 @@ object Graph {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val eCnt = e.count() // materializes the persist, sizes the sketch
     val out = materialized(trianglesPlan(e, eCnt))
-    e.unpersist(blocking = false)
-    out
+    e.unpersist(blocking = true)
+    out.orderBy(col("node_id"))
   }
 
   /** [[triangles]] forced to degree-ordered orientation — the O(m^1.5)
@@ -207,8 +234,8 @@ object Graph {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val eCnt = e.count() // materializes the persist, sizes the sketch
     val out = materialized(trianglesPlan(e, eCnt))
-    e.unpersist(blocking = false)
-    out
+    e.unpersist(blocking = true)
+    out.orderBy(col("node_id"))
   }
 
   /** The lazy wedge-join plan over a canonicalized, persisted edge set —
@@ -279,7 +306,7 @@ object Graph {
     }
     val out = materialized(
       labels.select(col("id").as("node_id"), col("label").as("community")))
-    e.unpersist(blocking = false)
+    e.unpersist(blocking = true)
     out
   }
 

@@ -231,6 +231,131 @@ object Multimodal {
     }
   }
 
+  /** Planted-variant media ids: `base_id + ImageVariantStride` — far
+    * above any sf's doc-id range, so variants never collide with bases.
+    */
+  private[graft] val ImageVariantStride = 100000000L
+
+  /** Deterministic PATTERN image synthesis + planted RESIZE near-dups —
+    * the fixture for perceptual near-duplicate detection
+    * (`mm_image_neardup`), where [[renderImages]]' solid fills cannot
+    * serve (every solid image block-averages to one flat grid, so all
+    * solids share one aHash). Per document:
+    *
+    *  - an 8×8 luma grid derives from chained digests — cell `i`
+    *    (row-major) = byte `i % 16` of `md5(text ++ "g" ++ (i / 16))` —
+    *    64 independent bytes, SQL-recomputable;
+    *  - the rendered image is that grid upscaled to (8·sx) × (8·sy)
+    *    gray pixels, sx = 1 + md5₀ % 4, sy = 1 + md5₁ % 4 — a REAL PNG
+    *    encode of up to 32×32 pixels;
+    *  - every `variantEvery`-th doc additionally emits a RESIZED
+    *    near-duplicate (media_id + [[ImageVariantStride]]) — the same
+    *    grid at the cyclically-shifted scale (sx % 4 + 1, sy % 4 + 1),
+    *    guaranteed ≠ the base size: different bytes, different
+    *    dimensions, IDENTICAL 8×8 block means — exactly the
+    *    resize-invariance property aHash exists to catch.
+    */
+  def renderPatternImages(media: Dataset[MediaRecord],
+      variantEvery: Int = 0): Dataset[MediaRecord] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { batch =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def digest(bytes: Array[Byte]): Array[Byte] = {
+        md.reset(); md.digest(bytes)
+      }
+      batch.flatMap { m =>
+        val d0 = digest(m.content)
+        val cells = Array.tabulate(64) { i =>
+          val dk = digest(m.content ++ s"g${i / 16}".getBytes("UTF-8"))
+          dk(i % 16) & 0xFF
+        }
+        def render(sx: Int, sy: Int): Array[Byte] = {
+          val (w, h) = (8 * sx, 8 * sy)
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = cells((y / sy) * 8 + (x / sx))
+              img.setRGB(x, y, (v << 16) | (v << 8) | v)
+              x += 1
+            }
+            y += 1
+          }
+          FastPng.encodeImage(img)
+        }
+        val sx = 1 + (d0(0) & 0xFF) % 4
+        val sy = 1 + (d0(1) & 0xFF) % 4
+        val base = MediaRecord(m.media_id, "image/png", render(sx, sy), m.meta)
+        if (variantEvery > 0 && m.media_id % variantEvery == 0)
+          Seq(base, MediaRecord(m.media_id + ImageVariantStride, "image/png",
+            render(sx % 4 + 1, sy % 4 + 1), m.meta))
+        else Seq(base)
+      }
+    }
+  }
+
+  /** One aHash row per image. */
+  final case class HashedImage(media_id: Long, ahash: Long, width: Int,
+      height: Int, decoded: Boolean)
+
+  /** REAL perceptual hash extraction: `javax.imageio` decode → 8×8
+    * block-MEAN luma grid (integer block sums over the true pixels, the
+    * classic average-hash downsample) → 64-bit aHash with bit `i` set
+    * iff `64·cell_i > Σcells` (the mean threshold in overflow-free
+    * integer form, strict so boundary membership is bit-stable). aHash
+    * is invariant under integer upscaling by construction — block means
+    * of a scaled grid equal the grid — which is what makes it the
+    * resize/recompress near-dup fingerprint; Hamming distance between
+    * hashes then measures perceptual distance, banded downstream by the
+    * [[Dedup.hammingPairs]] machinery. Poison policy matches
+    * [[decodeImages]]: undecodable or sub-8×8 payloads emit
+    * `decoded = false` rather than failing the stage.
+    */
+  def imageAHash(media: Dataset[MediaRecord]): Dataset[HashedImage] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { batch =>
+      batch.map { m =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.content))
+          catch { case NonFatal(_) => null }
+        if (img == null || img.getWidth < 8 || img.getHeight < 8)
+          HashedImage(m.media_id, 0L, 0, 0, decoded = false)
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          val sums = new Array[Long](64)
+          val cnts = new Array[Long](64)
+          var y = 0
+          while (y < h) {
+            val cy = y * 8 / h
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val lum = (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3
+              val i = cy * 8 + x * 8 / w
+              sums(i) += lum
+              cnts(i) += 1
+              x += 1
+            }
+            y += 1
+          }
+          val cells = Array.tabulate(64)(i => sums(i) / cnts(i))
+          val total = cells.sum
+          var fp = 0L
+          var i = 0
+          while (i < 64) {
+            if (64L * cells(i) > total) fp |= (1L << i)
+            i += 1
+          }
+          HashedImage(m.media_id, fp, w, h, decoded = true)
+        }
+      }
+    }
+  }
+
   /** Deterministic WAV synthesis — the audio twin of [[renderImages]]
     * (production reads `format("binaryFile")`): renders a mono 16-bit PCM
     * square wave whose parameters derive from the payload's MD5 so a SQL

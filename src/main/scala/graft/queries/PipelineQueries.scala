@@ -150,19 +150,20 @@ object PipelineQueries {
 
   /** The OPQ-rotated PQ leg ([[Similarity.opqTopK]] — full-rank PCA
     * eigenbasis + eigenvalue allocation before the subspace split, Ge
-    * et al. 2014's parametric solution). NOT a standalone registered
-    * query: the rotation comes from the Jacobi eigen solve, which is
-    * inherently outside SQL replay (the documented `ann_topk_pca`
-    * cause), so a registration would only add a sixth rows-only entry
-    * — instead the leg is measured every round inside
-    * `ann_recall_report` and spec-gated in `SimilaritySpec`, where the
-    * decisive evidence lives: on THIS corpus (near-isotropic synthetic
-    * Gaussians, where every rotation is distribution-equivalent and
-    * the honest expected uplift is zero) OPQ measures at parity with
-    * raw PQ, while on a variance-imbalanced corpus (dims 0–3 scaled
-    * 8×) raw PQ collapses to ~0.09 recall and OPQ holds ~0.69 — the
-    * regime the rotation exists for, pinned as a wide-margin spec
-    * inequality rather than a flaky parity assertion.
+    * et al. 2014's parametric solution). Registered standalone as
+    * `ann_topk_opq` (round-13 verdict #3: inside `ann_recall_report`'s
+    * one-time leg cache the rotation's build+serve cost was invisible
+    * per-round — now it benches and scale-curves like the other six
+    * legs). Rows-only like `ann_topk_pca`: the rotation comes from the
+    * Jacobi eigen solve, inherently outside SQL replay; the decisive
+    * recall evidence is spec-gated in `SimilaritySpec` — on THIS corpus
+    * (near-isotropic synthetic Gaussians, where every rotation is
+    * distribution-equivalent and the honest expected uplift is zero)
+    * OPQ measures at parity with raw PQ, while on a
+    * variance-imbalanced corpus (dims 0–3 scaled 8×) raw PQ collapses
+    * to ~0.09 recall and OPQ holds ~0.69 — the regime the rotation
+    * exists for, pinned as a wide-margin spec inequality rather than a
+    * flaky parity assertion.
     */
   def annTopkPqOpq(s: SparkSession, dir: String): DataFrame =
     Similarity.opqTopK(annQueries(s, dir), Tables.embeddings(s, dir),
@@ -1401,6 +1402,44 @@ object PipelineQueries {
       .orderBy(col("width"), col("height"), col("r"), col("g"), col("b"))
   }
 
+  /** IMAGE perceptual NEAR-dedup (round 14) — the multimodal shape
+    * `mm_image_dedup`'s byte-content grouping cannot express: pairs of
+    * images whose 64-bit aHash (REAL decode → 8×8 block-mean luma grid
+    * → mean-threshold bits, [[Multimodal.imageAHash]]) differ by
+    * Hamming ≤ 3, generated with the SimHash family's exact 4×16
+    * banding ([[Dedup.hammingPairs]] — by pigeonhole, recall 1). The
+    * fixture plants a RESIZED near-duplicate for every 5th document
+    * ([[Multimodal.renderPatternImages]]: same md5-derived 8×8 pattern
+    * at a guaranteed-different scale), so the planted pairs collapse at
+    * distance 0 through two genuinely different PNG payloads while
+    * unrelated patterns stay far apart.
+    *
+    * Hash-green because the generative rule is SQL-recomputable (the
+    * oracle re-derives each cell byte from chained md5s, thresholds,
+    * packs the two's-complement fingerprint, and takes all-pairs
+    * Hamming ≤ 3 — tiny at oracle scale; the engine's banding is
+    * recall-exact for ≤ 3 so the sets coincide) while the engine's
+    * fingerprint travels through a real PNG encode → `javax.imageio`
+    * decode → block-average pipeline.
+    *
+    * Scale shape: codec work repartitions before the first encode (the
+    * `mm_image_decode` discipline); payloads reduce to 8-byte
+    * fingerprints before anything wide; the banding join shuffles
+    * (id, chunk, fingerprint) rows only.
+    */
+  def mmImageNeardup(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.fromText(
+        Tables.documents(s, dir), "doc_id", "text", "image")
+      .repartition(col("media_id"))
+    val fps = Multimodal.imageAHash(
+        Multimodal.renderPatternImages(media, variantEvery = 5)).toDF()
+      .filter(col("decoded"))
+      .select(col("media_id"), col("ahash"))
+    Dedup.hammingPairs(fps, "media_id", "ahash", maxDist = 3)
+      .select(col("id_a").as("media_a"), col("id_b").as("media_b"),
+        col("hamming"))
+  }
+
   def mmBinaryStats(s: SparkSession, dir: String): DataFrame =
     Multimodal.binaryStats(Tables.documents(s, dir), "doc_id", "text")
 
@@ -1722,13 +1761,25 @@ object PipelineQueries {
     * boundary membership is bit-stable and the query is hash-green —
     * unlike model-based quality scores, which would be rows-only.
     */
+  /** The Gopher-style rule thresholds, hoisted so the Scala operator and
+    * every oracle SQL string that replays the conjunction interpolate
+    * the SAME values (round-14 ADVICE: a literal re-hardcoded in an
+    * oracle drifts silently when the operator's threshold moves).
+    */
+  private[graft] val RuleMinTokens: Int = 50
+  private[graft] val RuleMaxTokens: Int = 100000
+  private[graft] val RuleMinTokLen: Double = 3.0
+  private[graft] val RuleMaxTokLen: Double = 10.0
+  private[graft] val RuleMaxPunct: Double = 0.2
+  private[graft] val RuleMinStop: Double = 0.01
+
   def textQualityRules(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.stats(Tables.documents(s, dir), "doc_id", "text")
       .select(col("doc_id"),
-        col("n_tokens").between(50, 100000).as("pass_word_count"),
-        col("mean_tok_len").between(3.0, 10.0).as("pass_word_len"),
-        (col("punct_ratio") <= 0.2).as("pass_symbol"),
-        (col("stop_ratio") >= 0.01).as("pass_stopword"))
+        col("n_tokens").between(RuleMinTokens, RuleMaxTokens).as("pass_word_count"),
+        col("mean_tok_len").between(RuleMinTokLen, RuleMaxTokLen).as("pass_word_len"),
+        (col("punct_ratio") <= RuleMaxPunct).as("pass_symbol"),
+        (col("stop_ratio") >= RuleMinStop).as("pass_stopword"))
       .withColumn("pass_all",
         col("pass_word_count") && col("pass_word_len") &&
           col("pass_symbol") && col("pass_stopword"))
@@ -2179,17 +2230,45 @@ object PipelineQueries {
     * deepest composition in the registry.
     *
     * Scale shape: the shared [[curatedSplitOnce]] prefix + the
-    * broadcast-bench contamination join (ids-only into the train scan)
-    * + the group-scale waterfill + the two-level bucketed rank — the
-    * manifest's own shape plus one keyed ids-only anti join.
+    * [[contamFlagsOnce]] flagged-ids boundary (ids-only anti join into
+    * the train scan; the shingle-overlap join itself runs once per
+    * session at the boundary write — `text_decontaminate` keeps the
+    * honest full cost) + the group-scale waterfill + the two-level
+    * bucketed rank — the manifest's own shape plus one keyed ids-only
+    * anti join.
     */
+  private val contamFlagsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Benchmark-contamination flagged ids (docs sharing a word 3-gram
+    * with the `doc_id % 97 == 0` benchmark stand-in — exactly
+    * `TextAnalysis.contaminationFlags`' id set) computed ONCE per
+    * (JVM, sfDir) and persisted as a registry parquet stage boundary —
+    * the [[fullClustersOnce]] discipline (round-13 verdict #4): the
+    * standalone operator `text_decontaminate` keeps re-running the full
+    * shingle-overlap join every invocation (the honest-cost rule),
+    * while the COMPOSED consumers ([[pipelineTrainManifestClean]],
+    * [[pipelineCurateDecontaminated]]) read the boundary, which in
+    * production is the flagged-ids artifact a decontamination run
+    * persists for every downstream launch check anyway.
+    */
+  private def contamFlagsOnce(s: SparkSession, dir: String): DataFrame = {
+    val path = contamFlagsCache.computeIfAbsent(dir, _ => {
+      val docs = Tables.documents(s, dir)
+      val out = registryPath(dir, "contam_flags")
+      TextAnalysis.contaminationFlags(
+          docs.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0),
+          "doc_id", "text", 3)
+        .select(col("doc_id"))
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+    s.read.parquet(path)
+  }
+
   def pipelineTrainManifestClean(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val flagged = TextAnalysis.contaminationFlags(
-        docs.filter(col("doc_id") % 97 =!= 0),
-        docs.filter(col("doc_id") % 97 === 0),
-        "doc_id", "text", 3)
-      .select(col("doc_id"))
+    val flagged = contamFlagsOnce(s, dir)
     val train = curatedSplitOnce(s, dir).filter(col("split") === "train")
       .filter(col("doc_id") % 97 =!= 0)
       .join(flagged, Seq("doc_id"), "left_anti")
@@ -2223,19 +2302,15 @@ object PipelineQueries {
     * + the shingle-overlap flags in one statement.
     *
     * Scale shape: the shared [[curatedSplitOnce]] prefix + the
-    * contamination join ([[TextAnalysis.contaminationFlags]]: benchmark
-    * sets are constant-sized, their distinct shingles broadcast; the
-    * corpus side is one shingle scan) + a lang-scale sheet agg. The
-    * flags relation is ids-only into the train join.
+    * [[contamFlagsOnce]] flagged-ids boundary (the contamination join —
+    * benchmark shingles broadcast against one corpus shingle scan —
+    * runs once per session at the boundary write) + a lang-scale sheet
+    * agg. The flags relation is ids-only into the train join.
     */
   def pipelineCurateDecontaminated(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
     val train = curatedSplitOnce(s, dir).filter(col("split") === "train")
       .select(col("doc_id"), col("lang"), col("tokens"))
-    val flagged = TextAnalysis.contaminationFlags(
-        docs.filter(col("doc_id") % 97 =!= 0),
-        docs.filter(col("doc_id") % 97 === 0),
-        "doc_id", "text", 3)
+    val flagged = contamFlagsOnce(s, dir)
       .select(col("doc_id"), lit(1L).as("_flag"))
     train
       .withColumn("_bench", (col("doc_id") % 97 === 0).cast("long"))
@@ -2319,7 +2394,7 @@ object PipelineQueries {
     * fingerprints; text is kept here because the corpus is test-sized
     * and the DuckDB oracle replays from text).
     */
-  private def incrementBaseOnce(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def incrementBaseOnce(s: SparkSession, dir: String): DataFrame = {
     val path = incrBaseCache.computeIfAbsent(dir, _ => {
       val w = qualityTrajectoryOnce(s, dir).last
       val passIds = qualityTrainingFrame(s, dir)
@@ -2364,7 +2439,7 @@ object PipelineQueries {
     * and no exact/near twin in the kept base — at doc granularity,
     * shared by the admission sheet and the incremental manifest.
     */
-  private def incrementAdmittedDocs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def incrementAdmittedDocs(s: SparkSession, dir: String): DataFrame = {
     val w = qualityTrajectoryOnce(s, dir).last
     val passIds = qualityTrainingFrame(s, dir)
       .filter(LogReg.probability(col("x"), w) >= 0.5)
@@ -3031,6 +3106,7 @@ object PipelineQueries {
     "mm_binary_stats" -> (mmBinaryStats _),
     "mm_image_decode" -> (mmImageDecode _),
     "mm_image_dedup" -> (mmImageDedup _),
+    "mm_image_neardup" -> (mmImageNeardup _),
     "mm_audio_decode" -> (mmAudioDecode _),
     "mm_video_decode" -> (mmVideoDecode _),
     "mm_image_resize" -> (mmImageResize _),
@@ -3058,6 +3134,7 @@ object PipelineQueries {
     "ann_topk_ivf" -> (annTopkIvf _),
     "ann_topk_pca" -> (annTopkPca _),
     "ann_topk_pq" -> (annTopkPq _),
+    "ann_topk_opq" -> (annTopkPqOpq _),
     "ann_topk_pq_refined" -> (annTopkPqRefined _),
     "ann_topk_ivfpq" -> (annTopkIvfPq _),
     "mine_hard_negatives" -> (mineHardNegatives _),
@@ -4557,7 +4634,7 @@ object PipelineQueries {
     "dedup_clusters_star" -> clustersOracle,
     // rule thresholds compare the text_stats oracle's ROUNDED ratios
     "text_quality_rules" ->
-      """WITH t AS (
+      ("""WITH t AS (
         |  SELECT doc_id, text,
         |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS toks
         |  FROM documents),
@@ -4568,14 +4645,16 @@ object PipelineQueries {
         |    round(len(list_filter(toks, t -> list_contains(['the','a','and','of','to','in','is','on','for','with'], t))) * 1.0 / greatest(len(toks), 1), 6) AS stop_ratio,
         |    round(list_sum(list_transform(toks, t -> length(t))) * 1.0 / greatest(len(toks), 1), 6) AS mean_tok_len
         |  FROM t)
-        |SELECT doc_id,
-        |  n_tokens BETWEEN 50 AND 100000 AS pass_word_count,
-        |  mean_tok_len BETWEEN 3.0 AND 10.0 AS pass_word_len,
-        |  punct_ratio <= 0.2 AS pass_symbol,
-        |  stop_ratio >= 0.01 AS pass_stopword,
-        |  (n_tokens BETWEEN 50 AND 100000) AND (mean_tok_len BETWEEN 3.0 AND 10.0)
-        |    AND punct_ratio <= 0.2 AND stop_ratio >= 0.01 AS pass_all
-        |FROM s ORDER BY doc_id""".stripMargin,
+        |""".stripMargin +
+      s"""SELECT doc_id,
+        |  n_tokens BETWEEN $RuleMinTokens AND $RuleMaxTokens AS pass_word_count,
+        |  mean_tok_len BETWEEN $RuleMinTokLen AND $RuleMaxTokLen AS pass_word_len,
+        |  punct_ratio <= $RuleMaxPunct AS pass_symbol,
+        |  stop_ratio >= $RuleMinStop AS pass_stopword,
+        |  (n_tokens BETWEEN $RuleMinTokens AND $RuleMaxTokens)
+        |    AND (mean_tok_len BETWEEN $RuleMinTokLen AND $RuleMaxTokLen)
+        |    AND punct_ratio <= $RuleMaxPunct AND stop_ratio >= $RuleMinStop AS pass_all
+        |FROM s ORDER BY doc_id""".stripMargin),
     // concat-then-chunk assignment is all-integer: cumsum per md5 shard
     // in id order, pack = (cum - own) // budget
     // global (tokens desc, doc_id) rank dealt round-robin; the engine's
@@ -4874,15 +4953,16 @@ object PipelineQueries {
     // the logRegCtes `s` stats CTE carries exactly the four rule inputs,
     // so one statement replays both gates into the 2x2 confusion cells
     "text_gate_agreement" -> (logRegCtes +
-      """
+      s"""
         |sc AS (SELECT f.doc_id,
         |    round(1.0 / (1.0 + exp(-round(list_sum(list_transform(range(1, 6),
         |      j -> f.x[j] * w.w[j])), 6))), 6) AS score
         |  FROM f CROSS JOIN w10 w),
         |cells AS (SELECT s.doc_id, sc.score,
-        |    CAST((s.n_tokens BETWEEN 50 AND 100000)
-        |      AND (s.mean_tok_len BETWEEN 3.0 AND 10.0)
-        |      AND s.punct_ratio <= 0.2 AND s.stop_ratio >= 0.01 AS BIGINT)
+        |    CAST((s.n_tokens BETWEEN $RuleMinTokens AND $RuleMaxTokens)
+        |      AND (s.mean_tok_len BETWEEN $RuleMinTokLen AND $RuleMaxTokLen)
+        |      AND s.punct_ratio <= $RuleMaxPunct
+        |      AND s.stop_ratio >= $RuleMinStop AS BIGINT)
         |      AS rules_pass,
         |    CAST(sc.score >= 0.5e0 AS BIGINT) AS model_pass
         |  FROM s JOIN sc USING (doc_id))
@@ -5435,6 +5515,33 @@ object PipelineQueries {
         |  CAST(count(*) AS BIGINT) AS n_images, min(doc_id) AS kept_id
         |FROM d GROUP BY w, h, r, g, b
         |ORDER BY width, height, r, g, b""".stripMargin,
+    // perceptual aHash replay: cell i of the 8x8 luma grid = byte i%16
+    // of md5(text || 'g' || i//16); bit i set iff 64*cell > total
+    // (integer-exact mean threshold); two's-complement packing (the
+    // dedup_simhash recipe); planted resize variants share the base's
+    // hash BY CONSTRUCTION (block means are scale-invariant), so the
+    // oracle reuses it at doc_id + 1e8; all-pairs hamming <= 3 (tiny at
+    // oracle scale; the engine's 4x16 banding is recall-exact for <= 3)
+    "mm_image_neardup" ->
+      """WITH c AS (
+        |  SELECT doc_id, r.i,
+        |    ('0x' || substring(md5(text || 'g' || CAST(r.i // 16 AS VARCHAR)),
+        |      2 * (r.i % 16) + 1, 2))::BIGINT AS cell
+        |  FROM documents CROSS JOIN (SELECT unnest(range(64)) AS i) r),
+        |t AS (SELECT doc_id, sum(cell) AS total FROM c GROUP BY doc_id),
+        |fp0 AS (SELECT c.doc_id,
+        |    CAST(sum(CASE WHEN 64 * c.cell > t.total THEN
+        |      CASE WHEN c.i = 63 THEN -9223372036854775808 ELSE (1::BIGINT << c.i) END
+        |      ELSE 0 END) AS BIGINT) AS ahash
+        |  FROM c JOIN t USING (doc_id) GROUP BY c.doc_id),
+        |fp AS (SELECT doc_id AS media_id, ahash FROM fp0
+        |  UNION ALL
+        |  SELECT doc_id + 100000000, ahash FROM fp0 WHERE doc_id % 5 = 0)
+        |SELECT a.media_id AS media_a, b.media_id AS media_b,
+        |  CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+        |FROM fp a, fp b
+        |WHERE a.media_id < b.media_id AND bit_count(xor(a.ahash, b.ahash)) <= 3
+        |ORDER BY media_a, media_b""".stripMargin,
     "chunk_documents" ->
       """WITH t AS (
         |  SELECT doc_id,

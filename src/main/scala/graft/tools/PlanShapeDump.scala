@@ -67,12 +67,26 @@ object PlanShapeDump {
         val (c, b, s, br) =
           PlanAudit.shapeCounts(df.queryExecution.executedPlan)
         val leaves = df.queryExecution.analyzed.collectLeaves()
+        // `reg`: a file-scan leaf OUTSIDE the sfDir — a session/registry
+        // parquet stage boundary (curatedSplitOnce, fullClustersOnce,
+        // the graph family's severed results). Counts describe the
+        // SERVING plan; construction ran eagerly at the boundary write.
+        val hasRegistryLeaf = leaves.exists {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                !fs.location.rootPaths.forall(_.toString.contains(dir))
+              case _ => false
+            }
+          case _ => false
+        }
         val kinds = Seq(
           if (leaves.exists(_.isInstanceOf[
               org.apache.spark.sql.execution.LogicalRDD])) Some("rdd") else None,
           if (leaves.exists(_.isInstanceOf[
               org.apache.spark.sql.catalyst.plans.logical.LocalRelation]))
-            Some("local") else None).flatten
+            Some("local") else None,
+          if (hasRegistryLeaf) Some("reg") else None).flatten
         val eager = if (kinds.isEmpty) "-" else kinds.mkString("+")
         sb.append(name).append('\t').append(c).append('\t').append(b)
           .append('\t').append(s).append('\t').append(br)

@@ -145,7 +145,13 @@ object ScaleCurve {
     "dedup_keep_policy_audit",       // boundary + 2 windows + 1-row rollup
     "mm_image_dedup",                // real PNG encode+decode per doc + one hash agg
     "pipeline_incremental_manifest", // admission chain + two lang-scale waterfills
-    "text_gate_agreement")           // one stats scan, both gates, 4-cell agg
+    "text_gate_agreement",           // one stats scan, both gates, 4-cell agg
+    // round-14 additions. The OPQ leg trains rotation + codebooks per
+    // call (build cost, like ann_topk_pq); the perceptual near-dup's
+    // suffixed ×2 copies derive fresh md5 patterns (disjoint aHashes in
+    // expectation), so pair structure stays ~linear.
+    "ann_topk_opq",                  // PCA rotation + PQ train/encode/ADC per call
+    "mm_image_neardup")              // real PNG render+decode+aHash + banded pairs
 
   /** SPARK_GRAFT_SCALE_ONLY: comma-separated exact names — run a subset
     * (new-row refresh) without re-measuring the whole table.

@@ -280,7 +280,8 @@ object StreamBench {
     *
     * Run: SPARK_GRAFT_INGEST=1 runMain graft.tools.StreamBench
     * (honors SPARK_GRAFT_NEARDEDUP_TUNED=1 for the single-maximal-batch
-    * shape; batch-size arg as usual.)
+    * shape; batch-size arg as usual; SPARK_GRAFT_INGEST_TRIO=1 composes
+    * the decontamination stage in — the registered trio.)
     */
   private def ingestBench(spark: SparkSession, sfDir: String,
       batchSizeArg: Int): Unit = {
@@ -315,10 +316,26 @@ object StreamBench {
     val graceMs = 10L * 60 * 1000
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // SPARK_GRAFT_INGEST_TRIO=1 runs the FULL registered composition
+    // (gate → decontaminate → near-dedup) instead of the duo — the
+    // decontamination stage is a stateless broadcast-literal filter
+    // (bench shingles collected ONCE, outside the timed window, the
+    // once-per-model-release contract), so the duo-vs-trio delta
+    // measures exactly what that stage costs at ingest
+    val trio = sys.env.get("SPARK_GRAFT_INGEST_TRIO").contains("1")
+    val benchShingles = if (trio)
+      graft.streaming.StreamingCuration.benchShingleSet(
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") % 97 === 0),
+        "text", 3)
+    else Seq.empty[String]
     val input = MemoryStream[(Long, String, Long)]
-    val q = graft.streaming.StreamingCuration.curate(
-        input.toDF().toDF("doc_id", "text", "ts"), w, graceMs,
-        retainMs = 86400000L)
+    val stream = input.toDF().toDF("doc_id", "text", "ts")
+    val composed = if (trio)
+      graft.streaming.StreamingCuration.curateDecontaminated(
+        stream, w, benchShingles, graceMs, retainMs = 86400000L)
+    else graft.streaming.StreamingCuration.curate(
+      stream, w, graceMs, retainMs = 86400000L)
+    val q = composed
       .writeStream.format("memory").queryName("sb_ingest")
       .outputMode(OutputMode.Append).start()
     val t0 = System.nanoTime()
@@ -336,9 +353,86 @@ object StreamBench {
     val verdicts = out.count()
     val kept = out.filter(org.apache.spark.sql.functions.col("keep")).count()
     q.stop()
-    println(f"""{"metric":"stream_ingest_throughput","tuned":$tuned,"batch":$batchSize,""" +
+    val metric = if (trio) "stream_trio_throughput" else "stream_ingest_throughput"
+    println(f"""{"metric":"$metric","tuned":$tuned,"batch":$batchSize,""" +
       f""""docs_in":${rows.length},"gated_verdicts":$verdicts,"kept":$kept,""" +
       f""""gate_survival":${verdicts.toDouble / rows.length}%.3f,""" +
+      f""""sec":$secs%.2f,"docs_per_sec":${(rows.length / secs).toLong}}""")
+  }
+
+  /** Streaming-admission throughput ([[graft.streaming
+    * .StreamingAdmission]]): the curated base is built ONCE outside the
+    * timed window (it is persisted state in production — the
+    * `incr_base` boundary contract), then `copies` relabeled copies of
+    * the increment slice (`doc_id % 10 == 0`) stream through the
+    * gate → fingerprint → stream-static probe → watermark combine
+    * chain. Reports end-to-end docs/second plus the admission split.
+    *
+    * Run: SPARK_GRAFT_ADMISSION=1 runMain graft.tools.StreamBench
+    * (SPARK_GRAFT_DEDUP_COPIES for volume; SPARK_GRAFT_NEARDEDUP_TUNED=1
+    * for the single-maximal-batch production configuration).
+    */
+  private def admissionBench(spark: SparkSession, sfDir: String,
+      batchSizeArg: Int): Unit = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{Dedup, LogReg}
+    import org.apache.spark.sql.functions._
+    val copies = sys.env.getOrElse("SPARK_GRAFT_DEDUP_COPIES", "20").toInt
+    val docs = graft.Tables.documents(spark, sfDir)
+    val st = graft.operators.TextAnalysis.stats(docs, "doc_id", "text")
+    val feats = st.select(
+      array(lit(1.0), col("punct_ratio"), col("stop_ratio"),
+        least(col("n_tokens") / 100.0, lit(1.0)),
+        col("mean_tok_len") / 10.0).as("x"),
+      when(col("quality") >= 0.8, 1.0).otherwise(0.0).as("y"))
+    val w = LogReg.train(feats, "x", "y", dim = 5, iters = 10, lr = 5.0)
+    // untimed: the persisted curated base (the incrementBaseOnce recipe
+    // from public operators), materialized to parquet like production
+    val gatedBase = graft.streaming.StreamingQuality.gate(
+      docs.filter(col("doc_id") % 10 =!= 0), "text", w)
+      .select(col("doc_id"), col("text"))
+    val basePath = java.nio.file.Files
+      .createTempDirectory("sb_admission_base").toString + "/base"
+    Dedup.nearDedupKeepFirst(
+        Dedup.exactByHash(gatedBase, "text", "doc_id"),
+        "doc_id", "text", 3, 0.7)
+      .select(col("doc_id"), col("text"))
+      .write.mode("overwrite").parquet(basePath)
+    val base = spark.read.parquet(basePath)
+    val incr = docs.filter(col("doc_id") % 10 === 0)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val tsBase = 1700000000000L
+    val rows = (0 until copies).flatMap { c =>
+      incr.map { case (id, t) =>
+        (c.toLong * 1000000L + id, t, tsBase + c * 60000L + id)
+      }
+    }
+    val tuned = sys.env.get("SPARK_GRAFT_NEARDEDUP_TUNED").contains("1")
+    val batchSize = if (tuned) rows.length else batchSizeArg
+    val graceMs = 10L * 60 * 1000
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[(Long, String, Long)]
+    val q = graft.streaming.StreamingAdmission.admit(
+        input.toDF().toDF("doc_id", "text", "ts"), base, w, graceMs)
+      .writeStream.format("memory").queryName("sb_admission")
+      .outputMode(OutputMode.Append).start()
+    val t0 = System.nanoTime()
+    rows.grouped(batchSize).foreach { b => input.addData(b); q.processAllAvailable() }
+    Seq(1, 2).foreach { i =>
+      input.addData(Seq((-i.toLong,
+        (1 to 120).map(j => s"zqxv${i}w$j").mkString(" "),
+        rows.map(_._3).max + i * (graceMs + 60000L))))
+      q.processAllAvailable()
+    }
+    val secs = (System.nanoTime() - t0) / 1e9
+    val out = spark.table("sb_admission")
+    val verdicts = out.count()
+    val admitted = out.filter(col("admitted")).count()
+    q.stop()
+    println(f"""{"metric":"stream_admission_throughput","tuned":$tuned,"batch":$batchSize,""" +
+      f""""docs_in":${rows.length},"gated_verdicts":$verdicts,"admitted":$admitted,""" +
       f""""sec":$secs%.2f,"docs_per_sec":${(rows.length / secs).toLong}}""")
   }
 
@@ -380,6 +474,11 @@ object StreamBench {
     }
     if (sys.env.get("SPARK_GRAFT_INGEST").contains("1")) {
       ingestBench(spark, sfDir, args.headOption.map(_.toInt).getOrElse(20000))
+      spark.stop()
+      return
+    }
+    if (sys.env.get("SPARK_GRAFT_ADMISSION").contains("1")) {
+      admissionBench(spark, sfDir, args.headOption.map(_.toInt).getOrElse(20000))
       spark.stop()
       return
     }

@@ -178,9 +178,17 @@ class DriverContractSpec extends SparkTestBase {
     rows.foreach { r =>
       assert(r.getAs[Long]("tok_total") ==
         r.getAs[Long]("tok_base") + r.getAs[Long]("tok_incr"), s"mass: $r")
-      val (eb, ea) = (r.getAs[Double]("epochs_before"), r.getAs[Double]("epochs_after"))
-      assert(eb > 0 && eb <= 4.0 && ea > 0 && ea <= 4.0, s"epoch range: $r")
-      assert(math.abs((ea - eb) - r.getAs[Double]("epochs_delta")) < 1e-12)
+      // epochs_before is NULL for an increment-only language (left-join
+      // miss against the base inventory) — getAs[Double] would silently
+      // unbox that to 0.0 and fail the range assert with a misleading
+      // message, so gate the before/delta checks on presence explicitly
+      val ea = r.getAs[Double]("epochs_after")
+      assert(ea > 0 && ea <= 4.0, s"epoch range: $r")
+      if (!r.isNullAt(r.fieldIndex("epochs_before"))) {
+        val eb = r.getAs[Double]("epochs_before")
+        assert(eb > 0 && eb <= 4.0, s"epoch range: $r")
+        assert(math.abs((ea - eb) - r.getAs[Double]("epochs_delta")) < 1e-12)
+      }
     }
     // the waterfill invariant on BOTH allocations: realized token mass
     // equals the 3x-budget exactly (up to IEEE division round-off)

@@ -332,4 +332,44 @@ class MultimodalSpec extends SparkTestBase {
     assert(a == Multimodal.DecodedAudio(1L, 8000, n.toLong, 4096.0 / 32768.0,
       decoded = true))
   }
+
+  test("renderPatternImages -> imageAHash: planted resize variants collapse, distinct patterns do not") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val media = Multimodal.fromText(docs, "doc_id", "text", "image")
+    val hashed = Multimodal.imageAHash(
+        Multimodal.renderPatternImages(media, variantEvery = 5))
+      .collect()
+    assert(hashed.forall(_.decoded), "every rendered pattern must decode")
+    val (variants, bases) =
+      hashed.partition(_.media_id >= Multimodal.ImageVariantStride)
+    assert(variants.nonEmpty, "fixture must plant variants")
+    val baseById = bases.map(h => h.media_id -> h).toMap
+    assert(variants.map(_.media_id - Multimodal.ImageVariantStride).toSet ==
+      bases.filter(_.media_id % 5 == 0).map(_.media_id).toSet,
+      "exactly every 5th doc gets a variant")
+    variants.foreach { v =>
+      val b = baseById(v.media_id - Multimodal.ImageVariantStride)
+      // the whole point of aHash: same perceptual content, different
+      // bytes AND different true decoded dimensions, identical hash
+      assert(v.ahash == b.ahash, s"variant hash must equal base: $v vs $b")
+      assert((v.width, v.height) != (b.width, b.height),
+        s"variant must be a genuinely different size: $v vs $b")
+    }
+    // distinct md5-derived patterns must not collapse: distinct hashes
+    // among bases stay near the base count (no systematic collisions)
+    val distinctHashes = bases.map(_.ahash).distinct.length
+    assert(distinctHashes > bases.length * 9 / 10,
+      s"only $distinctHashes distinct hashes over ${bases.length} bases")
+    // and the registered pair query finds exactly the planted pairs at
+    // distance 0 (plus whatever genuine near-patterns exist, none here)
+    val pairs = graft.queries.PipelineQueries.mmImageNeardup(
+        spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    variants.foreach { v =>
+      val baseId = v.media_id - Multimodal.ImageVariantStride
+      assert(pairs.contains((baseId, v.media_id, 0L)),
+        s"planted pair ($baseId, ${v.media_id}) missing")
+    }
+  }
 }

@@ -34,6 +34,7 @@ class PlanGuardSpec extends SparkTestBase {
     "ann_topk_brute" -> "corpus streams against broadcast(bounded query set); non-equi cosine scoring is the operator",
     "ann_topk_pca" -> "coarse stage: reduced-dim corpus × broadcast(bounded query set)",
     "ann_topk_pq" -> "encoded corpus × broadcast(bounded query set) ADC scoring",
+    "ann_topk_opq" -> "ann_topk_pq's BNLJ on the rotated column (encoded corpus × broadcast bounded query set); the rotation itself is a broadcast-literal projection",
     "ann_topk_pq_refined" -> "ann_topk_pq's BNLJ (encoded corpus × broadcast bounded query set); the refine stage itself is keyed joins over |queries|×kCand candidate rows",
     "mine_hard_negatives" -> "ann_topk_brute's BNLJ (corpus × broadcast bounded query set); the mining itself is a projection + bounded re-rank over |queries|×kCand rows",
     "mine_triplets" -> "ann_topk_brute's BNLJ (both triplet legs re-rank the same corpus × broadcast bounded-query-set candidate list — the second leg's copy dedupes via exchange reuse); the rank-align join is |queries|×k keyed rows",
