@@ -180,34 +180,23 @@ object Dedup {
     * `concat_ws` band hash — and spec-pinned equal to the agg path on
     * real corpus text (`StreamingAdmissionSpec`).
     *
-    * The signature is computed with higher-order array functions
-    * (`transform`/`array_min` — interpreted, not whole-stage-codegen),
-    * so per-row cost is the agg's same k·|set| multiply-mod loop at
-    * interpreter speed: right for increment/stream-sized relations; the
-    * 100 TB corpus side should keep using the aggregate path. `_set`
-    * and `_sig` are materialized as separate projection layers so
-    * CollapseProject cannot inline the k-wide transform into each of
-    * the 32 band expressions.
+    * Both columns are produced by fused native expressions
+    * ([[graft.functions.ShingleHashSet]],
+    * [[graft.functions.MinHashBandHashes]]) that reference their input
+    * exactly once and run the k·|set| loops in plain JVM code — the
+    * first version used `transform`/`array_min` higher-order functions
+    * and paid 3.9 ms/doc at interpreter speed (k=128 lambda dispatches
+    * per shingle), which dominated streaming-admission throughput; the
+    * fused form is the same math at memory-bandwidth speed. The 100 TB
+    * corpus side should still use the aggregate path (map-side
+    * combine); this is the increment/stream-sized row form.
     */
   private[graft] def withRowBandCols(df: DataFrame, textCol: String,
-      n: Int): DataFrame = {
-    val (pa, pb) = graft.functions.MinHashAgg.coefficients(NumPerm, MinHashSeed)
-    val p = graft.functions.MinHashAgg.P
-    val coeffs = typedlit(pa.zip(pb).toSeq)
-    val rowsPerBand = NumPerm / Bands
-    val bandCols = (0 until Bands).map { j =>
-      xxhash64(concat_ws(",",
-        (0 until rowsPerBand).map(r => element_at(col("_sig"), j * rowsPerBand + r + 1)): _*))
-    }
-    df.withColumn("_set",
-        array_distinct(transform(Text.shingles(col(textCol), n), s => xxhash64(s))))
-      .withColumn("_hps", transform(col("_set"), h => pmod(h, lit(p))))
-      .withColumn("_sig", transform(coeffs, c =>
-        array_min(transform(col("_hps"),
-          h => (c.getField("_1") * h + c.getField("_2")) % p))))
-      .withColumn("_bands", array(bandCols: _*))
-      .drop("_hps", "_sig")
-  }
+      n: Int): DataFrame =
+    df.withColumn("_set", graft.functions.ShingleHashSet.shingleHashSet(
+        Text.tokens(col(textCol)), n))
+      .withColumn("_bands", graft.functions.MinHashBandHashes.minhashBandHashes(
+        col("_set"), NumPerm, Bands, MinHashSeed))
 
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, tau: Double, ordered: Boolean = true): DataFrame = {

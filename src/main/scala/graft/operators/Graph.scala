@@ -52,7 +52,10 @@ object Graph {
   private val severSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   private def materialized(df: DataFrame): DataFrame = {
-    val out = severRoot.resolve("m" + severSeq.getAndIncrement()).toString
+    // stable "graft_sever_" basename prefix: the per-JVM sequence number
+    // depends on call order, and lineage names file sources by basename
+    // — Lineage maps this prefix to the order-independent "(severed)"
+    val out = severRoot.resolve("graft_sever_" + severSeq.getAndIncrement()).toString
     df.write.mode("overwrite").parquet(out)
     df.sparkSession.read.parquet(out)
   }

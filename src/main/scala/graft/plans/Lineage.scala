@@ -34,10 +34,20 @@ object Lineage {
   private def stripExt(name: String): String =
     if (name.endsWith(".parquet")) name.dropRight(".parquet".length) else name
 
+  /** Session temp-parquet sever boundaries (the Graph family's
+    * materialized results) carry a per-JVM sequence number in their
+    * basename — call-order-dependent, so the raw name would make
+    * LINEAGE.tsv nondeterministic. Collapse them to one stable marker:
+    * lineage legitimately ENDS at a severed boundary (same contract as
+    * `rdd`-leaf plans).
+    */
+  private def normalize(name: String): String =
+    if (name.startsWith("graft_sever_")) "(severed)" else name
+
   private def tableOf(leaf: LeafNode): String = leaf match {
     case lr: LogicalRelation => lr.relation match {
       case fs: HadoopFsRelation =>
-        fs.location.rootPaths.headOption.map(p => stripExt(p.getName))
+        fs.location.rootPaths.headOption.map(p => normalize(stripExt(p.getName)))
           .getOrElse("(files)")
       case other => other.getClass.getSimpleName
     }

@@ -67,48 +67,63 @@ object StreamingCuration {
     * `n`-gram with the benchmark shingle set are dropped BEFORE they
     * cost dedup state, exactly where a production stream rejects
     * eval-contaminated crawl data. The stage is STATELESS like the
-    * gate: `benchShingles` rides the plan as a broadcast literal
-    * (benchmark sets are constant-sized — the
+    * gate: `benchHashes` (the benchmark's distinct xxhash64 shingle
+    * hashes, collected once per model/bench release via
+    * [[benchShingleHashes]] — never per batch; benchmark sets are
+    * constant-sized, the
     * [[graft.operators.TextAnalysis.contaminationFlags]] scale
-    * contract) and the check is one codegen `arrays_overlap` against
-    * the same [[graft.functions.Text.shinglesOfTokens]] expression the
-    * batch operator shingles with, so streamed and batch drop
-    * decisions agree exactly ([[StreamingCurationSpec]] pins the
-    * composed trio equal to the batch composition on out-of-order
-    * input). Collect the set once per model/bench release via
-    * [[benchShingleSet]] — never per batch.
+    * contract) rides the plan as a sorted-array reference probed by
+    * the codegen'd [[graft.functions.NgramHashSetOverlap]] fused
+    * tokenize-once/gram/hash/binary-search expression, over the same
+    * `shinglesOfTokens → xxhash64` hash space the batch operator joins
+    * on, so streamed and batch drop decisions agree exactly
+    * ([[StreamingCurationSpec]] pins the composed trio equal to the
+    * batch composition on out-of-order input; collision-freedom of
+    * xxhash64 at eval-suite set sizes is the repo-wide documented
+    * `text_decontaminate` assumption).
+    *
+    * Round-14 throughput hardening, measured on the tuned 100k-doc
+    * ingest bench: the original shape — `arrays_overlap` of a shingle
+    * HOF against a string-shingle `typedlit` — read 503 docs/s
+    * end-to-end vs the duo's 4495, for TWO stacked reasons documented
+    * on [[graft.functions.NgramHashSetOverlap]] (filter pushdown
+    * inlines the token alias into the shingle lambda → the tokenizer
+    * re-runs per element; `arrays_overlap` rebuilds its probe table
+    * per row). The fused expression removes both.
     */
   def curateDecontaminated(docs: DataFrame, w: Array[Double],
-      benchShingles: Seq[String], graceMs: Long, retainMs: Long,
+      benchHashes: Array[Long], graceMs: Long, retainMs: Long,
       n: Int = 3, maxDist: Int = 3): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val gated = StreamingQuality.gate(docs, "text", w)
-      .filter(!arrays_overlap(
-        graft.functions.Text.shingles(col("text"), n),
-        typedlit(benchShingles)))
+      .filter(!graft.functions.NgramHashSetOverlap.overlapsAny(
+        graft.functions.Text.tokens(col("text")), n, benchHashes))
       .select(col("doc_id").cast("long"), col("text"), col("ts").cast("long"))
       .as[NearDupDoc]
     StreamingNearDedup.nearDedup(gated, graceMs, retainMs, maxDist)
   }
 
-  /** The benchmark's distinct shingle set, collected to driver state for
-    * [[curateDecontaminated]]'s broadcast-literal filter. Eval suites
-    * are tiny constants next to the stream, but guard the contract
-    * anyway: the collect is capped so a mis-pointed "benchmark" (e.g.
-    * the corpus itself) fails loudly instead of OOMing the driver.
+  /** The benchmark's distinct shingle-HASH set (xxhash64 — computed by
+    * the ENGINE's expression, so stream and batch probe the identical
+    * hash space by construction), collected to driver state for
+    * [[curateDecontaminated]]'s constant-set filter. Eval suites are
+    * tiny constants next to the stream, but guard the contract anyway:
+    * the collect is capped so a mis-pointed "benchmark" (e.g. the
+    * corpus itself) fails loudly instead of OOMing the driver.
     */
-  def benchShingleSet(benchmark: DataFrame, textCol: String, n: Int = 3,
-      maxShingles: Int = 1000000): Seq[String] = {
+  def benchShingleHashes(benchmark: DataFrame, textCol: String, n: Int = 3,
+      maxShingles: Int = 1000000): Array[Long] = {
     val spark = benchmark.sparkSession
     import spark.implicits._
     val sh = benchmark
       .select(explode(graft.functions.Text.shingles(col(textCol), n)).as("_sh"))
+      .select(xxhash64(col("_sh")).as("_h"))
       .distinct().limit(maxShingles + 1)
-      .as[String].collect()
+      .as[Long].collect()
     require(sh.length <= maxShingles,
       s"benchmark shingle set exceeds $maxShingles — this is not an eval " +
         "suite; decontaminate in batch instead")
-    sh.toSeq
+    sh
   }
 }

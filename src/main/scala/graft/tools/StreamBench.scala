@@ -324,10 +324,10 @@ object StreamBench {
     // measures exactly what that stage costs at ingest
     val trio = sys.env.get("SPARK_GRAFT_INGEST_TRIO").contains("1")
     val benchShingles = if (trio)
-      graft.streaming.StreamingCuration.benchShingleSet(
+      graft.streaming.StreamingCuration.benchShingleHashes(
         docs.filter(org.apache.spark.sql.functions.col("doc_id") % 97 === 0),
         "text", 3)
-    else Seq.empty[String]
+    else Array.empty[Long]
     val input = MemoryStream[(Long, String, Long)]
     val stream = input.toDF().toDF("doc_id", "text", "ts")
     val composed = if (trio)

@@ -124,7 +124,7 @@ class StreamingCurationSpec extends SparkTestBase {
       when(col("quality") >= 0.8, 1.0).otherwise(0.0).as("y"))
     val w = LogReg.train(feats, "x", "y", dim = 5, iters = 10, lr = 5.0)
     val bench = docs.filter(col("doc_id") % 97 === 0)
-    val shingleSet = StreamingCuration.benchShingleSet(bench, "text")
+    val shingleSet = StreamingCuration.benchShingleHashes(bench, "text")
     assert(shingleSet.nonEmpty)
 
     // batch composition: gate -> drop docs sharing a 3-gram with the
@@ -154,8 +154,8 @@ class StreamingCurationSpec extends SparkTestBase {
     // sentinels must survive BOTH stateless stages to march the watermark
     val sdf = sentinels.toDF("doc_id", "text", "ts")
     val sentinelSurvive = StreamingQuality.gate(sdf, "text", w)
-      .filter(!arrays_overlap(graft.functions.Text.shingles(col("text"), 3),
-        typedlit(shingleSet)))
+      .filter(!graft.functions.NgramHashSetOverlap.overlapsAny(
+        graft.functions.Text.tokens(col("text")), 3, shingleSet))
       .select(col("doc_id")).as[Long].collect().toSet
     assert(sentinelSurvive == sentinels.map(_._1).toSet,
       "sentinels must pass the gate AND the decontamination filter")
