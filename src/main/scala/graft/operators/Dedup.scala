@@ -232,6 +232,25 @@ object Dedup {
     */
   def nearDedupIncremental(corpus: DataFrame, batch: DataFrame,
       idCol: String, textCol: String, n: Int, tau: Double): DataFrame = {
+    val (exactLosers, nearLosers) =
+      incrementalLosers(corpus, batch, idCol, textCol, n, tau)
+    // losers is an ids-only list bounded by the increment's duplicate
+    // count — broadcast it so the final anti join never shuffles the
+    // batch rows (text included). For pathological increments whose
+    // duplicate id list alone exceeds broadcast size, drop the hint and
+    // accept one batch-side shuffle.
+    batch.join(broadcast(exactLosers.union(nearLosers).distinct()),
+      Seq(idCol), "left_anti")
+  }
+
+  /** The two loser id relations behind [[nearDedupIncremental]]'s anti
+    * join — (exact-twin ids, near-twin ids), both subsets of the batch's
+    * id space, shared with [[incrementalFlags]] so the drop decision and
+    * the reason attribution cannot drift apart.
+    */
+  private def incrementalLosers(corpus: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, n: Int,
+      tau: Double): (DataFrame, DataFrame) = {
     val exactLosers = batch.select(col(idCol), md5(col(textCol)).as("_d"))
       .join(corpus.select(md5(col(textCol)).as("_d")), Seq("_d"), "left_semi")
       .select(col(idCol))
@@ -253,13 +272,32 @@ object Dedup {
       .filter(round(col("_inter") /
         (size(col("_seta")) + size(col("_setb")) - col("_inter")), 4) >= tau)
       .select(col("_idb").as(idCol))
-    // losers is an ids-only list bounded by the increment's duplicate
-    // count — broadcast it so the final anti join never shuffles the
-    // batch rows (text included). For pathological increments whose
-    // duplicate id list alone exceeds broadcast size, drop the hint and
-    // accept one batch-side shuffle.
-    batch.join(broadcast(exactLosers.union(nearLosers).distinct()),
-      Seq(idCol), "left_anti")
+    (exactLosers, nearLosers)
+  }
+
+  /** Per-row ADMISSION REASON flags vs an existing corpus: one row per
+    * batch doc with `(exact_dup, near_dup)` — drop criteria (a) and (b)
+    * of [[nearDedupIncremental]] attributed separately, from the SAME
+    * loser relations the drop path anti-joins (a doc is admitted iff
+    * both flags are false, by construction). This is the batch twin of
+    * the streaming admission verdict columns
+    * ([[graft.streaming.StreamingAdmission]] emits the same two flags
+    * per gated doc, spec-pinned equal per doc). Ids-only broadcasts,
+    * same scale argument as the anti join.
+    * Output: (idCol, exact_dup, near_dup).
+    */
+  def incrementalFlags(corpus: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, n: Int, tau: Double): DataFrame = {
+    val (exactLosers, nearLosers) =
+      incrementalLosers(corpus, batch, idCol, textCol, n, tau)
+    batch.select(col(idCol))
+      .join(broadcast(exactLosers.distinct().withColumn("_ex", lit(true))),
+        Seq(idCol), "left")
+      .join(broadcast(nearLosers.distinct().withColumn("_nr", lit(true))),
+        Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("_ex"), lit(false)).as("exact_dup"),
+        coalesce(col("_nr"), lit(false)).as("near_dup"))
   }
 
   // ------------------------------------------------------------- SimHash

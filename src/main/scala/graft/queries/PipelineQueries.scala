@@ -2494,6 +2494,61 @@ object PipelineQueries {
       .orderBy(col("lang"))
   }
 
+  /** Per-doc admission REASON flags over the gated increment — the
+    * batch twin of [[graft.streaming.StreamingAdmission]]'s verdict
+    * columns ([[Dedup.incrementalFlags]] against the persisted base),
+    * shared by [[pipelineAdmissionReasons]] and
+    * `StreamingAdmissionSpec`'s per-doc flag-equality pin.
+    */
+  private[graft] def incrementAdmissionFlags(s: SparkSession, dir: String): DataFrame = {
+    val w = qualityTrajectoryOnce(s, dir).last
+    val passIds = qualityTrainingFrame(s, dir)
+      .filter(LogReg.probability(col("x"), w) >= 0.5)
+      .select(col("doc_id"))
+    val gatedIncr = Tables.documents(s, dir)
+      .filter(col("doc_id") % 10 === 0)
+      .join(passIds, Seq("doc_id"), "left_semi")
+    Dedup.incrementalFlags(
+      incrementBaseOnce(s, dir), gatedIncr, "doc_id", "text", 3, Tau)
+  }
+
+  /** ADMISSION REASONS (round 14) — `pipeline_curate_incremental` tells
+    * the ops reviewer HOW MANY increment docs were admitted;
+    * this sheet tells them WHY the rest were rejected: per language,
+    * gate survivors split into exact-twin rejections (md5 match in the
+    * kept base), near-twin rejections (word-3-gram Jaccard ≥ [[Tau]]
+    * vs the base), docs rejected for BOTH reasons, and the admitted
+    * remainder, with the first admitted and first rejected ids as the
+    * reviewer's entry points. The reason attribution comes from the
+    * SAME loser relations the admission anti join uses
+    * ([[Dedup.incrementalFlags]]), so this sheet and the admission
+    * operator cannot disagree — and the flags are the batch twin of
+    * the streaming admission verdict's `(exact_dup, near_dup)`
+    * columns, pinned equal per doc in `StreamingAdmissionSpec`.
+    *
+    * Scale shape: the base is the [[incrementBaseOnce]] boundary; the
+    * flag relations are ids-only broadcasts (the
+    * [[Dedup.nearDedupIncremental]] scale argument); the sheet is one
+    * lang-scale agg over the increment.
+    */
+  def pipelineAdmissionReasons(s: SparkSession, dir: String): DataFrame = {
+    val flags = incrementAdmissionFlags(s, dir)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"))
+      .join(flags, "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_gated"),
+        sum(col("exact_dup").cast("long")).as("n_exact_dup"),
+        sum(col("near_dup").cast("long")).as("n_near_dup"),
+        sum((col("exact_dup") && col("near_dup")).cast("long")).as("n_both"),
+        sum((!col("exact_dup") && !col("near_dup")).cast("long")).as("n_admitted"),
+        min(when(!col("exact_dup") && !col("near_dup"), col("doc_id")))
+          .as("first_admitted"),
+        min(when(col("exact_dup") || col("near_dup"), col("doc_id")))
+          .as("first_rejected"))
+      .orderBy(col("lang"))
+  }
+
   /** MIXTURE DRIFT FROM THE DAILY INCREMENT (round 13) — the sheet the
     * mixing owner reads after each increment run, BEFORE regenerating
     * shards: per language, the curated-base token inventory vs the
@@ -3077,6 +3132,7 @@ object PipelineQueries {
     "pipeline_curate_shuffled" -> (pipelineCurateShuffled _),
     "pipeline_curate_ingest" -> (pipelineCurateIngest _),
     "pipeline_curate_incremental" -> (pipelineCurateIncremental _),
+    "pipeline_admission_reasons" -> (pipelineAdmissionReasons _),
     "pipeline_incremental_manifest" -> (pipelineIncrementalManifest _),
     "pipeline_curate_curriculum" -> (pipelineCurateCurriculum _),
     "pipeline_curate_decontaminated" -> (pipelineCurateDecontaminated _),
@@ -4929,6 +4985,27 @@ object PipelineQueries {
          |LEFT JOIN adm a2 ON a2.doc_id = d.doc_id
          |WHERE d.doc_id % 10 = 0
          |GROUP BY d.lang ORDER BY d.lang""".stripMargin),
+    // reason attribution over the GATED increment: the incremental
+    // chain's exact (iex) and near (inear) loser CTEs left-joined back,
+    // rolled up per language
+    "pipeline_admission_reasons" -> (incrementalCtes +
+      s"""
+         |SELECT gi.lang,
+         |  CAST(count(*) AS BIGINT) AS n_gated,
+         |  CAST(count(ex.doc_id) AS BIGINT) AS n_exact_dup,
+         |  CAST(count(nr.doc_id) AS BIGINT) AS n_near_dup,
+         |  CAST(sum(CASE WHEN ex.doc_id IS NOT NULL AND nr.doc_id IS NOT NULL
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+         |  CAST(sum(CASE WHEN ex.doc_id IS NULL AND nr.doc_id IS NULL
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+         |  min(CASE WHEN ex.doc_id IS NULL AND nr.doc_id IS NULL
+         |    THEN gi.doc_id END) AS first_admitted,
+         |  min(CASE WHEN ex.doc_id IS NOT NULL OR nr.doc_id IS NOT NULL
+         |    THEN gi.doc_id END) AS first_rejected
+         |FROM gi
+         |LEFT JOIN iex ex ON ex.doc_id = gi.doc_id
+         |LEFT JOIN inear nr ON nr.doc_id = gi.doc_id
+         |GROUP BY gi.lang ORDER BY gi.lang""".stripMargin),
     // the incremental chain's kept base (kb) and admitted increment (adm)
     // feed TWO prefix-renamed waterfills: epochs over base vs
     // base+admitted, one IEEE subtract apart

@@ -151,7 +151,8 @@ object ScaleCurve {
     // suffixed ×2 copies derive fresh md5 patterns (disjoint aHashes in
     // expectation), so pair structure stays ~linear.
     "ann_topk_opq",                  // PCA rotation + PQ train/encode/ADC per call
-    "mm_image_neardup")              // real PNG render+decode+aHash + banded pairs
+    "mm_image_neardup",              // real PNG render+decode+aHash + banded pairs
+    "pipeline_admission_reasons")    // base boundary + ids-only flag joins + lang agg
 
   /** SPARK_GRAFT_SCALE_ONLY: comma-separated exact names — run a subset
     * (new-row refresh) without re-measuring the whole table.

@@ -123,6 +123,17 @@ class StreamingAdmissionSpec extends SparkTestBase {
         verdicts.foreach { case (id, adm, ex, nr) =>
           assert(adm == (!ex && !nr), s"verdict inconsistency for $id")
         }
+        // per-doc REASON equality with the batch flag relation (the
+        // pipeline_admission_reasons input): not just the same admitted
+        // set — the same exact-vs-near attribution, doc for doc
+        val batchFlags = PipelineQueries.incrementAdmissionFlags(spark, Dir)
+          .as[(Long, Boolean, Boolean)].collect()
+          .map(r => r._1 -> (r._2, r._3)).toMap
+        assert(verdicts.map(_._1).toSet == batchFlags.keySet)
+        verdicts.foreach { case (id, _, ex, nr) =>
+          assert(batchFlags(id) == ((ex, nr)),
+            s"reason mismatch for $id: streamed ($ex,$nr) vs batch ${batchFlags(id)}")
+        }
       } finally q.stop()
     } finally prev match {
       case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
